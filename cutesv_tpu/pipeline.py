@@ -1,0 +1,243 @@
+"""End-to-end calling pipeline.
+
+Single streaming pass over the BAM (replacing the reference's 4-pool
+pickle-spill orchestration, cuteSV:992-1248) ->> signature store ->
+per-chromosome resolution (host oracle or TPU device engine) -> genotype
+fill -> VCF.
+"""
+from __future__ import annotations
+
+import bisect
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from cutesv_tpu import extract, sigstore, vcf
+from cutesv_tpu.config import Config
+from cutesv_tpu.genotype import assign_gt_del_ins, gl_table
+from cutesv_tpu.io.bam import BamReader
+from cutesv_tpu.io.fasta import FastaFile
+from cutesv_tpu.models import host as host_models
+
+log = logging.getLogger("cutesv_tpu")
+
+
+def load_bed_regions(path: Optional[str]) -> Optional[Dict[str, list]]:
+    """Padded include regions per chrom (load_bed, cuteSV_genotype.py:704).
+
+    The reference assigns regions to extraction tasks and tests reads
+    against their task's regions; with streaming decode we test against all
+    regions of the read's chromosome (equivalent unless a read is longer
+    than a genome batch)."""
+    if path is None:
+        return None
+    regions: Dict[str, list] = {}
+    with open(path) as fh:
+        for line in fh:
+            seq = line.strip().split("\t")
+            regions.setdefault(seq[0], []).append(
+                (int(seq[1]) - 1000, int(seq[2]) + 1000))
+    for chrom in regions:
+        regions[chrom].sort()
+    return regions
+
+
+def decode_bam(cfg: Config):
+    """Stream the BAM once, extracting signatures + read census."""
+    candidates = extract.new_candidate_dict()
+    census_rows: List[tuple] = []
+    allread_rows: List[tuple] = []
+    bed = load_bed_regions(cfg.include_bed)
+    reader = BamReader(cfg.input)
+    chrom_names = [n for n, _ in reader.references]
+    chrom_lengths = {n: l for n, l in reader.references}
+    n_records = 0
+    for rec in reader:
+        if rec.ref_id < 0 or rec.flag & 0x4:
+            continue
+        n_records += 1
+        chrom = chrom_names[rec.ref_id]
+        pos_start = rec.pos
+        pos_end = rec.reference_end
+        allread_rows.append((pos_start, pos_end,
+                             1 if rec.flag in (0, 16) else 0,
+                             rec.qname, chrom))
+        if rec.flag in (256, 272):
+            continue
+        if bed is not None:
+            regions = bed.get(chrom, [])
+            if not any(pos_end > r0 and pos_start < r1
+                       for r0, r1 in regions):
+                continue
+        extract.extract_read(rec, candidates, chrom, cfg.min_size,
+                             cfg.min_mapq, cfg.max_split_parts,
+                             cfg.min_read_len, cfg.min_siglength,
+                             cfg.merge_del_threshold, cfg.merge_ins_threshold,
+                             cfg.max_size)
+        if rec.mapq >= cfg.min_mapq:
+            census_rows.append((pos_start, pos_end,
+                                1 if rec.flag in (0, 16) else 0,
+                                rec.qname, chrom))
+    reader.close()
+    store = sigstore.build_store(candidates, census_rows, allread_rows,
+                                 chrom_lengths)
+    return store, candidates, reader.references, n_records
+
+
+def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
+                     svtype: str) -> List[list]:
+    """call_gt for DEL/INS (cuteSV_resolveINDEL.py:441-479)."""
+    if chrom not in store.census:
+        return []
+    windows = [j["window"] for j in jobs]
+    supports = [j["support"] for j in jobs]
+    rows = assign_gt_del_ins(windows, supports, store.census[chrom])
+    for cand, (dv, dr, gt, pl, gq, qual) in zip(cands, rows):
+        cand[7] = str(dr)
+        cand[8] = str(gt)
+        cand[9] = str(pl)
+        cand[10] = str(gq)
+        cand[11] = str(qual)
+    return cands
+
+
+def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
+                         dr_i: int, gt_i: int, pl_i: int, gq_i: int,
+                         qual_i: int) -> List[list]:
+    """call_gt for DUP/INV: union of covers over both breakpoint windows
+    (cuteSV_resolveDUP.py:137-160, cuteSV_resolveINV.py:208-230)."""
+    if chrom not in store.census:
+        return []
+    census = store.census[chrom]
+    prim = census["is_primary"] == 1
+    p_start = census["start"][prim]
+    p_end = census["end"][prim]
+    p_names = [census["name"][i] for i in np.nonzero(prim)[0]]
+    name_iv = {n: (p_start[k], p_end[k]) for k, n in enumerate(p_names)}
+    from cutesv_tpu.genotype import cover_counts
+    w1 = [j["window1"] for j in jobs]
+    w2 = [j["window2"] for j in jobs]
+    hull = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(w1, w2)]
+    c1 = cover_counts(w1, p_start, p_end)
+    c2 = cover_counts(w2, p_start, p_end)
+    ch = cover_counts(hull, p_start, p_end)
+    table = gl_table()
+    for cand, job, n1, n2, nh in zip(cands, jobs, c1, c2, ch):
+        union = int(n1) + int(n2) - int(nh)
+        support = job["support"]
+        inter = 0
+        for name in support:
+            iv = name_iv.get(name)
+            if iv is None:
+                continue
+            (s1, e1), (s2, e2) = job["window1"], job["window2"]
+            if ((iv[0] <= s1 and iv[1] >= e1)
+                    or (iv[0] <= s2 and iv[1] >= e2)):
+                inter += 1
+        dr = union - inter
+        gt, pl, gq, qual = table.lookup(dr, len(support))
+        cand[dr_i] = str(dr)
+        cand[gt_i] = str(gt)
+        cand[pl_i] = str(pl)
+        cand[gq_i] = str(gq)
+        cand[qual_i] = str(qual)
+    return cands
+
+
+def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
+    """Cluster + genotype every chromosome; returns chrom -> candidate rows
+    in the reference's DEL, INS, INV, DUP, TRA submission order."""
+    action = cfg.genotype
+    results: Dict[str, List] = {}
+
+    def add(chrom, rows):
+        if rows:
+            results.setdefault(chrom, []).extend(rows)
+
+    min_sup5 = min(cfg.min_support, 5)
+    for chrom, sigs in store.sigs["DEL"].items():
+        cands, jobs = host_models.resolve_del(
+            sigs, chrom, cfg.min_support, cfg.diff_ratio_merging_DEL,
+            cfg.max_cluster_bias_DEL, min_sup5, cfg.remain_reads_ratio,
+            action)
+        if action:
+            cands = _fill_gt_del_ins(cands, jobs, store, chrom, "DEL")
+        add(chrom, cands)
+    for chrom, sigs in store.sigs["INS"].items():
+        cands, jobs = host_models.resolve_ins(
+            sigs, chrom, cfg.min_support, cfg.diff_ratio_merging_INS,
+            cfg.max_cluster_bias_INS, min_sup5, cfg.remain_reads_ratio,
+            action)
+        if action:
+            cands = _fill_gt_del_ins(cands, jobs, store, chrom, "INS")
+        add(chrom, cands)
+    for chrom, sigs in store.sigs["INV"].items():
+        cands, jobs = host_models.resolve_inv(
+            sigs, chrom, cfg.min_support, cfg.max_cluster_bias_INV,
+            cfg.min_size, cfg.max_size, action)
+        if action:
+            cands = _fill_gt_two_windows(cands, jobs, store, chrom,
+                                         5, 6, 8, 9, 10)
+        add(chrom, cands)
+    for chrom, sigs in store.sigs["DUP"].items():
+        cands, jobs = host_models.resolve_dup(
+            sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
+            cfg.min_size, cfg.max_size, action)
+        if action:
+            cands = _fill_gt_two_windows(cands, jobs, store, chrom,
+                                         5, 6, 7, 8, 9)
+        add(chrom, cands)
+    for chrom, sigs in store.sigs["TRA"].items():
+        cands = host_models.resolve_tra(
+            sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
+            cfg.max_cluster_bias_TRA, store.read_tables,
+            store.chrom_lengths, action, cfg.gt_round)
+        add(chrom, cands)
+    return results
+
+
+def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
+    """Full discovery run; returns stage timing + counters."""
+    argv = argv if argv is not None else []
+    # input validation up front (cuteSV:999-1011)
+    if not os.path.isfile(cfg.reference):
+        raise FileNotFoundError(
+            "[Errno 2] No such file: '%s'" % cfg.reference)
+    if not os.path.isfile(cfg.input):
+        raise FileNotFoundError("[Errno 2] No such file: '%s'" % cfg.input)
+    stats = {}
+    t0 = time.time()
+    store, candidates, references, n_records = decode_bam(cfg)
+    stats["decode_s"] = time.time() - t0
+    stats["n_records"] = n_records
+    stats["n_sigs"] = {t: sum(len(v) for v in store.sigs[t].values())
+                       for t in sigstore.SVTYPES}
+
+    if cfg.work_dir:
+        os.makedirs(cfg.work_dir, exist_ok=True)
+        if cfg.retain_work_dir:
+            sigstore.save_store(store, cfg.work_dir)
+        if cfg.write_old_sigs:
+            sigstore.write_old_sigs(store, cfg.work_dir, candidates)
+
+    t1 = time.time()
+    results = resolve_all(store, cfg)
+    stats["resolve_s"] = time.time() - t1
+    stats["n_calls"] = sum(len(v) for v in results.values())
+
+    t2 = time.time()
+    fasta = FastaFile(cfg.reference)
+    per_chrom = {}
+    for chrom, rows in results.items():
+        if chrom not in fasta:
+            raise KeyError(
+                "No corresponding contig in reference with %s." % chrom)
+        per_chrom[chrom] = vcf.format_chrom_records(
+            cfg, rows, fasta.fetch(chrom), chrom)
+    vcf.write_vcf(cfg.output, cfg, per_chrom, references, argv)
+    stats["emit_s"] = time.time() - t2
+    stats["total_s"] = time.time() - t0
+    return stats

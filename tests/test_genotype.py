@@ -1,0 +1,135 @@
+import math
+import random
+
+import numpy as np
+
+from cutesv_tpu.genotype import (MAX_READS, ReadTable, cal_CIPOS, cal_GL,
+                                 count_coverage_replay, cover_counts,
+                                 gl_table, rescale_read_counts,
+                                 threshold_ref_count)
+
+
+def test_cal_gl_shortcuts():
+    assert cal_GL(3, 1) == ("0/1", "3,3,24", 3, 3.0)
+    assert cal_GL(6, 2) == ("0/1", "3,3,45", 3, 3.0)
+
+
+def test_cal_gl_known_values():
+    gt, pl, gq, qual = cal_GL(10, 0)
+    assert gt == "0/0"
+    gt, pl, gq, qual = cal_GL(0, 10)
+    assert gt == "1/1"
+    gt, pl, gq, qual = cal_GL(10, 10)
+    assert gt == "0/1"
+    # 0/1 GLs satisfy PL[1] == min
+    pls = [int(x) for x in pl.split(",")]
+    assert pls[1] == min(pls)
+
+
+def test_rescale():
+    assert rescale_read_counts(50, 50) == (50, 50)
+    assert rescale_read_counts(300, 100) == (75, 25)
+    assert rescale_read_counts(0, 250) == (0, 100)
+
+
+def test_gl_table_matches_scalar():
+    table = gl_table()
+    rng = random.Random(3)
+    for _ in range(200):
+        c0 = rng.randrange(0, 400)
+        c1 = rng.randrange(0, 400)
+        assert table.lookup(c0, c1) == cal_GL(c0, c1)
+
+
+def test_threshold_ref_count():
+    assert threshold_ref_count(1) == 20
+    assert threshold_ref_count(2) == 40
+    assert threshold_ref_count(4) == 36
+    assert threshold_ref_count(10) == 70
+    assert threshold_ref_count(50) == 250
+
+
+def test_cal_cipos():
+    assert cal_CIPOS(0.0, 5) == "-0,0"
+    assert cal_CIPOS(10.0, 4) == "-9,9"
+
+
+def test_cover_counts_vs_bruteforce():
+    rng = random.Random(11)
+    starts = np.array([rng.randrange(0, 1000) for _ in range(300)])
+    ends = starts + np.array([rng.randrange(1, 500) for _ in range(300)])
+    svs = []
+    for _ in range(80):
+        s = rng.randrange(0, 1200)
+        svs.append((s, s + rng.randrange(1, 300)))
+    got = cover_counts(svs, starts, ends)
+    for i, (s, e) in enumerate(svs):
+        expect = int(np.sum((starts <= s) & (ends >= e)))
+        assert got[i] == expect
+
+
+def test_cover_counts_matches_reference_sweep():
+    """The reference's overlap_cover sweep (cuteSV_genotype.py:95-159)
+    computes cover = reads alive at both SV endpoints under the endpoint
+    ordering (pos, type) with sv_right=0 < read_left=1 < read_right=2 <
+    sv_left=3. That reduces to start<=s and end>=e; verify on adversarial
+    boundary ties."""
+    starts = np.array([10, 10, 20, 30, 5])
+    ends = np.array([30, 20, 40, 50, 10])
+    svs = [(10, 30), (10, 20), (20, 30), (25, 30)]
+
+    def ref_sweep(svs_list, reads_list):
+        sort_list = []
+        for idx, (s, e, *_rest) in enumerate(reads_list):
+            sort_list.append([s, 1, idx])
+            sort_list.append([e, 2, idx])
+        for idx, (s, e) in enumerate(svs_list):
+            sort_list.append([s, 3, idx])
+            sort_list.append([e, 0, idx])
+        sort_list.sort(key=lambda x: (x[0], x[1]))
+        read_set, svs_set = set(), set()
+        cover = {}
+        for node in sort_list:
+            if node[1] == 1:
+                read_set.add(node[2])
+            elif node[1] == 2:
+                read_set.remove(node[2])
+            elif node[1] == 3:
+                svs_set.add(node[2])
+                cover[node[2]] = set(read_set)
+            else:
+                svs_set.remove(node[2])
+                cover[node[2]] &= set(read_set)
+        return [len(cover[i]) for i in range(len(svs_list))]
+
+    reads = [(int(s), int(e)) for s, e in zip(starts, ends)]
+    expect = ref_sweep(svs, reads)
+    got = cover_counts(svs, starts, ends)
+    assert list(got) == expect
+
+
+def test_count_coverage_replay_early_exit():
+    # 10 primary reads covering [100, 200); up_bound small -> status 1
+    n = 10
+    table = ReadTable([50] * n, [500] * n, [1] * n,
+                      ["r%d" % i for i in range(n)])
+    rc = set()
+    status = count_coverage_replay(table, 100, 200, rc, 3, 500)
+    assert status == 1
+    assert len(rc) == 3
+
+    # itround cap with mostly-secondary records -> status 1 (low primary
+    # fraction)
+    prim = [1 if i % 10 == 0 else 0 for i in range(100)]
+    table2 = ReadTable([50] * 100, [500] * 100, prim,
+                       ["s%d" % i for i in range(100)])
+    rc2 = set()
+    status2 = count_coverage_replay(table2, 100, 200, rc2, 1000, 50)
+    assert status2 == 1
+
+    # itround cap with all-primary -> status -1
+    table3 = ReadTable([150] * 100, [160] * 100, [1] * 100,
+                       ["t%d" % i for i in range(100)])
+    rc3 = set()
+    status3 = count_coverage_replay(table3, 100, 200, rc3, 1000, 50)
+    assert status3 == -1

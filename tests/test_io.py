@@ -1,0 +1,77 @@
+import gzip
+import random
+
+from cutesv_tpu.io.bam import (BamReader, BamWriter, cigar_to_string,
+                               parse_cigar_string)
+from cutesv_tpu.io.bgzf import BGZF_EOF, BgzfReader, BgzfWriter
+from cutesv_tpu.io.fasta import FastaFile, write_fasta
+
+
+def test_bgzf_roundtrip(tmp_path):
+    rng = random.Random(7)
+    payload = bytes(rng.randrange(256) for _ in range(300_000))
+    path = tmp_path / "x.bgzf"
+    with BgzfWriter(str(path)) as w:
+        for i in range(0, len(payload), 7919):
+            w.write(payload[i:i + 7919])
+    raw = path.read_bytes()
+    assert raw.endswith(BGZF_EOF)
+    # stdlib gzip must also accept the multi-member stream
+    assert gzip.decompress(raw) == payload
+    r = BgzfReader(str(path))
+    assert r.read() == payload
+
+
+def test_bgzf_chunked_reads(tmp_path):
+    payload = b"abcdefgh" * 40_000
+    path = tmp_path / "y.bgzf"
+    with BgzfWriter(str(path)) as w:
+        w.write(payload)
+    r = BgzfReader(str(path))
+    got = bytearray()
+    while True:
+        chunk = r.read(1234)
+        if not chunk:
+            break
+        got += chunk
+    assert bytes(got) == payload
+
+
+def test_bam_roundtrip(tmp_path):
+    path = tmp_path / "t.bam"
+    refs = [("chr1", 10_000), ("chr2", 5_000)]
+    with BamWriter(str(path), refs) as w:
+        w.write("read1", 0, 0, 100, 60, [(0, 50), (1, 5), (0, 45)],
+                "A" * 100, {"SA": "chr2,401,+,50M50S,60,0;", "NM": 3})
+        w.write("read2", 16, 1, 400, 13, [(4, 10), (0, 80), (5, 10)],
+                "ACGT" * 25, {})
+    r = BamReader(str(path))
+    assert r.references == refs
+    recs = list(r)
+    assert len(recs) == 2
+    a, b = recs
+    assert a.qname == "read1" and a.flag == 0 and a.pos == 100
+    assert a.cigar == [(0, 50), (1, 5), (0, 45)]
+    assert a.seq == "A" * 100
+    assert a.tags["SA"] == "chr2,401,+,50M50S,60,0;"
+    assert a.tags["NM"] == 3
+    assert a.reference_end == 100 + 95
+    assert b.qname == "read2" and b.flag == 16 and b.mapq == 13
+    assert b.query_length == 100
+    assert b.reference_end == 480
+
+
+def test_cigar_string_helpers():
+    c = [(4, 10), (0, 80), (2, 5), (1, 3), (5, 7)]
+    assert cigar_to_string(c) == "10S80M5D3I7H"
+    assert parse_cigar_string("10S80M5D3I7H") == c
+
+
+def test_fasta(tmp_path):
+    path = tmp_path / "r.fa"
+    write_fasta(str(path), {"chr1": "ACGTACGTAA", "chr2": "GGGCCC"})
+    f = FastaFile(str(path))
+    assert f.references == ["chr1", "chr2"]
+    assert f.fetch("chr1") == "ACGTACGTAA"
+    assert f.fetch("chr2") == "GGGCCC"
+    assert "chr1" in f and "chrX" not in f
