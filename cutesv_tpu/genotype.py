@@ -151,7 +151,8 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
     return out
 
 
-def assign_gt_del_ins(sv_windows, support_sets, reads_chrom) -> list:
+def assign_gt_del_ins(sv_windows, support_sets, reads_chrom,
+                      cover_fn=None) -> list:
     """DR/GT assignment for DEL/INS/DUP/INV candidates.
 
     ``reads_chrom``: dict with arrays 'start','end','is_primary','name' for
@@ -166,7 +167,7 @@ def assign_gt_del_ins(sv_windows, support_sets, reads_chrom) -> list:
     p_name = [reads_chrom["name"][i] for i in np.nonzero(prim)[0]]
     name_to_interval = {n: (p_start[k], p_end[k])
                         for k, n in enumerate(p_name)}
-    covers = cover_counts(sv_windows, p_start, p_end)
+    covers = (cover_fn or cover_counts)(sv_windows, p_start, p_end)
     table = gl_table()
     rows = []
     for i, (s, e) in enumerate(sv_windows):

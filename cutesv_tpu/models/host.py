@@ -70,6 +70,25 @@ def _closest_to_mean_mean(values: List, remain: int) -> float:
     return np.mean(picked), picked
 
 
+def finalize_indel_allele(poss, lens, support: int,
+                          remain_reads_ratio: float) -> dict:
+    """Float finalization of one DEL/INS allele: breakpoint/length means over
+    the closest-to-mean members + CIPOS/CILEN
+    (cuteSV_resolveINDEL.py:165-194). Shared by the host and device engines
+    so f64 behavior is identical."""
+    remain = max(int(remain_reads_ratio * support), 1)
+    bp_mean, bp_picked = _closest_to_mean_mean(poss, remain)
+    len_mean, _ = _closest_to_mean_mean(lens, remain)
+    return dict(
+        support=support,
+        breakpoint=bp_mean,
+        search_threshold=bp_picked[0],
+        signal_len=len_mean,
+        cipos=cal_CIPOS(np.std(poss), len(poss)),
+        cilen=cal_CIPOS(np.std(lens), len(lens)),
+    )
+
+
 def _resolve_alleles_indel(cluster, read_count, threshold_gloab,
                            minimum_support_reads, remain_reads_ratio,
                            is_ins: bool):
@@ -96,20 +115,11 @@ def _resolve_alleles_indel(cluster, read_count, threshold_gloab,
         support = len(allele)
         if support < minimum_support_reads:
             continue
-        remain = max(int(remain_reads_ratio * support), 1)
         poss = [r[0] for r in allele]
         lens = [r[1] for r in allele]
-        bp_mean, bp_picked = _closest_to_mean_mean(poss, remain)
-        len_mean, _ = _closest_to_mean_mean(lens, remain)
-        yield dict(
-            rows=allele,
-            support=support,
-            breakpoint=bp_mean,
-            search_threshold=bp_picked[0],
-            signal_len=len_mean,
-            cipos=cal_CIPOS(np.std(poss), len(poss)),
-            cilen=cal_CIPOS(np.std(lens), len(lens)),
-        )
+        res = finalize_indel_allele(poss, lens, support, remain_reads_ratio)
+        res["rows"] = allele
+        yield res
 
 
 def resolve_del(sigs: Sequence, chrom: str, read_count: int,

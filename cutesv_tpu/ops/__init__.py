@@ -1,0 +1,12 @@
+"""Device kernel library (JAX/XLA; Pallas where XLA's ops fall short).
+
+The reference's per-chromosome algorithms all reduce to
+sort + adjacent-difference segmentation + segment reductions (SURVEY §7);
+this package provides those primitives over dense int32 coordinate tensors:
+
+    segments.py       boundary flags, segment ids, segment reductions
+    indel_cluster.py  the DEL/INS cluster-structure kernel
+    pair_cluster.py   the DUP/INV/TRA cluster-structure kernels
+    sweep.py          interval cover counting (genotype read support)
+    glgather.py       genotype-likelihood assignment via table gather
+"""

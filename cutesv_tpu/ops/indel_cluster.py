@@ -1,0 +1,87 @@
+"""DEL/INS cluster-structure kernel.
+
+Device side of the resolution algorithm (cuteSV_resolveINDEL.py): given the
+merged, sorted signature stream of one chromosome as dense arrays, compute
+
+  1. gap clusters          (new cluster when pos gap > max_cluster_bias)
+  2. cluster size gate     (raw size  >= read_count)
+  3. per-read dedup        (keep max length; first occurrence wins ties and
+                            keeps the read's first-occurrence stream order)
+  4. distinct-support gate (distinct reads >= read_count)
+  5. the allele stream     (kept rows re-sorted by (cluster, len,
+                            first-occurrence order))
+  6. exact integer sums    (kept count + length sum per cluster, so the host
+                            reproduces np.mean bit-for-bit as sum/count)
+
+Everything here is integer sorting + segment reductions — the float allele
+finalization stays on host (models/device.py) where f64 matches the
+reference's numpy exactly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cutesv_tpu.ops import segments as seg
+
+
+@partial(jax.jit, static_argnames=("num_rows",))
+def indel_cluster_structure(pos, length, rid, valid, max_cluster_bias,
+                            read_count, num_rows: int):
+    """All arrays are length ``num_rows`` (padded). Returns a dict of
+    arrays in 'allele stream' order plus per-cluster integer stats."""
+    n = num_rows
+    idx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(n + 1)
+
+    # --- 1. gap clusters over the (already sorted) stream ---------------
+    prev_pos = jnp.concatenate([pos[:1], pos[:-1]])
+    new_cluster = (pos - prev_pos > max_cluster_bias) & valid
+    new_cluster = new_cluster.at[0].set(False)
+    cid = jnp.cumsum(new_cluster.astype(jnp.int32))
+    cid = jnp.where(valid, cid, big)
+
+    # --- 2. raw size gate ------------------------------------------------
+    size = seg.seg_sum(valid.astype(jnp.int32), cid, n + 2)
+    size_ok = size[cid] >= read_count
+
+    # --- 3. dedup sort: (cid, rid, -len, idx) ---------------------------
+    order1 = jnp.lexsort((idx, -length, rid, cid))
+    s_cid = cid[order1]
+    s_rid = rid[order1]
+    s_len = length[order1]
+    s_pos = pos[order1]
+    s_idx = idx[order1]
+    s_valid = valid[order1]
+    s_size_ok = size_ok[order1]
+
+    grp_first = seg.boundary_flags(s_cid, s_rid, valid=s_valid)
+    grp_first = grp_first | (jnp.arange(n) == jnp.argmax(s_valid))
+    grp_first = grp_first & s_valid
+    # group ids over (cid, rid)
+    gid = jnp.cumsum(grp_first.astype(jnp.int32))
+    gid = jnp.where(s_valid, gid, big)
+    ins_key = seg.seg_min(jnp.where(s_valid, s_idx, big), gid, n + 2)[gid]
+
+    # --- 4. distinct support gate ---------------------------------------
+    distinct = seg.seg_sum(grp_first.astype(jnp.int32), s_cid, n + 2)
+    dist_ok = distinct[s_cid] >= read_count
+
+    kept = grp_first & s_size_ok & dist_ok
+
+    # --- 5. allele stream sort: kept rows by (cid, len, ins_key) --------
+    # (length sums for the reference's np.mean threshold are integer-exact
+    # and computed host-side in f64 from this stream)
+    sort_cid = jnp.where(kept, s_cid, big)
+    order2 = jnp.lexsort((ins_key, s_len, sort_cid))
+    return dict(
+        cid=sort_cid[order2],
+        pos=s_pos[order2],
+        length=s_len[order2],
+        rid=s_rid[order2],
+        stream_idx=s_idx[order2],
+        kept=kept[order2],
+        n_kept=jnp.sum(kept.astype(jnp.int32)),
+    )

@@ -1,0 +1,44 @@
+"""Segmented-array primitives shared by the cluster kernels."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+def padded_size(n: int, minimum: int = 256) -> int:
+    """Round up to a power of two to bound jit recompilations."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+def boundary_flags(*keys, valid):
+    """True where any key differs from the previous row (row 0 = False).
+
+    Padded/invalid rows never open segments."""
+    flags = jnp.zeros_like(valid)
+    for k in keys:
+        prev = jnp.concatenate([k[:1], k[:-1]])
+        flags = flags | (k != prev)
+    flags = flags.at[0].set(False)
+    return flags & valid
+
+
+def segment_ids(new_segment, valid):
+    """Monotone ids from boundary flags; invalid rows get the last id."""
+    return jnp.cumsum(new_segment.astype(jnp.int32))
+
+
+def seg_sum(values, ids, num):
+    return jax.ops.segment_sum(values, ids, num_segments=num)
+
+
+def seg_min(values, ids, num):
+    return jax.ops.segment_min(values, ids, num_segments=num)
+
+
+def seg_max(values, ids, num):
+    return jax.ops.segment_max(values, ids, num_segments=num)

@@ -87,14 +87,22 @@ def decode_bam(cfg: Config):
     return store, candidates, reader.references, n_records
 
 
+def _cover_fn(cfg: Config):
+    if cfg.engine in ("device", "auto"):
+        from cutesv_tpu.ops.sweep import cover_counts_device
+        return cover_counts_device
+    return None
+
+
 def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
-                     svtype: str) -> List[list]:
+                     cfg: Config) -> List[list]:
     """call_gt for DEL/INS (cuteSV_resolveINDEL.py:441-479)."""
     if chrom not in store.census:
         return []
     windows = [j["window"] for j in jobs]
     supports = [j["support"] for j in jobs]
-    rows = assign_gt_del_ins(windows, supports, store.census[chrom])
+    rows = assign_gt_del_ins(windows, supports, store.census[chrom],
+                             cover_fn=_cover_fn(cfg))
     for cand, (dv, dr, gt, pl, gq, qual) in zip(cands, rows):
         cand[7] = str(dr)
         cand[8] = str(gt)
@@ -105,8 +113,8 @@ def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
 
 
 def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
-                         dr_i: int, gt_i: int, pl_i: int, gq_i: int,
-                         qual_i: int) -> List[list]:
+                         cfg: Config, dr_i: int, gt_i: int, pl_i: int,
+                         gq_i: int, qual_i: int) -> List[list]:
     """call_gt for DUP/INV: union of covers over both breakpoint windows
     (cuteSV_resolveDUP.py:137-160, cuteSV_resolveINV.py:208-230)."""
     if chrom not in store.census:
@@ -118,12 +126,13 @@ def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
     p_names = [census["name"][i] for i in np.nonzero(prim)[0]]
     name_iv = {n: (p_start[k], p_end[k]) for k, n in enumerate(p_names)}
     from cutesv_tpu.genotype import cover_counts
+    cover = _cover_fn(cfg) or cover_counts
     w1 = [j["window1"] for j in jobs]
     w2 = [j["window2"] for j in jobs]
     hull = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(w1, w2)]
-    c1 = cover_counts(w1, p_start, p_end)
-    c2 = cover_counts(w2, p_start, p_end)
-    ch = cover_counts(hull, p_start, p_end)
+    c1 = cover(w1, p_start, p_end)
+    c2 = cover(w2, p_start, p_end)
+    ch = cover(hull, p_start, p_end)
     table = gl_table()
     for cand, job, n1, n2, nh in zip(cands, jobs, c1, c2, ch):
         union = int(n1) + int(n2) - int(nh)
@@ -152,6 +161,14 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     in the reference's DEL, INS, INV, DUP, TRA submission order."""
     action = cfg.genotype
     results: Dict[str, List] = {}
+    use_device = cfg.engine in ("device", "auto")
+    if use_device:
+        from cutesv_tpu.models import device as device_models
+        resolve_del = device_models.resolve_del_device
+        resolve_ins = device_models.resolve_ins_device
+    else:
+        resolve_del = host_models.resolve_del
+        resolve_ins = host_models.resolve_ins
 
     def add(chrom, rows):
         if rows:
@@ -159,20 +176,20 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
 
     min_sup5 = min(cfg.min_support, 5)
     for chrom, sigs in store.sigs["DEL"].items():
-        cands, jobs = host_models.resolve_del(
+        cands, jobs = resolve_del(
             sigs, chrom, cfg.min_support, cfg.diff_ratio_merging_DEL,
             cfg.max_cluster_bias_DEL, min_sup5, cfg.remain_reads_ratio,
             action)
         if action:
-            cands = _fill_gt_del_ins(cands, jobs, store, chrom, "DEL")
+            cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         add(chrom, cands)
     for chrom, sigs in store.sigs["INS"].items():
-        cands, jobs = host_models.resolve_ins(
+        cands, jobs = resolve_ins(
             sigs, chrom, cfg.min_support, cfg.diff_ratio_merging_INS,
             cfg.max_cluster_bias_INS, min_sup5, cfg.remain_reads_ratio,
             action)
         if action:
-            cands = _fill_gt_del_ins(cands, jobs, store, chrom, "INS")
+            cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         add(chrom, cands)
     for chrom, sigs in store.sigs["INV"].items():
         cands, jobs = host_models.resolve_inv(
@@ -180,7 +197,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             cfg.min_size, cfg.max_size, action)
         if action:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
-                                         5, 6, 8, 9, 10)
+                                         cfg, 5, 6, 8, 9, 10)
         add(chrom, cands)
     for chrom, sigs in store.sigs["DUP"].items():
         cands, jobs = host_models.resolve_dup(
@@ -188,7 +205,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             cfg.min_size, cfg.max_size, action)
         if action:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
-                                         5, 6, 7, 8, 9)
+                                         cfg, 5, 6, 7, 8, 9)
         add(chrom, cands)
     for chrom, sigs in store.sigs["TRA"].items():
         cands = host_models.resolve_tra(

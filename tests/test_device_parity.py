@@ -1,0 +1,102 @@
+"""Device engine vs host oracle parity (the generalized `duipai` pattern,
+cuteSV_genotype.py:192-240): randomized signature streams through both
+engines must produce byte-identical candidate rows."""
+import random
+
+import numpy as np
+import pytest
+
+from cutesv_tpu.genotype import cover_counts
+from cutesv_tpu.models import device as dev
+from cutesv_tpu.models import host as host
+from cutesv_tpu.ops.sweep import cover_counts_device
+
+
+def _random_del_stream(rng, n_sites=30, max_reads=20):
+    """Simulated merged DEL stream: sorted by (pos, len, name)."""
+    rows = []
+    pos = 0
+    for _ in range(n_sites):
+        pos += rng.randrange(50, 3000)
+        n = rng.randrange(1, max_reads)
+        base_len = rng.randrange(30, 500)
+        for k in range(n):
+            name = "r%05d" % rng.randrange(2000)
+            p = pos + rng.randrange(-40, 40)
+            ln = max(10, base_len + rng.randrange(-60, 60))
+            rows.append((p, ln, name))
+            if rng.random() < 0.2:  # same-read second signature
+                rows.append((p + rng.randrange(0, 80),
+                             max(10, ln + rng.randrange(-30, 30)), name))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    # exact-duplicate removal (sigstore contract)
+    out = []
+    for r in rows:
+        if not out or out[-1] != r:
+            out.append(r)
+    return out
+
+
+def _random_ins_stream(rng, **kw):
+    rows = _random_del_stream(rng, **kw)
+    out = []
+    for p, ln, name in rows:
+        seq = "ACGT"[rng.randrange(4)] * (ln if rng.random() < 0.8
+                                          else max(1, ln - rng.randrange(1, ln)))
+        out.append((p, ln, name, seq))
+    out.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    dedup = []
+    for r in out:
+        if not dedup or dedup[-1] != r:
+            dedup.append(r)
+    return dedup
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_del_parity(seed):
+    rng = random.Random(seed)
+    sigs = _random_del_stream(rng)
+    for action in (False, True):
+        a, ja = host.resolve_del(sigs, "chr1", 4, 0.5, 200, 4, 1.0, action)
+        b, jb = dev.resolve_del_device(sigs, "chr1", 4, 0.5, 200, 4, 1.0,
+                                       action)
+        assert a == b
+        assert [j["window"] for j in ja] == [j["window"] for j in jb]
+        assert [j["support"] for j in ja] == [j["support"] for j in jb]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ins_parity(seed):
+    rng = random.Random(100 + seed)
+    sigs = _random_ins_stream(rng)
+    for action in (False, True):
+        a, ja = host.resolve_ins(sigs, "chr1", 4, 0.3, 100, 4, 1.0, action)
+        b, jb = dev.resolve_ins_device(sigs, "chr1", 4, 0.3, 100, 4, 1.0,
+                                       action)
+        assert a == b
+        assert [j["window"] for j in ja] == [j["window"] for j in jb]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_del_parity_remain_ratio(seed):
+    rng = random.Random(200 + seed)
+    sigs = _random_del_stream(rng)
+    a, _ = host.resolve_del(sigs, "chr1", 3, 0.5, 200, 3, 0.6, True)
+    b, _ = dev.resolve_del_device(sigs, "chr1", 3, 0.5, 200, 3, 0.6, True)
+    assert a == b
+
+
+def test_cover_counts_device_parity():
+    rng = random.Random(9)
+    starts = np.array([rng.randrange(0, 100_000) for _ in range(5000)])
+    ends = starts + np.array([rng.randrange(1, 20_000) for _ in range(5000)])
+    svs = []
+    for _ in range(400):
+        s = rng.randrange(0, 110_000)
+        svs.append((max(s - 500, 0), s + 500))
+    for _ in range(100):  # half-integral windows (DUP/INV bias/2)
+        s = rng.randrange(0, 110_000)
+        svs.append((max(s - 250.5, 0), s + 250.5))
+    a = cover_counts(svs, starts, ends)
+    b = cover_counts_device(svs, starts, ends)
+    assert list(a) == list(b)

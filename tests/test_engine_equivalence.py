@@ -1,0 +1,62 @@
+"""Host vs device engine must produce byte-identical VCFs."""
+import random
+
+from cutesv_tpu.config import Config
+from cutesv_tpu.pipeline import run_pipeline
+from tests import simdata
+
+
+def _strip_volatile(text: str) -> str:
+    return "\n".join(l for l in text.splitlines()
+                     if not l.startswith(("##fileDate", "##CommandLine")))
+
+
+def test_engines_identical(tmp_path):
+    rng = random.Random(7)
+    ref = simdata.make_reference(rng, {"chrA": 120_000})
+    chrom = ref["chrA"]
+    plans = []
+    rid = 0
+    # messy coverage: random reads plus three planted SVs with noisy
+    # breakpoints
+    for start in range(0, 117_000, 200):
+        rid += 1
+        q = "m%05d" % rid
+        r = rng.random()
+        if 17_000 <= start <= 19_600 and r < 0.8:
+            jitter = rng.randrange(-20, 20)
+            dlen = 100 + rng.randrange(-15, 15)
+            plans.append(simdata.read_with_del(
+                chrom, 0, start, 20_000 + jitter, dlen,
+                3000 - (20_000 + jitter - start), q))
+        elif 47_000 <= start <= 49_600 and r < 0.5:
+            ilen = 80 + rng.randrange(-10, 10)
+            plans.append(simdata.read_with_ins(
+                chrom, 0, start, 50_000, simdata.random_seq(rng, ilen),
+                3000 - (50_000 - start), q))
+        elif 77_000 <= start <= 79_600 and r < 0.6:
+            # second allele at the same DEL locus (multi-allelic split)
+            dlen = 400 + rng.randrange(-20, 20)
+            plans.append(simdata.read_with_del(
+                chrom, 0, start, 80_000, dlen,
+                3000 - (80_000 - start), q))
+        else:
+            plans.append(simdata.plain_read(chrom, 0, start, 3000, q))
+    bam = tmp_path / "m.bam"
+    fa = tmp_path / "m.fa"
+    simdata.write_bam(str(bam), [("chrA", 120_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+
+    outputs = {}
+    for engine in ("host", "device"):
+        out = tmp_path / ("out_%s.vcf" % engine)
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(tmp_path), genotype=True, min_support=3,
+                     engine=engine)
+        run_pipeline(cfg, ["x"])
+        outputs[engine] = _strip_volatile(out.read_text())
+    assert outputs["host"] == outputs["device"]
+    # sanity: we actually called something
+    n_records = sum(1 for l in outputs["host"].splitlines()
+                    if l and not l.startswith("#"))
+    assert n_records >= 2
