@@ -1,0 +1,168 @@
+"""ctypes binding for the native BAM signature decoder.
+
+Builds ``native/libbamdecode.so`` on demand (g++ + libdeflate, both baked
+into the image) and exposes :func:`decode` returning the same logical
+content as the Python pipeline's decode_bam — but as numpy SoA arrays.
+
+Field ids are kept in lockstep with the switch in bamdecode.cpp.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libbamdecode.so"))
+
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-s", "-C", os.path.abspath(_NATIVE_DIR)],
+                   check=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = os.path.join(_NATIVE_DIR, "bamdecode.cpp")
+    if (not os.path.exists(_SO_PATH)
+            or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+        _build()
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.bamdecode_run.restype = ctypes.c_void_p
+    lib.bamdecode_run.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.bamdecode_status.restype = ctypes.c_int
+    lib.bamdecode_status.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_n_records.restype = ctypes.c_int64
+    lib.bamdecode_n_records.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_get.restype = ctypes.c_int
+    lib.bamdecode_get.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_void_p),
+                                  ctypes.POINTER(ctypes.c_int64)]
+    lib.bamdecode_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+_DTYPES = {  # field id -> numpy dtype (None = raw bytes)
+    0: None, 1: np.int64, 2: np.int64, 3: None, 4: np.int64, 5: np.int64,
+    10: np.int32, 11: np.int64, 12: np.int64, 13: np.int64,
+    20: np.int32, 21: np.int64, 22: np.int64, 23: np.int64,
+    24: np.int64, 25: np.int64, 26: None, 27: np.int64,
+    30: np.int32, 31: np.int64, 32: np.int64, 33: np.int64,
+    40: np.int32, 41: np.int8, 42: np.int64, 43: np.int64, 44: np.int64,
+    50: np.int32, 51: np.int8, 52: np.int64, 53: np.int32, 54: np.int64,
+    55: np.int64,
+    60: np.int32, 61: np.int64, 62: np.int64, 63: np.int8, 64: np.int64,
+    70: np.int32, 71: np.int64, 72: np.int64, 73: np.int8, 74: np.int64,
+}
+
+
+@dataclass
+class NativeDecode:
+    """Decoded signature tensors. Names/chroms are Python string lists;
+    per-type signature arrays use name ids (``names[id]``) and chrom ids
+    (``chroms[id]``); ``name_rank`` maps id -> lexicographic rank."""
+
+    names: List[str]
+    name_rank: np.ndarray
+    chroms: List[str]
+    ref_lengths: np.ndarray       # header refs only (len == n header refs)
+    n_records: int
+    arrays: Dict[str, np.ndarray]
+    ins_seq_blob: bytes
+
+    def ins_seq(self, i: int) -> str:
+        off = self.arrays["ins_seq_off"][i]
+        ln = self.arrays["ins_seq_len"][i]
+        return self.ins_seq_blob[off:off + ln].decode("ascii")
+
+
+_FIELDS = {
+    "del_chr": 10, "del_pos": 11, "del_len": 12, "del_name": 13,
+    "ins_chr": 20, "ins_posx2": 21, "ins_len": 22, "ins_name": 23,
+    "ins_seq_off": 24, "ins_seq_len": 25, "ins_seq_rank": 27,
+    "dup_chr": 30, "dup_p1": 31, "dup_p2": 32, "dup_name": 33,
+    "inv_chr": 40, "inv_strand": 41, "inv_b1": 42, "inv_b2": 43,
+    "inv_name": 44,
+    "tra_chr1": 50, "tra_type": 51, "tra_p1": 52, "tra_chr2": 53,
+    "tra_p2": 54, "tra_name": 55,
+    "cen_chr": 60, "cen_start": 61, "cen_end": 62, "cen_prim": 63,
+    "cen_name": 64,
+    "all_chr": 70, "all_start": 71, "all_end": 72, "all_prim": 73,
+    "all_name": 74,
+}
+
+
+def _fetch(lib, handle, field: int):
+    data = ctypes.c_void_p()
+    n = ctypes.c_int64()
+    rc = lib.bamdecode_get(handle, field, ctypes.byref(data),
+                           ctypes.byref(n))
+    if rc != 0:
+        raise RuntimeError("bamdecode_get(%d) failed" % field)
+    dtype = _DTYPES[field]
+    if n.value == 0:
+        return b"" if dtype is None else np.empty(0, dtype)
+    if dtype is None:
+        return ctypes.string_at(data, n.value)
+    buf = ctypes.string_at(data, n.value * np.dtype(dtype).itemsize)
+    return np.frombuffer(buf, dtype=dtype).copy()
+
+
+def decode(path: str, cfg, bed_ids=None) -> NativeDecode:
+    """Run the native decoder. ``bed_ids``: optional (chr_id, start, end)
+    int arrays in header chrom-id space (already ±1000-padded)."""
+    lib = get_lib()
+    params = (ctypes.c_int64 * 9)(
+        cfg.min_size, cfg.min_mapq, cfg.max_split_parts, cfg.min_read_len,
+        cfg.min_siglength, cfg.merge_del_threshold, cfg.merge_ins_threshold,
+        cfg.max_size, getattr(cfg, "threads", 2))
+    if bed_ids is not None and len(bed_ids[0]):
+        bc = np.ascontiguousarray(bed_ids[0], np.int32)
+        bs = np.ascontiguousarray(bed_ids[1], np.int64)
+        be = np.ascontiguousarray(bed_ids[2], np.int64)
+        n_bed = len(bc)
+        bc_p = bc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        bs_p = bs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        be_p = be.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    else:
+        n_bed = 0
+        bc_p = ctypes.POINTER(ctypes.c_int32)()
+        bs_p = ctypes.POINTER(ctypes.c_int64)()
+        be_p = ctypes.POINTER(ctypes.c_int64)()
+    handle = lib.bamdecode_run(path.encode(), params, bc_p, bs_p, be_p,
+                               n_bed)
+    try:
+        status = lib.bamdecode_status(handle)
+        if status != 0:
+            raise IOError("native BAM decode failed (status %d) for %s"
+                          % (status, path))
+        name_blob = _fetch(lib, handle, 0)
+        name_off = _fetch(lib, handle, 1)
+        names = [name_blob[name_off[i]:name_off[i + 1]].decode("ascii")
+                 for i in range(len(name_off) - 1)]
+        name_rank = _fetch(lib, handle, 2)
+        chrom_blob = _fetch(lib, handle, 3)
+        chrom_off = _fetch(lib, handle, 4)
+        chroms = [chrom_blob[chrom_off[i]:chrom_off[i + 1]].decode("ascii")
+                  for i in range(len(chrom_off) - 1)]
+        ref_lengths = _fetch(lib, handle, 5)
+        arrays = {k: _fetch(lib, handle, f) for k, f in _FIELDS.items()}
+        ins_seq_blob = _fetch(lib, handle, 26)
+        return NativeDecode(names=names, name_rank=name_rank, chroms=chroms,
+                            ref_lengths=ref_lengths,
+                            n_records=lib.bamdecode_n_records(handle),
+                            arrays=arrays, ins_seq_blob=ins_seq_blob)
+    finally:
+        lib.bamdecode_free(handle)

@@ -1,0 +1,1096 @@
+// bamdecode: native BAM -> SV-signature tensor decoder.
+//
+// Host-side hot path of the cutesv-tpu engine (SURVEY §7 L0): streams a
+// BGZF/BAM file once (multithreaded block inflate via libdeflate, bounded
+// memory), walks every alignment record, and reproduces the reference
+// caller's stage-1 signature semantics (parse_read cuteSV:606-681,
+// generate_combine_sigs cuteSV:515-575, organize_split_signal
+// cuteSV:483-513, analysis_split_read cuteSV:190-464) into dense
+// structure-of-arrays outputs ready for numpy/JAX. Behavior is
+// golden-tested record-for-record against cutesv_tpu/extract.py.
+//
+// C ABI at the bottom; consumed by cutesv_tpu/io/native.py via ctypes.
+
+#include <libdeflate.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <string_view>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// small infra
+// ---------------------------------------------------------------------------
+
+struct Params {
+  int64_t min_size;            // SV_size
+  int64_t min_mapq;
+  int64_t max_split_parts;
+  int64_t min_read_len;
+  int64_t min_siglength;
+  int64_t merge_del_threshold;
+  int64_t merge_ins_threshold;
+  int64_t max_size;
+  int64_t n_threads;
+};
+
+template <class T>
+struct Out {
+  std::vector<T> v;
+  void push(T x) { v.push_back(x); }
+};
+
+// Python-equivalent string slice: negative indices count from the end,
+// bounds clamp, empty when start >= stop.
+inline std::string pyslice(const std::string& s, int64_t a, int64_t b) {
+  int64_t n = (int64_t)s.size();
+  if (a < 0) a += n;
+  if (b < 0) b += n;
+  a = std::max<int64_t>(0, std::min(a, n));
+  b = std::max<int64_t>(0, std::min(b, n));
+  if (a >= b) return std::string();
+  return s.substr(a, b - a);
+}
+
+// IUPAC-complete complement table (Bio.Seq.reverse_complement equivalent;
+// mirrors cutesv_tpu/extract.py::_COMP).
+struct RC {
+  char t[256];
+  RC() {
+    for (int i = 0; i < 256; i++) t[i] = (char)i;
+    const char* from = "ACGTUacgtuRYKMrykmBVDHbvdhNnSsWw-";
+    const char* to = "TGCAAtgcaaYRMKyrmkVBHDvbhdNnSsWw-";
+    for (int i = 0; from[i]; i++) t[(unsigned char)from[i]] = to[i];
+  }
+};
+const RC kRC;
+
+inline std::string revcomp(const std::string& s) {
+  std::string out(s.rbegin(), s.rend());
+  for (auto& c : out) c = kRC.t[(unsigned char)c];
+  return out;
+}
+
+const char kSeqNT16[17] = "=ACMGRSVTWYHKDBN";
+
+// ---------------------------------------------------------------------------
+// output collector
+// ---------------------------------------------------------------------------
+
+struct Collector {
+  // interned read names (first-appearance order)
+  std::string name_blob;
+  std::vector<int64_t> name_off{0};
+  std::unordered_map<std::string, int64_t> name_ids;
+
+  // interned chromosome names: [0, n_refs) header refs, then extras seen in
+  // SA tags that are absent from the header
+  std::vector<std::string> chroms;
+  std::unordered_map<std::string, int32_t> chrom_ids;
+
+  // DEL: (pos, len, name) per chrom
+  Out<int32_t> del_chr; Out<int64_t> del_pos, del_len, del_name;
+  // INS: pos doubled to stay integral for split-read midpoints
+  Out<int32_t> ins_chr; Out<int64_t> ins_posx2, ins_len, ins_name;
+  Out<int64_t> ins_seq_off, ins_seq_len;
+  std::string ins_seq_blob;
+  // DUP
+  Out<int32_t> dup_chr; Out<int64_t> dup_p1, dup_p2, dup_name;
+  // INV: strand 0='++', 1='--'
+  Out<int32_t> inv_chr; Out<int8_t> inv_strand;
+  Out<int64_t> inv_b1, inv_b2, inv_name;
+  // TRA: bnd type 0..3 = A..D
+  Out<int32_t> tra_chr1, tra_chr2; Out<int8_t> tra_type;
+  Out<int64_t> tra_p1, tra_p2, tra_name;
+  // census (filtered records) + allreads (every mapped record)
+  Out<int32_t> cen_chr; Out<int64_t> cen_start, cen_end, cen_name;
+  Out<int8_t> cen_prim;
+  Out<int32_t> all_chr; Out<int64_t> all_start, all_end, all_name;
+  Out<int8_t> all_prim;
+
+  int64_t n_records = 0;
+
+  int64_t intern_name(const std::string& s) {
+    auto it = name_ids.find(s);
+    if (it != name_ids.end()) return it->second;
+    int64_t id = (int64_t)name_off.size() - 1;
+    name_ids.emplace(s, id);
+    name_blob.append(s);
+    name_off.push_back((int64_t)name_blob.size());
+    return id;
+  }
+  int32_t intern_chrom(const std::string& s) {
+    auto it = chrom_ids.find(s);
+    if (it != chrom_ids.end()) return it->second;
+    int32_t id = (int32_t)chroms.size();
+    chroms.push_back(s);
+    chrom_ids.emplace(s, id);
+    return id;
+  }
+  void add_ins(int32_t chr, int64_t posx2, int64_t len, int64_t name,
+               const std::string& seq) {
+    ins_chr.push(chr); ins_posx2.push(posx2); ins_len.push(len);
+    ins_name.push(name);
+    ins_seq_off.push((int64_t)ins_seq_blob.size());
+    ins_seq_len.push((int64_t)seq.size());
+    ins_seq_blob.append(seq);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// split-read segment
+// ---------------------------------------------------------------------------
+
+struct Seg {
+  int64_t rs, re;   // read-coordinate start/end
+  int64_t qs, qe;   // reference start/end
+  int32_t chr;
+  char strand;      // '+' / '-'
+};
+
+inline Seg flip(const Seg& s, int64_t rlen) {
+  Seg o = s;
+  o.rs = rlen - s.re;
+  o.re = rlen - s.rs;
+  return o;
+}
+
+// ---------------------------------------------------------------------------
+// extraction (semantics of cutesv_tpu/extract.py == reference stage 1)
+// ---------------------------------------------------------------------------
+
+struct Extractor {
+  const Params& P;
+  Collector& C;
+
+  Extractor(const Params& p, Collector& c) : P(p), C(c) {}
+
+  // --- shared INS/DEL rules for a collinear pair (cuteSV:241-257 etc.) ---
+  void emit_indel_pair(const Seg& e1, const Seg& e2,
+                       const std::string& query_res, int64_t name,
+                       bool ins_guard, bool del_guard) {
+    int64_t delta = e2.rs + e1.qe - e2.qs - e1.re;
+    double d5 = (double)delta / 5.0;
+    if ((double)(e1.qe - e2.qs) < std::max((double)P.min_size, d5) &&
+        delta >= P.min_size) {
+      if ((double)(e2.qs - e1.qe) <= std::max(100.0, d5) &&
+          (delta <= P.max_size || P.max_size == -1)) {
+        if (ins_guard) {
+          int64_t half = (e2.qs - e1.qe) / 2;  // trunc toward 0, like int()
+          C.add_ins(e2.chr, e2.qs + e1.qe, delta, name,
+                    pyslice(query_res, e1.re + half, e2.rs - half));
+        }
+      }
+    }
+    delta = e2.qs - e2.rs + e1.re - e1.qe;
+    d5 = (double)delta / 5.0;
+    if ((double)(e1.qe - e2.qs) < std::max((double)P.min_size, d5) &&
+        delta >= P.min_size) {
+      if ((double)(e2.rs - e1.re) <= std::max(100.0, d5) &&
+          (delta <= P.max_size || P.max_size == -1)) {
+        if (del_guard) {
+          C.del_chr.push(e2.chr);
+          C.del_pos.push(e1.qe);
+          C.del_len.push(delta);
+          C.del_name.push(name);
+        }
+      }
+    }
+  }
+
+  // --- inversion breakpoints (cuteSV:50-94) ---
+  void emit_inv(const Seg& e1, const Seg& e2, int64_t name) {
+    if (e1.strand == '+') {
+      if (e1.qe - e2.qe >= P.min_size &&
+          (double)e2.rs + 0.5 * (double)(e1.qe - e2.qe) >= (double)e1.re) {
+        C.inv_chr.push(e1.chr); C.inv_strand.push(0);
+        C.inv_b1.push(e2.qe); C.inv_b2.push(e1.qe); C.inv_name.push(name);
+      }
+      if (e2.qe - e1.qe >= P.min_size &&
+          (double)e2.rs + 0.5 * (double)(e2.qe - e1.qe) >= (double)e1.re) {
+        C.inv_chr.push(e1.chr); C.inv_strand.push(0);
+        C.inv_b1.push(e1.qe); C.inv_b2.push(e2.qe); C.inv_name.push(name);
+      }
+    } else {
+      if (e2.qs - e1.qs >= P.min_size &&
+          (double)e2.rs + 0.5 * (double)(e2.qs - e1.qs) >= (double)e1.re) {
+        C.inv_chr.push(e1.chr); C.inv_strand.push(1);
+        C.inv_b1.push(e1.qs); C.inv_b2.push(e2.qs); C.inv_name.push(name);
+      }
+      if (e1.qs - e2.qs >= P.min_size &&
+          (double)e2.rs + 0.5 * (double)(e1.qs - e2.qs) >= (double)e1.re) {
+        C.inv_chr.push(e1.chr); C.inv_strand.push(1);
+        C.inv_b1.push(e2.qs); C.inv_b2.push(e1.qs); C.inv_name.push(name);
+      }
+    }
+  }
+
+  // --- breakends (cuteSV:97-188); chrom ORDER is by name string ---------
+  void emit_bnd(const Seg& e1, const Seg& e2, int64_t name) {
+    if (e2.rs - e1.re > 100) return;
+    bool lt = C.chroms[e1.chr] < C.chroms[e2.chr];
+    int8_t type;
+    int64_t p1, p2;
+    int32_t c1, c2;
+    if (e1.strand == '+') {
+      if (e2.strand == '+') {
+        if (lt) { type = 0; p1 = e1.qe; c2 = e2.chr; p2 = e2.qs; c1 = e1.chr; }
+        else    { type = 3; p1 = e2.qs; c2 = e1.chr; p2 = e1.qe; c1 = e2.chr; }
+      } else {
+        if (lt) { type = 1; p1 = e1.qe; c2 = e2.chr; p2 = e2.qe; c1 = e1.chr; }
+        else    { type = 1; p1 = e2.qe; c2 = e1.chr; p2 = e1.qe; c1 = e2.chr; }
+      }
+    } else {
+      if (e2.strand == '+') {
+        if (lt) { type = 2; p1 = e1.qs; c2 = e2.chr; p2 = e2.qs; c1 = e1.chr; }
+        else    { type = 2; p1 = e2.qs; c2 = e1.chr; p2 = e1.qs; c1 = e2.chr; }
+      } else {
+        if (lt) { type = 3; p1 = e1.qs; c2 = e2.chr; p2 = e2.qe; c1 = e1.chr; }
+        else    { type = 0; p1 = e2.qe; c2 = e1.chr; p2 = e1.qs; c1 = e2.chr; }
+      }
+    }
+    C.tra_chr1.push(c1); C.tra_type.push(type); C.tra_p1.push(p1);
+    C.tra_chr2.push(c2); C.tra_p2.push(p2); C.tra_name.push(name);
+  }
+
+  void analyse_two(const std::vector<Seg>& sp, int64_t rlen, int64_t name,
+                   const std::string& query_in) {
+    Seg e1 = sp[0], e2 = sp[1];
+    if (e1.chr != e2.chr) { emit_bnd(e1, e2, name); return; }
+    if (e1.strand != e2.strand) { emit_inv(e1, e2, name); return; }
+    std::string query = query_in;
+    if (e1.strand == '-') {
+      e1 = flip(sp[1], rlen);
+      e2 = flip(sp[0], rlen);
+      query = revcomp(query_in);
+    }
+    if (e1.qe - e2.qs >= P.min_size) {
+      if (e2.rs - e1.re >= e1.qe - e2.qs) {
+        int64_t half = (e2.qs - e1.qe) / 2;
+        C.add_ins(e2.chr, e1.qe + e2.qs, e2.rs + e1.qe - e2.qs - e1.re, name,
+                  pyslice(query, e1.re + half, e2.rs - half));
+      } else {
+        C.dup_chr.push(e2.chr); C.dup_p1.push(e2.qs); C.dup_p2.push(e1.qe);
+        C.dup_name.push(name);
+      }
+    }
+    emit_indel_pair(e1, e2, query, name, true, true);
+  }
+
+  void analyse_multi(const std::vector<Seg>& sp, int64_t rlen, int64_t name,
+                     const std::string& query) {
+    int64_t n = (int64_t)sp.size();
+    bool saw_bnd = false;
+    std::string query_rc;  // lazily computed
+    auto rc = [&]() -> const std::string& {
+      if (query_rc.empty()) query_rc = revcomp(query);
+      return query_rc;
+    };
+    for (int64_t a = 0; a + 2 < n; a++) {
+      Seg e1 = sp[a], e2 = sp[a + 1], e3 = sp[a + 2];
+      bool have_e3 = true;
+      if (e1.chr != e2.chr) {
+        saw_bnd = true;
+        emit_bnd(e1, e2, name);
+        if (a == n - 3 && e2.chr != e3.chr) emit_bnd(e2, e3, name);
+        continue;
+      }
+      if (e2.chr != e3.chr) continue;  // reference: outer if falls through
+
+      if (e1.strand == e3.strand && e1.strand != e2.strand) {
+        if (e2.strand == '-') {  // +-+ full inversion
+          double mid = 0.5 * (double)(e3.qs - e1.qe);
+          if ((double)e2.rs + mid >= (double)e1.re &&
+              (double)e3.rs + mid >= (double)e2.re) {
+            if (e2.qs >= e1.qe && e3.qs >= e2.qe) {
+              C.inv_chr.push(e1.chr); C.inv_strand.push(0);
+              C.inv_b1.push(e1.qe); C.inv_b2.push(e2.qe);
+              C.inv_name.push(name);
+              C.inv_chr.push(e1.chr); C.inv_strand.push(1);
+              C.inv_b1.push(e2.qs); C.inv_b2.push(e3.qs);
+              C.inv_name.push(name);
+            }
+          }
+        } else {  // -+-
+          double mid = 0.5 * (double)(e1.qs - e3.qe);
+          if ((double)e1.re <= (double)e2.rs + mid &&
+              (double)e3.rs + mid >= (double)e2.re) {
+            if (e2.qs - e3.qe >= -50 && e1.qs - e2.qe >= -50) {
+              C.inv_chr.push(e1.chr); C.inv_strand.push(0);
+              C.inv_b1.push(e3.qe); C.inv_b2.push(e2.qe);
+              C.inv_name.push(name);
+              C.inv_chr.push(e1.chr); C.inv_strand.push(1);
+              C.inv_b1.push(e2.qs); C.inv_b2.push(e1.qs);
+              C.inv_name.push(name);
+            }
+          }
+        }
+      }
+      if (a == n - 3 && e1.strand != e3.strand) {
+        if (e2.strand == e1.strand) emit_inv(e2, e3, name);
+        else emit_inv(e1, e2, name);
+      }
+
+      if (e1.strand == e3.strand && e1.strand == e2.strand) {
+        // collinear triple (cuteSV:333-399)
+        const std::string* query_res = &query;
+        if (e1.strand == '-') {
+          e1 = flip(sp[a + 2], rlen);
+          e2 = flip(sp[a + 1], rlen);
+          e3 = flip(sp[a], rlen);
+          query_res = &rc();
+        }
+        if (e2.qe - e3.qs >= P.min_size && e2.qs < e3.qe) {
+          C.dup_chr.push(e2.chr); C.dup_p1.push(e3.qs); C.dup_p2.push(e2.qe);
+          C.dup_name.push(name);
+        }
+        if (a == 0 && e1.qe - e2.qs >= P.min_size) {
+          C.dup_chr.push(e2.chr); C.dup_p1.push(e2.qs); C.dup_p2.push(e1.qe);
+          C.dup_name.push(name);
+        }
+        bool guard = e3.qs >= e2.qe;
+        emit_indel_pair(e1, e2, *query_res, name, guard, guard);
+        if (a == n - 3) emit_indel_pair(e2, e3, *query_res, name, true, true);
+        continue;
+      }
+
+      // mixed-strand windows (cuteSV:401-429, with the reference's
+      // sp[a]/sp[a+1] flip-index quirk preserved)
+      bool tail_mixed =
+          (a == n - 3 && e1.strand != e2.strand && e2.strand == e3.strand);
+      if (tail_mixed) {
+        e1 = e2;
+        e2 = e3;
+        have_e3 = false;
+      }
+      if (!have_e3 || (e1.strand == e2.strand && e2.strand != e3.strand)) {
+        const std::string* query_res = &query;
+        if (e1.strand == '-') {
+          e1 = flip(sp[a + 1], rlen);
+          e2 = flip(sp[a], rlen);
+          query_res = &rc();
+        }
+        emit_indel_pair(e1, e2, *query_res, name, true, true);
+      }
+    }
+
+    if (n >= 3 && saw_bnd) {
+      // INS inside a translocation (cuteSV:439-464)
+      const Seg& first = sp[0];
+      const Seg& last = sp[n - 1];
+      if (first.chr == last.chr && first.strand == last.strand) {
+        Seg e1, e2;
+        const std::string* query_res;
+        if (first.strand == '+') {
+          e1 = first; e2 = last; query_res = &query;
+        } else {
+          e1 = flip(last, rlen); e2 = flip(first, rlen); query_res = &rc();
+        }
+        int64_t dis_ref = e2.qs - e1.qe;
+        int64_t dis_read = e2.rs - e1.re;
+        int64_t excess = dis_read - dis_ref;
+        if ((double)std::llabs(dis_ref) <
+                std::max((double)P.min_size, (double)excess / 5.0) &&
+            excess >= P.min_size &&
+            (excess <= P.max_size || P.max_size == -1)) {
+          int64_t half = dis_ref / 2;
+          C.add_ins(e2.chr, 2 * std::min(e2.qs, e1.qe), excess, name,
+                    pyslice(*query_res, e1.re + half, e2.rs - half));
+        }
+        if (dis_ref <= -P.min_size) {
+          C.dup_chr.push(e2.chr); C.dup_p1.push(e2.qs); C.dup_p2.push(e1.qe);
+          C.dup_name.push(name);
+        }
+      }
+    }
+  }
+
+  void analyse_split(std::vector<Seg>& sp, int64_t rlen, int64_t name,
+                     const std::string& query) {
+    std::stable_sort(sp.begin(), sp.end(),
+                     [](const Seg& a, const Seg& b) { return a.rs < b.rs; });
+    if (sp.size() < 2) return;
+    if (sp.size() == 2) analyse_two(sp, rlen, name, query);
+    else analyse_multi(sp, rlen, name, query);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// BGZF chunked reader (multithreaded inflate)
+// ---------------------------------------------------------------------------
+
+struct BgzfChunkReader {
+  FILE* f;
+  int n_threads;
+  bool eof = false;
+  std::string carry;  // partial record bytes from the previous chunk
+
+  explicit BgzfChunkReader(FILE* fh, int threads)
+      : f(fh), n_threads(std::max(1, threads)) {}
+
+  // Read up to max_blocks BGZF blocks, inflate them in parallel, return
+  // carry + payload. Returns false at clean EOF with no data.
+  bool next_chunk(std::string& out, int max_blocks = 4096) {
+    struct Blk {
+      std::string cdata;
+      uint32_t isize;
+      size_t out_off;
+    };
+    std::vector<Blk> blocks;
+    size_t total = 0;
+    for (int i = 0; i < max_blocks; i++) {
+      unsigned char hdr[12];
+      size_t got = fread(hdr, 1, 12, f);
+      if (got == 0) { eof = true; break; }
+      if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b)
+        { eof = true; break; }
+      uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+      std::string extra(xlen, '\0');
+      if (fread(&extra[0], 1, xlen, f) != xlen) { eof = true; break; }
+      int bsize = -1;
+      for (int off = 0; off + 4 <= xlen;) {
+        uint8_t si1 = extra[off], si2 = extra[off + 1];
+        uint16_t slen =
+            (uint8_t)extra[off + 2] | ((uint8_t)extra[off + 3] << 8);
+        if (si1 == 66 && si2 == 67 && slen == 2)
+          bsize = (uint8_t)extra[off + 4] | ((uint8_t)extra[off + 5] << 8);
+        off += 4 + slen;
+      }
+      if (bsize < 0) { eof = true; break; }
+      size_t cdata_len = (size_t)bsize + 1 - 12 - xlen - 8;
+      Blk b;
+      b.cdata.resize(cdata_len);
+      if (fread(&b.cdata[0], 1, cdata_len, f) != cdata_len)
+        { eof = true; break; }
+      unsigned char tail[8];
+      if (fread(tail, 1, 8, f) != 8) { eof = true; break; }
+      b.isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
+                ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
+      b.out_off = total;
+      total += b.isize;
+      blocks.push_back(std::move(b));
+    }
+    if (blocks.empty()) return false;  // no new data (carry preserved)
+    out.clear();
+    out.resize(carry.size() + total);
+    memcpy(&out[0], carry.data(), carry.size());
+    size_t base = carry.size();
+    carry.clear();
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= blocks.size()) break;
+        const Blk& b = blocks[i];
+        size_t actual = 0;
+        libdeflate_deflate_decompress(d, b.cdata.data(), b.cdata.size(),
+                                      &out[base + b.out_off], b.isize,
+                                      &actual);
+      }
+      libdeflate_free_decompressor(d);
+    };
+    if (n_threads <= 1 || blocks.size() < 4) {
+      worker();
+    } else {
+      std::vector<std::thread> ts;
+      for (int i = 0; i < n_threads; i++) ts.emplace_back(worker);
+      for (auto& t : ts) t.join();
+    }
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// little-endian readers
+// ---------------------------------------------------------------------------
+
+inline int32_t rd_i32(const char* p) { int32_t v; memcpy(&v, p, 4); return v; }
+inline uint32_t rd_u32(const char* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+inline uint16_t rd_u16(const char* p) { uint16_t v; memcpy(&v, p, 2); return v; }
+
+// ---------------------------------------------------------------------------
+// decoder main
+// ---------------------------------------------------------------------------
+
+struct BedRegions {
+  // per chrom-id: sorted starts + prefix-max of ends
+  std::vector<std::vector<int64_t>> starts, maxend;
+  bool enabled = false;
+  bool pass(int32_t chr, int64_t s, int64_t e) const {
+    if (!enabled) return true;
+    if (chr >= (int32_t)starts.size() || starts[chr].empty()) return false;
+    const auto& st = starts[chr];
+    const auto& me = maxend[chr];
+    // any region with start < e and end > s ?
+    auto it = std::lower_bound(st.begin(), st.end(), e);
+    size_t idx = (size_t)(it - st.begin());
+    if (idx == 0) return false;
+    return me[idx - 1] > s;
+  }
+};
+
+struct Decoder {
+  Params P;
+  Collector C;
+  BedRegions bed;
+  std::vector<int64_t> ref_lens;
+
+  // scratch
+  std::string seq_scratch;
+
+  void fail(const char* msg) {
+    fprintf(stderr, "bamdecode: %s\n", msg);
+    throw std::runtime_error(msg);
+  }
+
+  // -- SA CIGAR clip profile (cuteSV:466-481): only 'S' counts as clip --
+  static void clip_profile(const char* s, const char* end, int64_t* first,
+                           int64_t* last, int64_t* span) {
+    *first = *last = *span = 0;
+    int64_t num = 0;
+    bool first_item = true;
+    int64_t last_clip = 0;
+    while (s < end) {
+      char ch = *s++;
+      if (ch >= '0' && ch <= '9') { num = num * 10 + (ch - '0'); continue; }
+      if (first_item) {
+        if (ch == 'S') *first = num;
+        first_item = false;
+      }
+      last_clip = (ch == 'S') ? num : 0;
+      if (ch == 'M' || ch == 'D' || ch == '=' || ch == 'X') *span += num;
+      num = 0;
+    }
+    *last = last_clip;
+  }
+
+  void process_record(const char* rec, int32_t block_size) {
+    int32_t ref_id = rd_i32(rec);
+    int64_t pos = rd_i32(rec + 4);
+    uint8_t l_qname = (uint8_t)rec[8];
+    uint8_t mapq = (uint8_t)rec[9];
+    uint16_t n_cigar = rd_u16(rec + 12);
+    uint16_t flag = rd_u16(rec + 14);
+    int64_t l_seq = rd_i32(rec + 16);
+    const char* qname_p = rec + 32;
+    const char* cigar_p = qname_p + l_qname;
+    const char* seq_p = cigar_p + 4ll * n_cigar;
+    const char* tag_p = seq_p + (l_seq + 1) / 2 + l_seq;
+    const char* rec_end = rec + block_size;
+
+    if (ref_id < 0 || (flag & 0x4)) return;
+    C.n_records++;
+
+    // reference end from CIGAR
+    int64_t ref_end = pos;
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t v = rd_u32(cigar_p + 4ll * i);
+      uint32_t op = v & 0xF, ln = v >> 4;
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_end += ln;
+    }
+
+    std::string qname(qname_p, l_qname ? l_qname - 1 : 0);
+
+    // allreads row: everything mapped, before any filter (count_coverage
+    // re-scan source)
+    int8_t prim = (flag == 0 || flag == 16) ? 1 : 0;
+    {
+      int64_t nm = C.intern_name(qname);
+      C.all_chr.push(ref_id); C.all_start.push(pos); C.all_end.push(ref_end);
+      C.all_prim.push(prim); C.all_name.push(nm);
+    }
+    if (flag == 256 || flag == 272) return;
+    if (!bed.pass(ref_id, pos, ref_end)) return;
+
+    int64_t name_id = C.intern_name(qname);
+    if (mapq >= P.min_mapq) {
+      C.cen_chr.push(ref_id); C.cen_start.push(pos); C.cen_end.push(ref_end);
+      C.cen_prim.push(prim); C.cen_name.push(name_id);
+    }
+
+    if (l_seq < P.min_read_len) return;  // query_length gate (cuteSV:607)
+
+    // decode SEQ lazily-ish (needed for INS slices and SA analysis)
+    seq_scratch.resize(l_seq);
+    for (int64_t k = 0; k < l_seq; k++) {
+      uint8_t b = (uint8_t)seq_p[k >> 1];
+      seq_scratch[k] = kSeqNT16[(k & 1) ? (b & 0xF) : (b >> 4)];
+    }
+
+    int process_signal;
+    switch (flag) {
+      case 4: process_signal = 0; break;
+      case 0: process_signal = 1; break;
+      case 16: process_signal = 2; break;
+      case 2048: process_signal = 3; break;
+      case 2064: process_signal = 4; break;
+      default: process_signal = 0; break;
+    }
+
+    int64_t softclip_left = 0, softclip_right = 0;
+    int64_t hardclip_left = 0, hardclip_right = 0;
+
+    // CIGAR intra-read signatures (cuteSV:614-658)
+    struct IS { int64_t pos, len, soff, slen; };
+    struct DS { int64_t pos, len; };
+    std::vector<IS> ins_sigs;
+    std::vector<DS> del_sigs;
+    if (mapq >= P.min_mapq && n_cigar > 0) {
+      uint32_t v0 = rd_u32(cigar_p);
+      if ((v0 & 0xF) == 4) softclip_left = v0 >> 4;
+      else if ((v0 & 0xF) == 5) hardclip_left = v0 >> 4;
+      int64_t sig_start = pos;
+      int64_t shift = -hardclip_left;
+      for (int i = 0; i < n_cigar; i++) {
+        uint32_t v = rd_u32(cigar_p + 4ll * i);
+        uint32_t op = v & 0xF;
+        int64_t ln = v >> 4;
+        if (op != 2) shift += ln;
+        if (ln >= P.min_siglength && (op == 1 || op == 2)) {
+          if (op == 2) {
+            del_sigs.push_back({sig_start, ln});
+            sig_start += ln;
+          } else {
+            // slice [shift-ln, shift) of SEQ, python-clamped
+            int64_t a = shift - ln, b = shift;
+            a = std::max<int64_t>(0, std::min(a, l_seq));
+            b = std::max<int64_t>(0, std::min(b, l_seq));
+            ins_sigs.push_back({sig_start, ln, a, b > a ? b - a : 0});
+          }
+        } else if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) {
+          sig_start += ln;
+        }
+      }
+      uint32_t vl = rd_u32(cigar_p + 4ll * (n_cigar - 1));
+      if ((vl & 0xF) == 4) softclip_right = vl >> 4;
+      else if ((vl & 0xF) == 5) hardclip_right = vl >> 4;
+      if (hardclip_left != 0) softclip_left = hardclip_left;
+      if (hardclip_right != 0) softclip_right = hardclip_right;
+    }
+
+    // same-read signature chaining (cuteSV:515-575)
+    if (!ins_sigs.empty()) {
+      IS cur = ins_sigs[0];
+      std::string cur_seq = seq_scratch.substr(cur.soff, cur.slen);
+      int64_t last_pos = cur.pos;
+      for (size_t i = 1; i < ins_sigs.size(); i++) {
+        const IS& s = ins_sigs[i];
+        if (s.pos - last_pos <= P.merge_ins_threshold) {
+          cur.len += s.len;
+          cur_seq.append(seq_scratch, s.soff, s.slen);
+          last_pos = s.pos;
+        } else {
+          C.add_ins(ref_id, 2 * cur.pos, cur.len, name_id, cur_seq);
+          cur = s;
+          cur_seq = seq_scratch.substr(s.soff, s.slen);
+          last_pos = s.pos;
+        }
+      }
+      C.add_ins(ref_id, 2 * cur.pos, cur.len, name_id, cur_seq);
+    }
+    if (!del_sigs.empty()) {
+      DS cur = del_sigs[0];
+      int64_t last_end = cur.pos + cur.len;
+      for (size_t i = 1; i < del_sigs.size(); i++) {
+        const DS& s = del_sigs[i];
+        if (s.pos - last_end <= P.merge_del_threshold) {
+          cur.len += s.len;
+          last_end = s.pos + s.len;
+        } else {
+          C.del_chr.push(ref_id); C.del_pos.push(cur.pos);
+          C.del_len.push(cur.len); C.del_name.push(name_id);
+          cur = s;
+          last_end = s.pos + s.len;
+        }
+      }
+      C.del_chr.push(ref_id); C.del_pos.push(cur.pos);
+      C.del_len.push(cur.len); C.del_name.push(name_id);
+    }
+
+    if (process_signal != 1 && process_signal != 2) return;
+
+    // find SA tag
+    const char* sa = nullptr;
+    const char* sa_end = nullptr;
+    for (const char* p = tag_p; p + 3 <= rec_end;) {
+      char t0 = p[0], t1 = p[1], vt = p[2];
+      p += 3;
+      size_t sz = 0;
+      switch (vt) {
+        case 'c': case 'C': case 'A': sz = 1; break;
+        case 's': case 'S': sz = 2; break;
+        case 'i': case 'I': case 'f': sz = 4; break;
+        case 'Z': case 'H': {
+          const char* z = p;
+          while (z < rec_end && *z) z++;
+          if (t0 == 'S' && t1 == 'A' && vt == 'Z') { sa = p; sa_end = z; }
+          p = z + 1;
+          continue;
+        }
+        case 'B': {
+          char sub = *p;
+          uint32_t cnt = rd_u32(p + 1);
+          size_t esz = (sub == 'c' || sub == 'C') ? 1
+                       : (sub == 's' || sub == 'S') ? 2 : 4;
+          p += 5 + (size_t)cnt * esz;
+          continue;
+        }
+        default:
+          return;  // unknown tag type; bail on this record's tags
+      }
+      p += sz;
+    }
+    if (!sa) return;
+
+    // query in original read orientation
+    std::string query_seq =
+        (process_signal == 1) ? seq_scratch : revcomp(seq_scratch);
+
+    std::vector<Seg> split;
+    int64_t sa_min_mapq = P.min_mapq;
+    if (mapq >= P.min_mapq) {
+      Seg prim_seg;
+      if (process_signal == 1) {
+        prim_seg = {softclip_left, l_seq - softclip_right, pos, ref_end,
+                    ref_id, '+'};
+      } else {
+        prim_seg = {softclip_right, l_seq - softclip_left, pos, ref_end,
+                    ref_id, '-'};
+      }
+      split.push_back(prim_seg);
+      sa_min_mapq = 0;
+    }
+    // split SA entries on ';', DROPPING the final element (cuteSV:678)
+    {
+      const char* p = sa;
+      std::vector<std::pair<const char*, const char*>> entries;
+      const char* st = p;
+      for (const char* q = p; q <= sa_end; q++) {
+        if (q == sa_end || *q == ';') {
+          entries.push_back({st, q});
+          st = q + 1;
+        }
+      }
+      if (!entries.empty()) entries.pop_back();
+      for (auto& ent : entries) {
+        // rname,pos,strand,cigar,mapq,nm
+        const char* fields[6];
+        const char* fe[6];
+        int nf = 0;
+        const char* s = ent.first;
+        const char* fstart = s;
+        for (const char* q = s; q <= ent.second && nf < 6; q++) {
+          if (q == ent.second || *q == ',') {
+            fields[nf] = fstart;
+            fe[nf] = q;
+            nf++;
+            fstart = q + 1;
+          }
+        }
+        if (nf < 5) continue;
+        int64_t sa_pos = 0;
+        for (const char* q = fields[1]; q < fe[1]; q++)
+          sa_pos = sa_pos * 10 + (*q - '0');
+        sa_pos -= 1;  // SA pos is 1-based
+        char sa_strand = *fields[2];
+        int64_t sa_mapq = 0;
+        for (const char* q = fields[4]; q < fe[4]; q++)
+          sa_mapq = sa_mapq * 10 + (*q - '0');
+        if (sa_mapq < sa_min_mapq) continue;
+        int64_t fc, lc, span;
+        clip_profile(fields[3], fe[3], &fc, &lc, &span);
+        int32_t sa_chr =
+            C.intern_chrom(std::string(fields[0], fe[0] - fields[0]));
+        if (sa_strand == '+') {
+          split.push_back({fc, l_seq - lc, sa_pos, sa_pos + span, sa_chr,
+                           '+'});
+        } else {
+          split.push_back({lc, l_seq - fc, sa_pos, sa_pos + span, sa_chr,
+                           '-'});
+        }
+      }
+    }
+    if ((int64_t)split.size() <= P.max_split_parts ||
+        P.max_split_parts == -1) {
+      Extractor ex(P, C);
+      ex.analyse_split(split, l_seq, name_id, query_seq);
+    }
+  }
+
+  // returns 0 on success
+  int run(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return 1;
+    BgzfChunkReader rd(f, (int)P.n_threads);
+    std::string chunk;
+    // --- header ---
+    // keep pulling chunks until we have the full header
+    if (!rd.next_chunk(chunk)) { fclose(f); return 2; }
+    auto need = [&](size_t n) {
+      while (chunk.size() < n) {
+        rd.carry.swap(chunk);  // next_chunk() prepends carry
+        std::string more;
+        if (!rd.next_chunk(more)) {
+          chunk.swap(rd.carry);  // no new data; restore what we had
+          break;
+        }
+        chunk.swap(more);
+      }
+      return chunk.size() >= n;
+    };
+    if (!need(12) || memcmp(chunk.data(), "BAM\x01", 4) != 0) {
+      fclose(f);
+      return 3;
+    }
+    size_t off = 4;
+    int32_t l_text = rd_i32(chunk.data() + off);
+    off += 4;
+    if (!need(off + l_text + 4)) { fclose(f); return 3; }
+    off += l_text;
+    int32_t n_ref = rd_i32(chunk.data() + off);
+    off += 4;
+    for (int32_t i = 0; i < n_ref; i++) {
+      if (!need(off + 4)) { fclose(f); return 3; }
+      int32_t l_name = rd_i32(chunk.data() + off);
+      off += 4;
+      if (!need(off + l_name + 4)) { fclose(f); return 3; }
+      std::string nm(chunk.data() + off, l_name - 1);
+      off += l_name;
+      int32_t l_ref = rd_i32(chunk.data() + off);
+      off += 4;
+      C.intern_chrom(nm);
+      ref_lens.push_back(l_ref);
+    }
+    // --- records ---
+    chunk.erase(0, off);
+    for (;;) {
+      size_t p = 0;
+      for (;;) {
+        if (chunk.size() - p < 4) break;
+        int32_t bs = rd_i32(chunk.data() + p);
+        if (chunk.size() - p < 4 + (size_t)bs) break;
+        try {
+          process_record(chunk.data() + p + 4, bs);
+        } catch (...) {
+          fclose(f);
+          return 4;
+        }
+        p += 4 + (size_t)bs;
+      }
+      rd.carry.assign(chunk, p, chunk.size() - p);
+      std::string nextc;
+      if (!rd.next_chunk(nextc)) break;
+      chunk.swap(nextc);
+    }
+    fclose(f);
+    return 0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// rank helpers: lexicographic ranks over the interned name table; INS seq
+// content ranks (equal content -> equal rank) for the reference's sort keys
+// ---------------------------------------------------------------------------
+
+std::vector<int64_t> name_ranks(const Collector& C) {
+  int64_t n = (int64_t)C.name_off.size() - 1;
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; i++) idx[i] = i;
+  auto view = [&](int64_t i) {
+    return std::string_view(C.name_blob.data() + C.name_off[i],
+                            C.name_off[i + 1] - C.name_off[i]);
+  };
+  std::sort(idx.begin(), idx.end(),
+            [&](int64_t a, int64_t b) { return view(a) < view(b); });
+  std::vector<int64_t> rank(n);
+  for (int64_t r = 0; r < n; r++) rank[idx[r]] = r;
+  return rank;
+}
+
+std::vector<int64_t> seq_ranks(const Collector& C) {
+  int64_t n = (int64_t)C.ins_seq_off.v.size();
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; i++) idx[i] = i;
+  auto view = [&](int64_t i) {
+    return std::string_view(C.ins_seq_blob.data() + C.ins_seq_off.v[i],
+                            C.ins_seq_len.v[i]);
+  };
+  std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    auto va = view(a), vb = view(b);
+    if (va != vb) return va < vb;
+    return a < b;
+  });
+  std::vector<int64_t> rank(n);
+  int64_t r = -1;
+  std::string_view prev;
+  for (int64_t k = 0; k < n; k++) {
+    auto v = view(idx[k]);
+    if (k == 0 || v != prev) { r++; prev = v; }
+    rank[idx[k]] = r;
+  }
+  return rank;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct CBuf {
+  const void* data;
+  int64_t len;
+};
+
+struct CResult {
+  Decoder* dec;  // owner
+  std::vector<int64_t>* nrank;
+  std::vector<int64_t>* srank;
+  std::string* chrom_blob;
+  std::vector<int64_t>* chrom_off;
+  std::vector<int64_t>* ref_lens;
+  int32_t n_header_refs;
+  int64_t n_records;
+  int status;
+};
+
+CResult* bamdecode_run(const char* path, const int64_t* params,
+                       const int32_t* bed_chr, const int64_t* bed_start,
+                       const int64_t* bed_end, int64_t n_bed) {
+  auto* r = new CResult();
+  auto* d = new Decoder();
+  r->dec = d;
+  d->P.min_size = params[0];
+  d->P.min_mapq = params[1];
+  d->P.max_split_parts = params[2];
+  d->P.min_read_len = params[3];
+  d->P.min_siglength = params[4];
+  d->P.merge_del_threshold = params[5];
+  d->P.merge_ins_threshold = params[6];
+  d->P.max_size = params[7];
+  d->P.n_threads = params[8];
+  r->status = -1;
+  r->nrank = nullptr;
+  // BED regions must be registered after header parse for chrom ids, so the
+  // caller passes ids in header space; build structure lazily on first use.
+  if (n_bed > 0) {
+    d->bed.enabled = true;
+    int32_t maxc = 0;
+    for (int64_t i = 0; i < n_bed; i++) maxc = std::max(maxc, bed_chr[i]);
+    d->bed.starts.resize(maxc + 1);
+    d->bed.maxend.resize(maxc + 1);
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> tmp(maxc + 1);
+    for (int64_t i = 0; i < n_bed; i++)
+      tmp[bed_chr[i]].push_back({bed_start[i], bed_end[i]});
+    for (int32_t c = 0; c <= maxc; c++) {
+      std::sort(tmp[c].begin(), tmp[c].end());
+      int64_t m = INT64_MIN;
+      for (auto& pr : tmp[c]) {
+        d->bed.starts[c].push_back(pr.first);
+        m = std::max(m, pr.second);
+        d->bed.maxend[c].push_back(m);
+      }
+    }
+  }
+  r->status = d->run(path);
+  r->n_records = d->C.n_records;
+  r->nrank = new std::vector<int64_t>(name_ranks(d->C));
+  r->srank = new std::vector<int64_t>(seq_ranks(d->C));
+  r->chrom_blob = new std::string();
+  r->chrom_off = new std::vector<int64_t>{0};
+  for (auto& s : d->C.chroms) {
+    r->chrom_blob->append(s);
+    r->chrom_off->push_back((int64_t)r->chrom_blob->size());
+  }
+  r->ref_lens = new std::vector<int64_t>(d->ref_lens);
+  r->n_header_refs = (int32_t)d->ref_lens.size();
+  return r;
+}
+
+int bamdecode_status(CResult* r) { return r->status; }
+int64_t bamdecode_n_records(CResult* r) { return r->n_records; }
+
+// generic array accessor: returns pointer + element count via out params.
+// field ids documented in io/native.py (kept in lockstep).
+int bamdecode_get(CResult* r, int field, const void** data, int64_t* len) {
+  Collector& C = r->dec->C;
+  auto set = [&](const void* d, int64_t n) {
+    *data = d;
+    *len = n;
+    return 0;
+  };
+  switch (field) {
+    case 0: return set(C.name_blob.data(), (int64_t)C.name_blob.size());
+    case 1: return set(C.name_off.data(), (int64_t)C.name_off.size());
+    case 2: return set(r->nrank->data(), (int64_t)r->nrank->size());
+    case 3: return set(r->chrom_blob->data(), (int64_t)r->chrom_blob->size());
+    case 4: return set(r->chrom_off->data(), (int64_t)r->chrom_off->size());
+    case 5: return set(r->ref_lens->data(), (int64_t)r->ref_lens->size());
+    case 10: return set(C.del_chr.v.data(), (int64_t)C.del_chr.v.size());
+    case 11: return set(C.del_pos.v.data(), (int64_t)C.del_pos.v.size());
+    case 12: return set(C.del_len.v.data(), (int64_t)C.del_len.v.size());
+    case 13: return set(C.del_name.v.data(), (int64_t)C.del_name.v.size());
+    case 20: return set(C.ins_chr.v.data(), (int64_t)C.ins_chr.v.size());
+    case 21: return set(C.ins_posx2.v.data(), (int64_t)C.ins_posx2.v.size());
+    case 22: return set(C.ins_len.v.data(), (int64_t)C.ins_len.v.size());
+    case 23: return set(C.ins_name.v.data(), (int64_t)C.ins_name.v.size());
+    case 24: return set(C.ins_seq_off.v.data(),
+                        (int64_t)C.ins_seq_off.v.size());
+    case 25: return set(C.ins_seq_len.v.data(),
+                        (int64_t)C.ins_seq_len.v.size());
+    case 26: return set(C.ins_seq_blob.data(),
+                        (int64_t)C.ins_seq_blob.size());
+    case 27: return set(r->srank->data(), (int64_t)r->srank->size());
+    case 30: return set(C.dup_chr.v.data(), (int64_t)C.dup_chr.v.size());
+    case 31: return set(C.dup_p1.v.data(), (int64_t)C.dup_p1.v.size());
+    case 32: return set(C.dup_p2.v.data(), (int64_t)C.dup_p2.v.size());
+    case 33: return set(C.dup_name.v.data(), (int64_t)C.dup_name.v.size());
+    case 40: return set(C.inv_chr.v.data(), (int64_t)C.inv_chr.v.size());
+    case 41: return set(C.inv_strand.v.data(),
+                        (int64_t)C.inv_strand.v.size());
+    case 42: return set(C.inv_b1.v.data(), (int64_t)C.inv_b1.v.size());
+    case 43: return set(C.inv_b2.v.data(), (int64_t)C.inv_b2.v.size());
+    case 44: return set(C.inv_name.v.data(), (int64_t)C.inv_name.v.size());
+    case 50: return set(C.tra_chr1.v.data(), (int64_t)C.tra_chr1.v.size());
+    case 51: return set(C.tra_type.v.data(), (int64_t)C.tra_type.v.size());
+    case 52: return set(C.tra_p1.v.data(), (int64_t)C.tra_p1.v.size());
+    case 53: return set(C.tra_chr2.v.data(), (int64_t)C.tra_chr2.v.size());
+    case 54: return set(C.tra_p2.v.data(), (int64_t)C.tra_p2.v.size());
+    case 55: return set(C.tra_name.v.data(), (int64_t)C.tra_name.v.size());
+    case 60: return set(C.cen_chr.v.data(), (int64_t)C.cen_chr.v.size());
+    case 61: return set(C.cen_start.v.data(), (int64_t)C.cen_start.v.size());
+    case 62: return set(C.cen_end.v.data(), (int64_t)C.cen_end.v.size());
+    case 63: return set(C.cen_prim.v.data(), (int64_t)C.cen_prim.v.size());
+    case 64: return set(C.cen_name.v.data(), (int64_t)C.cen_name.v.size());
+    case 70: return set(C.all_chr.v.data(), (int64_t)C.all_chr.v.size());
+    case 71: return set(C.all_start.v.data(), (int64_t)C.all_start.v.size());
+    case 72: return set(C.all_end.v.data(), (int64_t)C.all_end.v.size());
+    case 73: return set(C.all_prim.v.data(), (int64_t)C.all_prim.v.size());
+    case 74: return set(C.all_name.v.data(), (int64_t)C.all_name.v.size());
+    default: return 1;
+  }
+}
+
+void bamdecode_free(CResult* r) {
+  delete r->nrank;
+  delete r->srank;
+  delete r->chrom_blob;
+  delete r->chrom_off;
+  delete r->ref_lens;
+  delete r->dec;
+  delete r;
+}
+
+}  // extern "C"

@@ -1,0 +1,189 @@
+"""Golden test: native C++ decoder vs the Python extraction oracle.
+
+Random BAMs (noisy CIGARs, soft/hard clips, SA split reads incl. reverse
+strands, low mapq, secondary/supplementary flags, cross-chrom breakends)
+must produce identical signature streams, census and read tables.
+"""
+import random
+
+import pytest
+
+from cutesv_tpu.config import Config
+from cutesv_tpu.io import native
+from cutesv_tpu.io.bam import BamWriter, cigar_to_string
+from cutesv_tpu.pipeline import decode_bam
+
+REFS = [("chr1", 1_000_000), ("chr2", 800_000)]
+
+
+def _random_cigar(rng, read_len):
+    """Random CIGAR consuming exactly read_len query bases."""
+    ops = []
+    remaining = read_len
+    if rng.random() < 0.3:
+        c = rng.randrange(1, 200)
+        if c < remaining:
+            ops.append((4 if rng.random() < 0.7 else 5, c))
+            if ops[-1][0] == 4:
+                remaining -= c
+    body = []
+    while remaining > 60:
+        m = rng.randrange(30, min(remaining - 20, 2000))
+        body.append((0, m))
+        remaining -= m
+        r = rng.random()
+        if r < 0.25:
+            ln = rng.randrange(1, 120)
+            if ln < remaining - 20:
+                body.append((1, ln))  # insertion
+                remaining -= ln
+        elif r < 0.5:
+            body.append((2, rng.randrange(1, 150)))  # deletion
+    body.append((0, remaining))
+    ops.extend(body)
+    if rng.random() < 0.3:
+        c = rng.randrange(1, 200)
+        ops.append((4, c))
+        # soft clip consumes query: extend seq below instead of resizing
+    return ops
+
+
+def _qlen(cigar):
+    return sum(ln for op, ln in cigar if op in (0, 1, 4, 7, 8))
+
+
+def _random_sa(rng):
+    n = rng.randrange(1, 4)
+    parts = []
+    for _ in range(n):
+        chrom = rng.choice(["chr1", "chr2", "chrUn_scaffold9"])
+        pos = rng.randrange(1, 500_000)
+        strand = rng.choice("+-")
+        a = rng.randrange(0, 900)
+        m = rng.randrange(100, 3000)
+        b = rng.randrange(0, 900)
+        cig = ""
+        if a:
+            cig += "%dS" % a
+        cig += "%dM" % m
+        if rng.random() < 0.5:
+            cig += "%dD%dM" % (rng.randrange(1, 100), rng.randrange(50, 500))
+        if b:
+            cig += "%dS" % b
+        mq = rng.choice([0, 10, 20, 45, 60])
+        parts.append("%s,%d,%s,%s,%d,%d" % (chrom, pos, strand, cig, mq,
+                                            rng.randrange(0, 50)))
+    return ";".join(parts) + (";" if rng.random() < 0.9 else "")
+
+
+def _make_random_bam(path, rng, n_reads=300):
+    recs = []
+    for i in range(n_reads):
+        ref_id = rng.randrange(2)
+        pos = rng.randrange(0, 400_000)
+        read_len = rng.randrange(300, 4000)
+        cigar = _random_cigar(rng, read_len)
+        qlen = _qlen(cigar)
+        seq = "".join(rng.choice("ACGT") for _ in range(qlen))
+        flag = rng.choice([0, 0, 0, 16, 16, 2048, 2064, 256, 272, 0])
+        mapq = rng.choice([0, 10, 20, 30, 60, 60])
+        tags = {}
+        if rng.random() < 0.5:
+            tags["SA"] = _random_sa(rng)
+        if rng.random() < 0.3:
+            tags["NM"] = rng.randrange(100)
+        qname = "q%04d" % rng.randrange(n_reads // 2)  # name collisions
+        recs.append((ref_id, pos, qname, flag, mapq, cigar, seq, tags))
+    recs.sort(key=lambda r: (r[0], r[1]))
+    with BamWriter(path, REFS) as w:
+        for ref_id, pos, qname, flag, mapq, cigar, seq, tags in recs:
+            w.write(qname, flag, ref_id, pos, mapq, cigar, seq, tags)
+
+
+def _native_tuples(nd: native.NativeDecode):
+    A = nd.arrays
+    c = nd.chroms
+    n = nd.names
+    out = {"DEL": [], "INS": [], "DUP": [], "INV": [], "TRA": []}
+    for i in range(len(A["del_pos"])):
+        out["DEL"].append((int(A["del_pos"][i]), int(A["del_len"][i]),
+                           n[A["del_name"][i]], "DEL", c[A["del_chr"][i]]))
+    for i in range(len(A["ins_posx2"])):
+        out["INS"].append((A["ins_posx2"][i] / 2, int(A["ins_len"][i]),
+                           n[A["ins_name"][i]], nd.ins_seq(i), "INS",
+                           c[A["ins_chr"][i]]))
+    for i in range(len(A["dup_p1"])):
+        out["DUP"].append((int(A["dup_p1"][i]), int(A["dup_p2"][i]),
+                           n[A["dup_name"][i]], "DUP", c[A["dup_chr"][i]]))
+    for i in range(len(A["inv_b1"])):
+        out["INV"].append((["++", "--"][A["inv_strand"][i]],
+                           int(A["inv_b1"][i]), int(A["inv_b2"][i]),
+                           n[A["inv_name"][i]], "INV", c[A["inv_chr"][i]]))
+    for i in range(len(A["tra_p1"])):
+        out["TRA"].append(("ABCD"[A["tra_type"][i]], int(A["tra_p1"][i]),
+                           c[A["tra_chr2"][i]], int(A["tra_p2"][i]),
+                           n[A["tra_name"][i]], "TRA",
+                           c[A["tra_chr1"][i]]))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_matches_python(tmp_path, seed):
+    rng = random.Random(seed)
+    bam = tmp_path / ("fuzz%d.bam" % seed)
+    _make_random_bam(str(bam), rng)
+    cfg = Config(input=str(bam), min_support=3)
+
+    # Python oracle (raw candidate streams, record order)
+    import cutesv_tpu.extract as extract
+    from cutesv_tpu.io.bam import BamReader
+    candidates = extract.new_candidate_dict()
+    census, allreads = [], []
+    reader = BamReader(str(bam))
+    chrom_names = [x for x, _ in reader.references]
+    for rec in reader:
+        if rec.ref_id < 0 or rec.flag & 4:
+            continue
+        chrom = chrom_names[rec.ref_id]
+        allreads.append((rec.pos, rec.reference_end,
+                         1 if rec.flag in (0, 16) else 0, rec.qname, chrom))
+        if rec.flag in (256, 272):
+            continue
+        extract.extract_read(rec, candidates, chrom, cfg.min_size,
+                             cfg.min_mapq, cfg.max_split_parts,
+                             cfg.min_read_len, cfg.min_siglength,
+                             cfg.merge_del_threshold,
+                             cfg.merge_ins_threshold, cfg.max_size)
+        if rec.mapq >= cfg.min_mapq:
+            census.append((rec.pos, rec.reference_end,
+                           1 if rec.flag in (0, 16) else 0, rec.qname,
+                           chrom))
+    reader.close()
+
+    nd = native.decode(str(bam), cfg)
+    got = _native_tuples(nd)
+    for svtype in ("DEL", "INS", "DUP", "INV", "TRA"):
+        assert got[svtype] == candidates[svtype], svtype
+
+    got_census = [(int(nd.arrays["cen_start"][i]),
+                   int(nd.arrays["cen_end"][i]),
+                   int(nd.arrays["cen_prim"][i]),
+                   nd.names[nd.arrays["cen_name"][i]],
+                   nd.chroms[nd.arrays["cen_chr"][i]])
+                  for i in range(len(nd.arrays["cen_start"]))]
+    assert got_census == census
+    got_all = [(int(nd.arrays["all_start"][i]), int(nd.arrays["all_end"][i]),
+                int(nd.arrays["all_prim"][i]),
+                nd.names[nd.arrays["all_name"][i]],
+                nd.chroms[nd.arrays["all_chr"][i]])
+               for i in range(len(nd.arrays["all_start"]))]
+    assert got_all == allreads
+
+
+def test_name_ranks_lexicographic(tmp_path):
+    rng = random.Random(77)
+    bam = tmp_path / "r.bam"
+    _make_random_bam(str(bam), rng, n_reads=100)
+    nd = native.decode(str(bam), Config(input=str(bam)))
+    ranked = sorted(range(len(nd.names)), key=lambda i: nd.name_rank[i])
+    assert [nd.names[i] for i in ranked] == sorted(nd.names)
