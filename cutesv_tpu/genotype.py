@@ -252,6 +252,11 @@ def call_gt_tra(tables: Dict[str, ReadTable], chrom_lengths: Dict[str, int],
                 pos_1: int, pos_2: int, chr_1: str, chr_2: str,
                 read_id_list: set, max_cluster_bias: int, gt_round: int):
     """TRA genotype (cuteSV_resolveTRA.py:260-309) from the census tables."""
+    if chr_1 not in chrom_lengths or chr_2 not in chrom_lengths:
+        # SA-tag contig absent from the BAM header: the reference would
+        # fail the whole chromosome task here (bare except, cuteSV:1193);
+        # we degrade to the "unresolvable" genotype instead.
+        return len(read_id_list), ".", "./.", ".,.,.", ".", "."
     querydata: set = set()
     search_start = max(int(pos_1) - max_cluster_bias, 0)
     search_end = min(int(pos_1) + max_cluster_bias, chrom_lengths[chr_1])

@@ -12,46 +12,93 @@ Integer-exactness note: the allele-split threshold is
 ``ratio * np.mean(lengths)``; lengths are integers, so np.mean's pairwise
 f64 summation is exact and equals bincount_sum/count computed here.
 
-Output rows are identical to models/host.py (golden-tested in
-tests/test_device_parity.py).
+Inputs arrive either as the oracle's tuple streams or as the native
+decoder's columnar arrays (`IndelStream.from_arrays`); outputs are
+identical to models/host.py (golden-tested in tests/test_device_parity.py).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
+
+import jax.numpy as jnp
 
 from cutesv_tpu.models.host import finalize_indel_allele
 from cutesv_tpu.ops.indel_cluster import indel_cluster_structure
 from cutesv_tpu.ops.segments import padded_size
 
-import jax.numpy as jnp
+
+class IndelStream:
+    """Columnar view over one chromosome's merged DEL or INS stream.
+
+    ``pos``/``length`` int64 arrays; ``rid`` int read identities whose
+    numeric order equals read-name string order; ``names`` renders an
+    identity to its string. INS streams add per-row sequence access.
+    """
+
+    def __init__(self, pos, length, rid, name_of, key_of, seq_len=None,
+                 seq_of=None):
+        self.pos = pos
+        self.length = length
+        self.rid = rid
+        self.name_of = name_of      # stream row -> display name (str)
+        self.key_of = key_of        # stream row -> identity key (str/int)
+        self.seq_len = seq_len      # stream row -> sequence length
+        self.seq_of = seq_of        # stream row -> sequence string
+
+    def __len__(self):
+        return len(self.pos)
+
+    @classmethod
+    def from_tuples(cls, rows: Sequence, is_ins: bool) -> "IndelStream":
+        n = len(rows)
+        pos = np.fromiter((r[0] for r in rows), np.int64, n)
+        length = np.fromiter((r[1] for r in rows), np.int64, n)
+        names = np.array([r[2] for r in rows]) if n else np.empty(0, "U1")
+        _, rid = np.unique(names, return_inverse=True)
+        kw = {}
+        if is_ins:
+            kw = dict(seq_len=np.fromiter((len(r[3]) for r in rows),
+                                          np.int64, n),
+                      seq_of=lambda k: rows[k][3])
+        return cls(pos, length, rid.astype(np.int64),
+                   name_of=lambda k: rows[k][2],
+                   key_of=lambda k: rows[k][2], **kw)
+
+    @classmethod
+    def from_arrays(cls, pos, length, rid, names_table, seq_len=None,
+                    seq_blob=None, seq_off=None) -> "IndelStream":
+        kw = {}
+        if seq_len is not None:
+            def seq_of(k):
+                o = int(seq_off[k])
+                return seq_blob[o:o + int(seq_len[k])].decode("ascii")
+            kw = dict(seq_len=seq_len, seq_of=seq_of)
+        return cls(np.asarray(pos, np.int64), np.asarray(length, np.int64),
+                   np.asarray(rid, np.int64),
+                   name_of=lambda k, r=rid: names_table[int(r[k])],
+                   key_of=lambda k, r=rid: int(r[k]), **kw)
 
 
-def _cluster_arrays(rows: Sequence, read_count: int, bias: int):
-    """Run the device kernel over one chromosome's signature stream.
-
-    Returns (cid, pos, length, stream_idx) numpy arrays of the kept rows in
-    allele-stream order, or None when the stream is empty."""
-    n = len(rows)
+def _cluster_stream(stream: IndelStream, read_count: int, bias: int):
+    """Run the device kernel; returns kept rows in allele-stream order as
+    (cid, pos, length, stream_idx) numpy arrays."""
+    n = len(stream)
     if n == 0:
         return None
-    pos = np.fromiter((r[0] for r in rows), np.int64, n)
-    length = np.fromiter((r[1] for r in rows), np.int64, n)
-    names = np.array([r[2] for r in rows])
-    _, rid = np.unique(names, return_inverse=True)
     cap = padded_size(n)
     pad = cap - n
 
-    def padded(a, fill, dtype):
+    def padded(a, dtype):
         return jnp.asarray(np.concatenate(
-            [a.astype(dtype), np.full(pad, fill, dtype)]))
+            [a.astype(dtype), np.zeros(pad, dtype)]))
 
     valid = jnp.asarray(
         np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]))
     out = indel_cluster_structure(
-        padded(pos, 0, np.int32), padded(length, 0, np.int32),
-        padded(rid.astype(np.int64), 0, np.int32), valid,
+        padded(stream.pos, np.int32), padded(stream.length, np.int32),
+        padded(stream.rid, np.int32), valid,
         jnp.int32(bias), jnp.int32(read_count), cap)
     nk = int(out["n_kept"])
     return (np.asarray(out["cid"])[:nk].astype(np.int64),
@@ -61,12 +108,8 @@ def _cluster_arrays(rows: Sequence, read_count: int, bias: int):
 
 
 def _allele_slices(cid, length, threshold_gloab):
-    """Exact allele segmentation of the kept stream + processing order.
-
-    Returns (aid, order) where ``aid`` assigns contiguous allele ids and
-    ``order`` lists allele ids in the reference's processing order:
-    clusters in stream order, alleles within a cluster by ascending
-    support (stable)."""
+    """Exact allele segmentation of the kept stream + processing order
+    (clusters in stream order, alleles by ascending support, stable)."""
     nk = len(cid)
     csum = np.bincount(cid, weights=length.astype(np.float64))
     ccnt = np.bincount(cid)
@@ -83,26 +126,29 @@ def _allele_slices(cid, length, threshold_gloab):
     first_row = np.nonzero(boundary)[0]
     a_cluster = cid[first_row]
     order = np.lexsort((np.arange(n_alleles), support, a_cluster))
-    return aid, first_row, support, order
+    return first_row, support, order
 
 
-def resolve_del_device(sigs: Sequence, chrom: str, read_count: int,
+def _as_stream(sigs, is_ins: bool) -> IndelStream:
+    return sigs if isinstance(sigs, IndelStream) else \
+        IndelStream.from_tuples(sigs, is_ins)
+
+
+def resolve_del_device(sigs, chrom: str, read_count: int,
                        threshold_gloab: float, max_cluster_bias: int,
                        minimum_support_reads: int,
                        remain_reads_ratio: float, action: bool):
     """Device counterpart of models.host.resolve_del; identical outputs."""
     if remain_reads_ratio > 1:
         remain_reads_ratio = 1
-    res = _cluster_arrays(sigs, read_count, max_cluster_bias)
+    stream = _as_stream(sigs, is_ins=False)
     candidates: List[list] = []
     gt_jobs: List[dict] = []
-    if res is None:
+    res = _cluster_stream(stream, read_count, max_cluster_bias)
+    if res is None or len(res[0]) == 0:
         return candidates, gt_jobs
     cid, pos, length, sidx = res
-    if len(cid) == 0:
-        return candidates, gt_jobs
-    aid, first_row, support, order = _allele_slices(cid, length,
-                                                    threshold_gloab)
+    first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     for a in order:
         sup = int(support[a])
         if sup < minimum_support_reads:
@@ -112,13 +158,14 @@ def resolve_del_device(sigs: Sequence, chrom: str, read_count: int,
         poss = [int(p) for p in pos[lo:hi]]
         lens = [int(v) for v in length[lo:hi]]
         al = finalize_indel_allele(poss, lens, sup, remain_reads_ratio)
-        names = [sigs[int(k)][2] for k in sidx[lo:hi]]
+        names = [stream.name_of(int(k)) for k in sidx[lo:hi]]
+        keys = [stream.key_of(int(k)) for k in sidx[lo:hi]]
         if action:
             anchor = int(al["search_threshold"])
             gt_jobs.append(dict(
                 window=(max(anchor - max_cluster_bias, 0),
                         anchor + max_cluster_bias),
-                support=names))
+                support=keys))
             candidates.append([chrom, "DEL", str(int(al["breakpoint"])),
                                str(int(-al["signal_len"])), str(sup),
                                al["cipos"], al["cilen"], None, None, None,
@@ -131,23 +178,21 @@ def resolve_del_device(sigs: Sequence, chrom: str, read_count: int,
     return candidates, gt_jobs
 
 
-def resolve_ins_device(sigs: Sequence, chrom: str, read_count: int,
+def resolve_ins_device(sigs, chrom: str, read_count: int,
                        threshold_gloab: float, max_cluster_bias: int,
                        minimum_support_reads: int,
                        remain_reads_ratio: float, action: bool):
     """Device counterpart of models.host.resolve_ins; identical outputs."""
     if remain_reads_ratio > 1:
         remain_reads_ratio = 1
-    res = _cluster_arrays(sigs, read_count, max_cluster_bias)
+    stream = _as_stream(sigs, is_ins=True)
     candidates: List[list] = []
     gt_jobs: List[dict] = []
-    if res is None:
+    res = _cluster_stream(stream, read_count, max_cluster_bias)
+    if res is None or len(res[0]) == 0:
         return candidates, gt_jobs
     cid, pos, length, sidx = res
-    if len(cid) == 0:
-        return candidates, gt_jobs
-    aid, first_row, support, order = _allele_slices(cid, length,
-                                                    threshold_gloab)
+    first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     for a in order:
         sup = int(support[a])
         if sup < minimum_support_reads:
@@ -159,21 +204,22 @@ def resolve_ins_device(sigs: Sequence, chrom: str, read_count: int,
         al = finalize_indel_allele(poss, lens, sup, remain_reads_ratio)
         breakpoint = al["breakpoint"]
         signal_len = al["signal_len"]
-        seqs = [sigs[int(k)][3] for k in sidx[lo:hi]]
+        isl = int(signal_len)
         ideal_seq = None
-        for p, sq in zip(poss, seqs):
-            if len(sq) >= int(signal_len):
-                breakpoint = p
-                ideal_seq = sq[:int(signal_len)]
+        for k in range(lo, hi):
+            if int(stream.seq_len[sidx[k]]) >= isl:
+                breakpoint = poss[k - lo]
+                ideal_seq = stream.seq_of(int(sidx[k]))[:isl]
                 break
         if ideal_seq is None:
             continue
-        names = [sigs[int(k)][2] for k in sidx[lo:hi]]
+        names = [stream.name_of(int(k)) for k in sidx[lo:hi]]
+        keys = [stream.key_of(int(k)) for k in sidx[lo:hi]]
         if action:
             anchor = int(breakpoint)
             gt_jobs.append(dict(window=(max(anchor - 1000, 0),
                                         anchor + 1000),
-                                support=names))
+                                support=keys))
             candidates.append([chrom, "INS", str(int(breakpoint)),
                                str(int(signal_len)), str(sup), al["cipos"],
                                al["cilen"], None, None, None, None, None,

@@ -218,13 +218,15 @@ def resolve_ins(sigs: Sequence, chrom: str, read_count: int,
 
 def resolve_dup(sigs: Sequence, chrom: str, read_count: int,
                 max_cluster_bias: int, sv_size: int, max_size: int,
-                action: bool):
+                action: bool, names: Optional[Sequence[str]] = None):
     """DUP resolution (resolution_DUP, cuteSV_resolveDUP.py:17-131).
 
-    ``sigs`` rows: (pos1:int, pos2:int, read_name) sorted by
-    (pos1, pos2, name). Breakpoints = means of the 40-60th percentile band
-    of the pos2-sorted sub-cluster.
+    ``sigs`` rows: (pos1:int, pos2:int, read_key) sorted by
+    (pos1, pos2, key). Breakpoints = means of the 40-60th percentile band
+    of the pos2-sorted sub-cluster. ``names`` renders integer read keys
+    (native decode path) to strings; string keys render as themselves.
     """
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
     candidates = []
     gt_jobs = []
     clusters = _gap_clusters(sigs, lambda r: r[0], read_count,
@@ -264,23 +266,26 @@ def resolve_dup(sigs: Sequence, chrom: str, read_count: int,
                     support=support))
                 candidates.append([chrom, "DUP", str(bp1), str(bp2 - bp1),
                                    str(len(support)), None, None, None, None,
-                                   None, ",".join(support)])
+                                   None, ",".join(render(k)
+                                                  for k in support)])
             else:
                 candidates.append([chrom, "DUP", str(bp1), str(bp2 - bp1),
                                    str(len(support)), ".", "./.", ".,.,.",
-                                   ".", ".", ",".join(support)])
+                                   ".", ".",
+                                   ",".join(render(k) for k in support)])
     return candidates, gt_jobs
 
 
 def resolve_inv(sigs: Sequence, chrom: str, read_count: int,
                 max_cluster_bias: int, sv_size: int, max_size: int,
-                action: bool):
+                action: bool, names: Optional[Sequence[str]] = None):
     """INV resolution (resolution_INV, cuteSV_resolveINV.py:6-203).
 
     ``sigs`` rows: (strand, bp1:int, bp2:int, read_name) sorted by
     (strand, bp1, bp2, name). Clusters break on bp1 gap, bp2 gap, or strand
     change; sub-clusters on sorted-bp2 gaps with running-mean breakpoints.
     """
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
     candidates = []
     gt_jobs = []
 
@@ -326,12 +331,12 @@ def resolve_inv(sigs: Sequence, chrom: str, read_count: int,
                 candidates.append([chrom, "INV", str(int(bp1)),
                                    str(int(inv_len)), str(max_count_id),
                                    None, None, strand, None, None, None,
-                                   ",".join(ids)])
+                                   ",".join(render(k) for k in ids)])
             else:
                 candidates.append([chrom, "INV", str(int(bp1)),
                                    str(int(inv_len)), str(max_count_id),
                                    ".", "./.", strand, ".,.,.", ".", ".",
-                                   ",".join(ids)])
+                                   ",".join(render(k) for k in ids)])
     return candidates, gt_jobs
 
 
@@ -348,7 +353,8 @@ def _stable_unique(items: Sequence) -> List:
 def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
                 overlap_size: float, max_cluster_bias: int,
                 tables: Optional[Dict[str, ReadTable]],
-                chrom_lengths: Dict[str, int], action: bool, gt_round: int):
+                chrom_lengths: Dict[str, int], action: bool, gt_round: int,
+                names: Optional[Sequence[str]] = None):
     """TRA/BND resolution (resolution_TRA, cuteSV_resolveTRA.py:30-254).
 
     ``sigs`` rows: (bnd_type, pos1:int, chr2, pos2:int, read_name) sorted by
@@ -374,7 +380,7 @@ def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
             _generate_tra_cluster(cluster, chr_1, chr_2, read_count,
                                   overlap_size, max_cluster_bias,
                                   candidates, tables, chrom_lengths, action,
-                                  gt_round)
+                                  gt_round, names)
     return candidates
 
 
@@ -383,8 +389,9 @@ _BND_FMT = {"A": "N[%s[", "B": "N]%s]", "C": "[%s[N", "D": "]%s]N"}
 
 def _generate_tra_cluster(cluster, chr_1, chr_2, read_count, overlap_size,
                           max_cluster_bias, candidates, tables,
-                          chrom_lengths, action, gt_round):
+                          chrom_lengths, action, gt_round, names=None):
     """generate_semi_tra_cluster (cuteSV_resolveTRA.py:106-254)."""
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
     bnd_type = cluster[0][0]
     by_p2 = sorted(cluster, key=lambda r: r[3])
     read_tag = set()
@@ -423,7 +430,8 @@ def _generate_tra_cluster(cluster, chr_1, chr_2, read_count, overlap_size,
         candidates.append([chr_1, alt, str(p1), chr_2, str(p2),
                            str(len(support)), str(dr), str(gt), str(gl),
                            str(gq), str(qual),
-                           ",".join(_stable_unique(entry[2]))])
+                           ",".join(render(k)
+                                    for k in _stable_unique(entry[2]))])
 
     if len(temp) > 1 and len(set(temp[1][2])) >= 0.5 * read_count:
         if (len(set(temp[0][2])) + len(set(temp[1][2]))

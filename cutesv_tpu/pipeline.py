@@ -46,7 +46,50 @@ def load_bed_regions(path: Optional[str]) -> Optional[Dict[str, list]]:
 
 
 def decode_bam(cfg: Config):
-    """Stream the BAM once, extracting signatures + read census."""
+    """Stream the BAM once, extracting signatures + read census.
+
+    Uses the C++ decoder (native/bamdecode.cpp) unless ``cfg.decoder`` is
+    "python" or the native library cannot be built; the Python path is the
+    behavioral oracle."""
+    if cfg.decoder in ("native", "auto"):
+        try:
+            return _decode_bam_native(cfg)
+        except Exception:
+            if cfg.decoder == "native":
+                raise
+            log.warning("native decoder unavailable; falling back to the "
+                        "python decoder", exc_info=True)
+    return _decode_bam_python(cfg)
+
+
+def _decode_bam_native(cfg: Config):
+    from cutesv_tpu.io import native as native_io
+    bed_ids = None
+    if cfg.include_bed is not None:
+        bed = load_bed_regions(cfg.include_bed)
+        # map chrom names to header ids via a cheap header-only read
+        header = BamReader(cfg.input)
+        name_to_id = {n: i for i, (n, _) in enumerate(header.references)}
+        header.close()
+        bc, bs, be = [], [], []
+        for chrom, regions in bed.items():
+            cid = name_to_id.get(chrom)
+            if cid is None:
+                continue
+            for r0, r1 in regions:
+                bc.append(cid)
+                bs.append(r0)
+                be.append(r1)
+        bed_ids = (np.array(bc, np.int32), np.array(bs, np.int64),
+                   np.array(be, np.int64))
+    nd = native_io.decode(cfg.input, cfg, bed_ids)
+    store = sigstore.build_store_native(nd, cfg)
+    references = [(nd.chroms[i], int(nd.ref_lengths[i]))
+                  for i in range(len(nd.ref_lengths))]
+    return store, None, references, nd.n_records
+
+
+def _decode_bam_python(cfg: Config):
     candidates = extract.new_candidate_dict()
     census_rows: List[tuple] = []
     allread_rows: List[tuple] = []
@@ -161,7 +204,8 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     in the reference's DEL, INS, INV, DUP, TRA submission order."""
     action = cfg.genotype
     results: Dict[str, List] = {}
-    use_device = cfg.engine in ("device", "auto")
+    names = store.names  # rank -> string (native decode); None on oracle path
+    use_device = names is not None or cfg.engine in ("device", "auto")
     if use_device:
         from cutesv_tpu.models import device as device_models
         resolve_del = device_models.resolve_del_device
@@ -194,7 +238,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     for chrom, sigs in store.sigs["INV"].items():
         cands, jobs = host_models.resolve_inv(
             sigs, chrom, cfg.min_support, cfg.max_cluster_bias_INV,
-            cfg.min_size, cfg.max_size, action)
+            cfg.min_size, cfg.max_size, action, names=names)
         if action:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 8, 9, 10)
@@ -202,7 +246,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     for chrom, sigs in store.sigs["DUP"].items():
         cands, jobs = host_models.resolve_dup(
             sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
-            cfg.min_size, cfg.max_size, action)
+            cfg.min_size, cfg.max_size, action, names=names)
         if action:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 7, 8, 9)
@@ -211,7 +255,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         cands = host_models.resolve_tra(
             sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
             cfg.max_cluster_bias_TRA, store.read_tables,
-            store.chrom_lengths, action, cfg.gt_round)
+            store.chrom_lengths, action, cfg.gt_round, names=names)
         add(chrom, cands)
     return results
 
@@ -235,10 +279,13 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
 
     if cfg.work_dir:
         os.makedirs(cfg.work_dir, exist_ok=True)
-        if cfg.retain_work_dir:
+        if cfg.retain_work_dir and store.names is None:
             sigstore.save_store(store, cfg.work_dir)
         if cfg.write_old_sigs:
-            sigstore.write_old_sigs(store, cfg.work_dir, candidates)
+            if candidates is not None:
+                sigstore.write_old_sigs(store, cfg.work_dir, candidates)
+            else:
+                sigstore.write_old_sigs_native(store, cfg.work_dir)
 
     t1 = time.time()
     results = resolve_all(store, cfg)

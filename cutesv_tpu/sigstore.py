@@ -46,15 +46,25 @@ def _dedup_sorted(rows: List[tuple]) -> List[tuple]:
 
 @dataclass
 class SigStore:
-    """Merged signature streams + read census, grouped per chromosome."""
+    """Merged signature streams + read census, grouped per chromosome.
 
-    # per type: chrom -> list of resolver-format rows
-    sigs: Dict[str, Dict[str, List[tuple]]] = field(default_factory=dict)
+    Two builders populate this: :func:`build_store` from the Python
+    decoder's tuple streams (read identity = name string), and
+    :func:`build_store_native` from the C++ decoder's arrays (read
+    identity = lexicographic name rank, rendered to strings via ``names``).
+    DEL/INS streams from the native path are columnar
+    (models.device.IndelStream); DUP/INV/TRA stay small tuple lists.
+    """
+
+    # per type: chrom -> list of resolver-format rows (or IndelStream)
+    sigs: Dict[str, Dict[str, object]] = field(default_factory=dict)
     # chrom -> census arrays (mapq-passing, bed-passing, non-256/272 records)
     census: Dict[str, dict] = field(default_factory=dict)
     # chrom -> full record table (TRA count_coverage replay source)
     read_tables: Dict[str, ReadTable] = field(default_factory=dict)
     chrom_lengths: Dict[str, int] = field(default_factory=dict)
+    # identity-rank -> read-name string (native path only)
+    names: List[str] = None
 
     def chroms(self, svtype: str) -> List[str]:
         return list(self.sigs.get(svtype, {}))
@@ -118,6 +128,169 @@ def _to_resolver_row(svtype: str, r: tuple) -> tuple:
     return (r[0], int(r[1]), r[2], int(r[3]), r[4])
 
 
+def _dedup_mask(*keys) -> np.ndarray:
+    """True for rows differing from the previous row in any key."""
+    n = len(keys[0])
+    if n == 0:
+        return np.zeros(0, bool)
+    keep = np.zeros(n, bool)
+    keep[0] = True
+    for k in keys:
+        keep[1:] |= k[1:] != k[:-1]
+    return keep
+
+
+def build_store_native(nd, cfg) -> SigStore:
+    """Merge the native decoder's signature arrays into a SigStore.
+
+    Reproduces the stage-2 sort keys (cuteSV:763-810) with numpy lexsorts
+    over integer rank columns: chromosome names, read names and INS
+    sequences are compared via precomputed lexicographic ranks, which makes
+    integer sorting equal string sorting. Exact-duplicate removal compares
+    full rows (INS compares pos*2 exactly and sequences by content rank).
+    """
+    from cutesv_tpu.models.device import IndelStream
+
+    A = nd.arrays
+    rank = np.asarray(nd.name_rank, np.int64)
+    names_by_rank = [""] * len(nd.names)
+    for i, r in enumerate(rank):
+        names_by_rank[r] = nd.names[i]
+    chrom_order = sorted(range(len(nd.chroms)), key=lambda i: nd.chroms[i])
+    chrom_rank = np.zeros(len(nd.chroms), np.int64)
+    for r, i in enumerate(chrom_order):
+        chrom_rank[i] = r
+    chrom_by_rank = [nd.chroms[i] for i in chrom_order]
+
+    store = SigStore(chrom_lengths={
+        nd.chroms[i]: int(nd.ref_lengths[i])
+        for i in range(len(nd.ref_lengths))})
+    store.names = names_by_rank
+
+    def per_chrom_slices(ck_sorted):
+        """Yield (chrom_name, lo, hi) for contiguous chrom groups."""
+        n = len(ck_sorted)
+        if n == 0:
+            return
+        bounds = np.flatnonzero(np.diff(ck_sorted)) + 1
+        lo = 0
+        for hi in list(bounds) + [n]:
+            yield chrom_by_rank[int(ck_sorted[lo])], lo, int(hi)
+            lo = int(hi)
+
+    # ---- DEL: key (chr, pos, len, name) --------------------------------
+    rid = rank[A["del_name"]]
+    ck = chrom_rank[A["del_chr"]]
+    order = np.lexsort((rid, A["del_len"], A["del_pos"], ck))
+    ck, pos, ln, rid = (ck[order], A["del_pos"][order], A["del_len"][order],
+                        rid[order])
+    keep = _dedup_mask(ck, pos, ln, rid)
+    ck, pos, ln, rid = ck[keep], pos[keep], ln[keep], rid[keep]
+    store.sigs["DEL"] = {
+        chrom: IndelStream.from_arrays(pos[lo:hi], ln[lo:hi], rid[lo:hi],
+                                       names_by_rank)
+        for chrom, lo, hi in per_chrom_slices(ck)}
+
+    # ---- INS: key (chr, int(pos), len, name, seq) ----------------------
+    rid = rank[A["ins_name"]]
+    ck = chrom_rank[A["ins_chr"]]
+    sq = A["ins_seq_rank"]
+    ipos = A["ins_posx2"] >> 1
+    order = np.lexsort((sq, rid, A["ins_len"], ipos, ck))
+    ck, px2, ln, rid, sq = (ck[order], A["ins_posx2"][order],
+                            A["ins_len"][order], rid[order], sq[order])
+    soff, slen = A["ins_seq_off"][order], A["ins_seq_len"][order]
+    keep = _dedup_mask(ck, px2, ln, rid, sq)
+    ck, px2, ln, rid = ck[keep], px2[keep], ln[keep], rid[keep]
+    soff, slen = soff[keep], slen[keep]
+    ipos = px2 >> 1  # resolution-time int(pos) truncation
+    store.sigs["INS"] = {
+        chrom: IndelStream.from_arrays(ipos[lo:hi], ln[lo:hi], rid[lo:hi],
+                                       names_by_rank, seq_len=slen[lo:hi],
+                                       seq_blob=nd.ins_seq_blob,
+                                       seq_off=soff[lo:hi])
+        for chrom, lo, hi in per_chrom_slices(ck)}
+
+    # ---- DUP: key (chr, pos1, pos2, name); tuple rows ------------------
+    rid = rank[A["dup_name"]]
+    ck = chrom_rank[A["dup_chr"]]
+    order = np.lexsort((rid, A["dup_p2"], A["dup_p1"], ck))
+    ck, p1, p2, rid = (ck[order], A["dup_p1"][order], A["dup_p2"][order],
+                       rid[order])
+    keep = _dedup_mask(ck, p1, p2, rid)
+    ck, p1, p2, rid = ck[keep], p1[keep], p2[keep], rid[keep]
+    store.sigs["DUP"] = {
+        chrom: list(zip(p1[lo:hi].tolist(), p2[lo:hi].tolist(),
+                        rid[lo:hi].tolist()))
+        for chrom, lo, hi in per_chrom_slices(ck)}
+
+    # ---- INV: key (chr, strand, bp1, bp2, name); tuple rows ------------
+    rid = rank[A["inv_name"]]
+    ck = chrom_rank[A["inv_chr"]]
+    st = A["inv_strand"].astype(np.int64)
+    order = np.lexsort((rid, A["inv_b2"], A["inv_b1"], st, ck))
+    ck, st, b1, b2, rid = (ck[order], st[order], A["inv_b1"][order],
+                           A["inv_b2"][order], rid[order])
+    keep = _dedup_mask(ck, st, b1, b2, rid)
+    ck, st, b1, b2, rid = ck[keep], st[keep], b1[keep], b2[keep], rid[keep]
+    strands = np.array(["++", "--"])
+    store.sigs["INV"] = {
+        chrom: list(zip(strands[st[lo:hi]].tolist(), b1[lo:hi].tolist(),
+                        b2[lo:hi].tolist(), rid[lo:hi].tolist()))
+        for chrom, lo, hi in per_chrom_slices(ck)}
+
+    # ---- TRA: key (chr1, chr2, type, pos1, pos2, name); tuple rows -----
+    rid = rank[A["tra_name"]]
+    ck1 = chrom_rank[A["tra_chr1"]]
+    ck2 = chrom_rank[A["tra_chr2"]]
+    ty = A["tra_type"].astype(np.int64)
+    order = np.lexsort((rid, A["tra_p2"], A["tra_p1"], ty, ck2, ck1))
+    ck1, ck2, ty, p1, p2, rid = (ck1[order], ck2[order], ty[order],
+                                 A["tra_p1"][order], A["tra_p2"][order],
+                                 rid[order])
+    keep = _dedup_mask(ck1, ck2, ty, p1, p2, rid)
+    ck1, ck2, ty, p1, p2, rid = (ck1[keep], ck2[keep], ty[keep], p1[keep],
+                                 p2[keep], rid[keep])
+    types = np.array(["A", "B", "C", "D"])
+    store.sigs["TRA"] = {
+        chrom: [(t, int(a), chrom_by_rank[int(c2)], int(b), int(r))
+                for t, a, c2, b, r in zip(
+                    types[ty[lo:hi]].tolist(), p1[lo:hi], ck2[lo:hi],
+                    p2[lo:hi], rid[lo:hi])]
+        for chrom, lo, hi in per_chrom_slices(ck1)}
+
+    # ---- census / read tables (stable per-chrom grouping) --------------
+    cen_ck = A["cen_chr"].astype(np.int64)
+    order = np.argsort(cen_ck, kind="stable")
+    cs, ce, cp, cn, cc = (A["cen_start"][order], A["cen_end"][order],
+                          A["cen_prim"][order], rank[A["cen_name"]][order],
+                          cen_ck[order])
+    n = len(cc)
+    bounds = list(np.flatnonzero(np.diff(cc)) + 1) + ([n] if n else [])
+    lo = 0
+    for hi in bounds:
+        chrom = nd.chroms[int(cc[lo])]
+        store.census[chrom] = dict(start=cs[lo:hi], end=ce[lo:hi],
+                                   is_primary=cp[lo:hi].astype(np.int8),
+                                   name=cn[lo:hi])
+        lo = int(hi)
+
+    all_ck = A["all_chr"].astype(np.int64)
+    order = np.argsort(all_ck, kind="stable")
+    s, e, p, nm, cc = (A["all_start"][order], A["all_end"][order],
+                       A["all_prim"][order], rank[A["all_name"]][order],
+                       all_ck[order])
+    n = len(cc)
+    bounds = list(np.flatnonzero(np.diff(cc)) + 1) + ([n] if n else [])
+    lo = 0
+    for hi in bounds:
+        chrom = nd.chroms[int(cc[lo])]
+        store.read_tables[chrom] = ReadTable(s[lo:hi], e[lo:hi], p[lo:hi],
+                                             nm[lo:hi])
+        lo = int(hi)
+    return store
+
+
 def save_store(store: SigStore, work_dir: str):
     """Checkpoint the store (signature tensors = natural resume point
     between extract and cluster, SURVEY §5)."""
@@ -130,6 +303,41 @@ def save_store(store: SigStore, work_dir: str):
 def load_store(work_dir: str) -> SigStore:
     with open(os.path.join(work_dir, "sigstore.pickle"), "rb") as fh:
         return pickle.load(fh)
+
+
+def write_old_sigs_native(store: SigStore, work_dir: str):
+    """Legacy .sigs text from a native (columnar) store. Streams are
+    already in the reference's merged sort order; chrom groups concatenate
+    in chrom-rank order."""
+    names = store.names
+
+    with open(os.path.join(work_dir, "DEL.sigs"), "w") as fh:
+        for chrom, stream in store.sigs["DEL"].items():
+            for k in range(len(stream)):
+                fh.write("DEL\t%s\t%d\t%d\t%s\n" % (
+                    chrom, stream.pos[k], stream.length[k],
+                    names[int(stream.rid[k])]))
+    with open(os.path.join(work_dir, "INS.sigs"), "w") as fh:
+        for chrom, stream in store.sigs["INS"].items():
+            for k in range(len(stream)):
+                fh.write("INS\t%s\t%d\t%d\t%s\t%s\n" % (
+                    chrom, stream.pos[k], stream.length[k],
+                    names[int(stream.rid[k])], stream.seq_of(k)))
+    with open(os.path.join(work_dir, "DUP.sigs"), "w") as fh:
+        for chrom, rows in store.sigs["DUP"].items():
+            for p1, p2, rid in rows:
+                fh.write("DUP\t%s\t%d\t%d\t%s\n" % (chrom, p1, p2,
+                                                    names[rid]))
+    with open(os.path.join(work_dir, "INV.sigs"), "w") as fh:
+        for chrom, rows in store.sigs["INV"].items():
+            for st, b1, b2, rid in rows:
+                fh.write("INV\t%s\t%s\t%d\t%d\t%s\n" % (chrom, st, b1, b2,
+                                                        names[rid]))
+    with open(os.path.join(work_dir, "TRA.sigs"), "w") as fh:
+        for chrom, rows in store.sigs["TRA"].items():
+            for ty, p1, chr2, p2, rid in rows:
+                fh.write("TRA\t%s\t%s\t%d\t%s\t%d\t%s\n" % (
+                    chrom, ty, p1, chr2, p2, names[rid]))
 
 
 def write_old_sigs(store: SigStore, work_dir: str,

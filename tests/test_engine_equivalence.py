@@ -48,14 +48,17 @@ def test_engines_identical(tmp_path):
     simdata.write_ref_fasta(str(fa), ref)
 
     outputs = {}
-    for engine in ("host", "device"):
-        out = tmp_path / ("out_%s.vcf" % engine)
+    for label, engine, decoder in (("host", "host", "python"),
+                                   ("device", "device", "python"),
+                                   ("native", "device", "native")):
+        out = tmp_path / ("out_%s.vcf" % label)
         cfg = Config(input=str(bam), reference=str(fa), output=str(out),
                      work_dir=str(tmp_path), genotype=True, min_support=3,
-                     engine=engine)
+                     engine=engine, decoder=decoder)
         run_pipeline(cfg, ["x"])
-        outputs[engine] = _strip_volatile(out.read_text())
+        outputs[label] = _strip_volatile(out.read_text())
     assert outputs["host"] == outputs["device"]
+    assert outputs["host"] == outputs["native"]
     # sanity: we actually called something
     n_records = sum(1 for l in outputs["host"].splitlines()
                     if l and not l.startswith("#"))
