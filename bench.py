@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: reads/s through the full calling pipeline.
+
+Builds (and caches) a synthetic long-read dataset — 20x coverage of a
+random genome with planted DEL/INS SVs, HiFi-like noise indels above and
+below the signature threshold — then times:
+
+  * the TPU engine (native C++ decode -> device cluster/genotype kernels)
+  * the reference-equivalent Python pipeline (python decode + host
+    resolvers), standing in for cuteSV's per-read Python hot loops
+
+Prints ONE JSON line: {"metric", "value" (reads/s), "unit", "vs_baseline"}.
+
+Env knobs: BENCH_MB (genome Mb, default 20), BENCH_BASELINE=0 to skip the
+slow baseline and reuse the last measured rate from the cache.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+READ_LEN = 20_000
+COVERAGE = 20
+
+
+def _codes_to_str(codes):
+    return (np.frombuffer(b"ACGT", np.uint8)[codes]).tobytes().decode()
+
+
+def build_dataset(genome_mb: int, seed: int = 0):
+    """Synthesize ref.fa + sim.bam under CACHE; returns paths."""
+    os.makedirs(CACHE, exist_ok=True)
+    tag = "g%dmb_c%dx" % (genome_mb, COVERAGE)
+    bam = os.path.join(CACHE, "sim_%s.bam" % tag)
+    fa = os.path.join(CACHE, "ref_%s.fa" % tag)
+    meta = os.path.join(CACHE, "meta_%s.json" % tag)
+    if os.path.exists(bam) and os.path.exists(fa) and os.path.exists(meta):
+        return bam, fa, json.load(open(meta))
+    from cutesv_tpu.io.bam import BamWriter
+
+    rng = np.random.default_rng(seed)
+    n = genome_mb * 1_000_000
+    ref_codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+
+    # planted SVs: every 50 kb, alternating DEL/INS, len 60-400, all het
+    sv_loci = []
+    p = 100_000
+    k = 0
+    while p < n - 100_000:
+        svlen = int(rng.integers(60, 400))
+        sv_loci.append((p, "DEL" if k % 2 == 0 else "INS", svlen))
+        k += 1
+        p += 50_000
+    ins_seqs = {p: rng.integers(0, 4, size=l, dtype=np.uint8)
+                for p, t, l in sv_loci if t == "INS"}
+
+    step = READ_LEN // COVERAGE
+    n_reads = 0
+    with BamWriter(bam, [("chr1", n)]) as w:
+        ridx = 0
+        for start in range(0, n - READ_LEN, step):
+            ridx += 1
+            qname = "r%06d" % ridx
+            carrier = ridx % 2 == 0
+            # collect events inside the read: planted SVs (if carrier) and
+            # noise indels
+            events = []  # (ref_pos, kind, len)
+            if carrier:
+                for p, t, l in sv_loci:
+                    if start + 500 < p < start + READ_LEN - 500:
+                        events.append((p, t, l))
+            # noise: ~6 small (1-9 bp, below min_siglength) + ~12 medium
+            # (10-30 bp) indels per read — noisy-long-read signature volume
+            for _ in range(6):
+                off = int(rng.integers(600, READ_LEN - 600))
+                events.append((start + off, "DEL" if rng.random() < 0.5
+                               else "INS", int(rng.integers(1, 9))))
+            for _ in range(12):
+                off = int(rng.integers(600, READ_LEN - 600))
+                events.append((start + off, "DEL" if rng.random() < 0.5
+                               else "INS", int(rng.integers(10, 30))))
+            events.sort()
+            # build cigar + seq
+            cigar = []
+            chunks = []
+            cur = start
+            ref_remaining = READ_LEN
+            for p, t, l in events:
+                if p <= cur or p >= start + ref_remaining - 50:
+                    continue
+                m = p - cur
+                cigar.append((0, m))
+                chunks.append(ref_codes[cur:p])
+                if t == "DEL":
+                    cigar.append((2, l))
+                    cur = p + l
+                else:
+                    cigar.append((1, l))
+                    chunks.append(ins_seqs.get(
+                        p, rng.integers(0, 4, size=l, dtype=np.uint8)))
+                    cur = p
+            end = start + READ_LEN
+            cigar.append((0, end - cur))
+            chunks.append(ref_codes[cur:end])
+            seq = _codes_to_str(np.concatenate(chunks))
+            w.write(qname, 0, 0, start, 60, cigar, seq)
+            n_reads += 1
+
+    # FASTA
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n")
+        s = _codes_to_str(ref_codes)
+        for i in range(0, n, 10_000):
+            fh.write(s[i:i + 10_000] + "\n")
+    info = {"n_reads": n_reads, "n_sv": len(sv_loci)}
+    json.dump(info, open(meta, "w"))
+    return bam, fa, info
+
+
+def run_once(bam, fa, engine, decoder, outdir):
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import run_pipeline
+
+    out = os.path.join(outdir, "bench_%s_%s.vcf" % (engine, decoder))
+    cfg = Config(input=bam, reference=fa, output=out, work_dir=outdir,
+                 genotype=True, min_support=3, engine=engine,
+                 decoder=decoder)
+    t0 = time.time()
+    stats = run_pipeline(cfg, ["bench"])
+    dt = time.time() - t0
+    n_calls = stats["n_calls"]
+    return dt, n_calls, out
+
+
+def main():
+    genome_mb = int(os.environ.get("BENCH_MB", "20"))
+    bam, fa, info = build_dataset(genome_mb)
+    n_reads = info["n_reads"]
+    outdir = os.path.join(CACHE, "out")
+    os.makedirs(outdir, exist_ok=True)
+
+    # TPU path (warm once for jit compile, then measure)
+    dt_w, _, _ = run_once(bam, fa, "device", "native", outdir)
+    dt_native, calls_native, vcf_native = run_once(bam, fa, "device",
+                                                   "native", outdir)
+
+    rate_file = os.path.join(CACHE, "baseline_rate_%dmb.json" % genome_mb)
+    if os.environ.get("BENCH_BASELINE", "1") != "0" or \
+            not os.path.exists(rate_file):
+        dt_py, calls_py, vcf_py = run_once(bam, fa, "host", "python", outdir)
+        base_rate = n_reads / dt_py
+        json.dump({"rate": base_rate}, open(rate_file, "w"))
+        identical = (
+            open(vcf_native).read().split("#CHROM")[-1]
+            == open(vcf_py).read().split("#CHROM")[-1])
+    else:
+        base_rate = json.load(open(rate_file))["rate"]
+        identical = None
+
+    rate = n_reads / dt_native
+    result = {
+        "metric": "synthetic %dMb %dx end-to-end calling reads/s "
+                  "(native+TPU vs reference-equivalent python)" % (
+                      genome_mb, COVERAGE),
+        "value": round(rate, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rate / base_rate, 2),
+    }
+    print(json.dumps(result))
+    # extra context on stderr (driver records stdout json only)
+    print("native: %.2fs (%d calls)  baseline: %.1f reads/s  "
+          "outputs_identical=%s  warm=%.2fs"
+          % (dt_native, calls_native, base_rate, identical, dt_w),
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,44 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
     return out
 
 
+def _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
+                     cover_fn) -> list:
+    """Vectorized DR/GT assignment when read identities are integer ranks
+    (native decode path): primary intervals live in rank-indexed arrays and
+    the support-covers intersection is one masked bincount."""
+    prim = reads_chrom["is_primary"] == 1
+    p_start = reads_chrom["start"][prim]
+    p_end = reads_chrom["end"][prim]
+    p_rank = reads_chrom["name"][prim].astype(np.int64)
+    n_sv = len(sv_windows)
+    covers = (cover_fn or cover_counts)(sv_windows, p_start, p_end)
+    lens = np.fromiter((len(s) for s in support_sets), np.int64, n_sv)
+    flat_key = (np.concatenate([np.asarray(s, np.int64)
+                                for s in support_sets])
+                if n_sv and lens.sum() else np.empty(0, np.int64))
+    flat_sv = np.repeat(np.arange(n_sv), lens)
+    size = int(max(p_rank.max() + 1 if len(p_rank) else 0,
+                   flat_key.max() + 1 if len(flat_key) else 0))
+    st = np.full(size, -1, np.int64)
+    en = np.full(size, -1, np.int64)
+    st[p_rank] = p_start
+    en[p_rank] = p_end
+    s_arr = np.fromiter((w[0] for w in sv_windows), np.float64, n_sv)
+    e_arr = np.fromiter((w[1] for w in sv_windows), np.float64, n_sv)
+    ps = st[flat_key]
+    pe = en[flat_key]
+    mask = (ps >= 0) & (ps <= s_arr[flat_sv]) & (pe >= e_arr[flat_sv])
+    inter = np.bincount(flat_sv[mask], minlength=n_sv)
+    table = gl_table()
+    rows = []
+    for i in range(n_sv):
+        dr = int(covers[i]) - int(inter[i])
+        dv = int(lens[i])
+        gt, pl, gq, qual = table.lookup(dr, dv)
+        rows.append([dv, dr, gt, pl, gq, qual])
+    return rows
+
+
 def assign_gt_del_ins(sv_windows, support_sets, reads_chrom,
                       cover_fn=None) -> list:
     """DR/GT assignment for DEL/INS/DUP/INV candidates.
@@ -161,6 +199,11 @@ def assign_gt_del_ins(sv_windows, support_sets, reads_chrom,
     Returns rows [DV, DR, GT, PL, GQ, QUAL] (assign_gt contract,
     cuteSV_genotype.py:161-173).
     """
+    name_col = reads_chrom["name"]
+    if (isinstance(name_col, np.ndarray)
+            and np.issubdtype(name_col.dtype, np.integer)):
+        return _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
+                                cover_fn)
     prim = reads_chrom["is_primary"] == 1
     p_start = reads_chrom["start"][prim]
     p_end = reads_chrom["end"][prim]

@@ -14,7 +14,19 @@ import struct
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from cutesv_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+# packed-byte -> hi/lo nibble ASCII luts (vectorized SEQ decode); and
+# char -> nt16 code for the writer
+_NT16_ASCII = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
+_HI_CHAR = _NT16_ASCII[np.arange(256) >> 4]
+_LO_CHAR = _NT16_ASCII[np.arange(256) & 0xF]
+_CHAR_TO_CODE = np.full(256, 15, np.uint8)
+for _i, _c in enumerate("=ACMGRSVTWYHKDBN"):
+    _CHAR_TO_CODE[ord(_c)] = _i
+    _CHAR_TO_CODE[ord(_c.lower())] = _i
 
 BAM_MAGIC = b"BAM\x01"
 
@@ -149,12 +161,11 @@ class BamReader:
             cigar.append((v & 0xF, v >> 4))
         off += 4 * n_cigar
         nbytes = (l_seq + 1) // 2
-        seq_chars = []
-        for k in range(l_seq):
-            b = buf[off + (k >> 1)]
-            code = (b >> 4) if (k & 1) == 0 else (b & 0xF)
-            seq_chars.append(_SEQ_NT16[code])
-        seq = "".join(seq_chars)
+        packed = np.frombuffer(buf, np.uint8, nbytes, off)
+        chars = np.empty(nbytes * 2, np.uint8)
+        chars[0::2] = _HI_CHAR[packed]
+        chars[1::2] = _LO_CHAR[packed]
+        seq = chars.tobytes()[:l_seq].decode("ascii")
         off += nbytes + l_seq  # skip qual
         tags = _parse_tags(buf[off:])
         return BamRecord(qname=qname, flag=flag, ref_id=ref_id, pos=pos,
@@ -227,14 +238,11 @@ class BamWriter:
         rec += qb
         for op, ln in cigar:
             rec += struct.pack("<I", (ln << 4) | op)
-        packed = bytearray((len(seq) + 1) // 2)
-        for k, ch in enumerate(seq):
-            code = _NT16_CODE.get(ch.upper(), 15)
-            if k & 1:
-                packed[k >> 1] |= code
-            else:
-                packed[k >> 1] |= code << 4
-        rec += packed
+        codes = _CHAR_TO_CODE[np.frombuffer(seq.encode("ascii"), np.uint8)]
+        if len(codes) & 1:
+            codes = np.concatenate([codes, np.zeros(1, np.uint8)])
+        packed = (codes[0::2] << 4) | codes[1::2]
+        rec += packed.tobytes()
         rec += b"\xff" * len(seq)  # qual: 0xFF = unavailable
         for tag, val in (tags or {}).items():
             tb = tag.encode()

@@ -24,6 +24,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from cutesv_tpu.genotype import cal_CIPOS
 from cutesv_tpu.models.host import finalize_indel_allele
 from cutesv_tpu.ops.indel_cluster import indel_cluster_structure
 from cutesv_tpu.ops.segments import padded_size
@@ -134,6 +135,64 @@ def _as_stream(sigs, is_ins: bool) -> IndelStream:
         IndelStream.from_tuples(sigs, is_ins)
 
 
+def _cipos_vectorized(values, first_row, support, aid, means):
+    """Batched cal_CIPOS(np.std(slice), n) per allele.
+
+    np.std's pairwise summation of squared deviations can differ from
+    reduceat's sequential sum in the last ulp; that only matters when
+    1.96*std/sqrt(n) sits within rounding distance of an integer (int()
+    truncation boundary), so those rare alleles are recomputed with np.std
+    itself. Returns the "-d,d" strings.
+    """
+    dev = values.astype(np.float64) - means[aid]
+    sq = dev * dev
+    sums = np.add.reduceat(sq, first_row)
+    n = support.astype(np.float64)
+    std = np.sqrt(sums / n)
+    raw = 1.96 * std / np.sqrt(n)
+    d = raw.astype(np.int64)
+    # ulp-boundary guard: recompute exactly where truncation is ambiguous
+    risky = np.abs(raw - np.round(raw)) < 1e-6
+    out = ["-%d,%d" % (x, x) for x in d]
+    for a in np.nonzero(risky)[0]:
+        lo = first_row[a]
+        hi = first_row[a + 1] if a + 1 < len(first_row) else len(values)
+        out[a] = cal_CIPOS(np.std(values[lo:hi]), int(support[a]))
+    return out
+
+
+def _finalize_vectorized(cid, pos, length, first_row, support):
+    """Batched allele finalization for remain_reads_ratio == 1.
+
+    Bit-identical to finalize_indel_allele: means of integers are exact in
+    f64 regardless of summation order, so sum/n == np.mean over the picked
+    permutation; the search anchor is the member minimizing
+    (|pos - mean|, index-within-allele).
+    Returns (bp_mean, len_mean, search_thr) arrays per allele.
+    """
+    nk = len(cid)
+    n_alleles = len(first_row)
+    aid = np.zeros(nk, np.int64)
+    aid[first_row] = 1
+    aid = np.cumsum(aid) - 1
+    possum = np.bincount(aid, weights=pos.astype(np.float64),
+                         minlength=n_alleles)
+    lensum = np.bincount(aid, weights=length.astype(np.float64),
+                         minlength=n_alleles)
+    sup = support.astype(np.float64)
+    bp_mean = possum / sup
+    len_mean = lensum / sup
+    # anchor: first member (by in-allele index) at min |pos - mean|
+    dev = np.abs(pos.astype(np.float64) - bp_mean[aid])
+    order = np.lexsort((np.arange(nk), dev, aid))
+    o_aid = aid[order]
+    first_of_allele = np.ones(nk, bool)
+    first_of_allele[1:] = o_aid[1:] != o_aid[:-1]
+    search_thr = np.zeros(n_alleles, pos.dtype)
+    search_thr[o_aid[first_of_allele]] = pos[order[first_of_allele]]
+    return bp_mean, len_mean, search_thr, aid
+
+
 def resolve_del_device(sigs, chrom: str, read_count: int,
                        threshold_gloab: float, max_cluster_bias: int,
                        minimum_support_reads: int,
@@ -149,15 +208,26 @@ def resolve_del_device(sigs, chrom: str, read_count: int,
         return candidates, gt_jobs
     cid, pos, length, sidx = res
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
+    fast = remain_reads_ratio == 1
+    if fast:
+        bp_v, len_v, thr_v, aid = _finalize_vectorized(cid, pos, length,
+                                                       first_row, support)
+        cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
+        cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
     for a in order:
         sup = int(support[a])
         if sup < minimum_support_reads:
             continue
         lo = int(first_row[a])
         hi = int(first_row[a + 1]) if a + 1 < len(first_row) else len(cid)
-        poss = [int(p) for p in pos[lo:hi]]
-        lens = [int(v) for v in length[lo:hi]]
-        al = finalize_indel_allele(poss, lens, sup, remain_reads_ratio)
+        if fast:
+            al = dict(breakpoint=bp_v[a], signal_len=len_v[a],
+                      search_threshold=int(thr_v[a]),
+                      cipos=cipos_v[a], cilen=cilen_v[a])
+        else:
+            al = finalize_indel_allele([int(p) for p in pos[lo:hi]],
+                                       [int(v) for v in length[lo:hi]],
+                                       sup, remain_reads_ratio)
         names = [stream.name_of(int(k)) for k in sidx[lo:hi]]
         keys = [stream.key_of(int(k)) for k in sidx[lo:hi]]
         if action:
@@ -193,26 +263,36 @@ def resolve_ins_device(sigs, chrom: str, read_count: int,
         return candidates, gt_jobs
     cid, pos, length, sidx = res
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
+    fast = remain_reads_ratio == 1
+    if fast:
+        bp_v, len_v, thr_v, aid = _finalize_vectorized(cid, pos, length,
+                                                       first_row, support)
+        cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
+        cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
+    row_seq_len = stream.seq_len[sidx] if len(sidx) else np.empty(0, np.int64)
     for a in order:
         sup = int(support[a])
         if sup < minimum_support_reads:
             continue
         lo = int(first_row[a])
         hi = int(first_row[a + 1]) if a + 1 < len(first_row) else len(cid)
-        poss = [int(p) for p in pos[lo:hi]]
-        lens = [int(v) for v in length[lo:hi]]
-        al = finalize_indel_allele(poss, lens, sup, remain_reads_ratio)
+        if fast:
+            al = dict(breakpoint=bp_v[a], signal_len=len_v[a],
+                      search_threshold=int(thr_v[a]),
+                      cipos=cipos_v[a], cilen=cilen_v[a])
+        else:
+            al = finalize_indel_allele([int(p) for p in pos[lo:hi]],
+                                       [int(v) for v in length[lo:hi]],
+                                       sup, remain_reads_ratio)
         breakpoint = al["breakpoint"]
         signal_len = al["signal_len"]
         isl = int(signal_len)
-        ideal_seq = None
-        for k in range(lo, hi):
-            if int(stream.seq_len[sidx[k]]) >= isl:
-                breakpoint = poss[k - lo]
-                ideal_seq = stream.seq_of(int(sidx[k]))[:isl]
-                break
-        if ideal_seq is None:
+        ok = np.nonzero(row_seq_len[lo:hi] >= isl)[0]
+        if len(ok) == 0:
             continue
+        k = lo + int(ok[0])
+        breakpoint = int(pos[k])
+        ideal_seq = stream.seq_of(int(sidx[k]))[:isl]
         names = [stream.name_of(int(k)) for k in sidx[lo:hi]]
         keys = [stream.key_of(int(k)) for k in sidx[lo:hi]]
         if action:

@@ -18,12 +18,15 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 #include <stdexcept>
 #include <string>
 #include <string_view>
 #include <thread>
+#include <memory>
 #include <unordered_map>
 #include <vector>
+#include <chrono>
 
 namespace {
 
@@ -82,6 +85,19 @@ inline std::string revcomp(const std::string& s) {
 
 const char kSeqNT16[17] = "=ACMGRSVTWYHKDBN";
 
+// packed byte -> two ASCII bases at once
+struct SeqLut {
+  uint16_t t[256];
+  SeqLut() {
+    for (int b = 0; b < 256; b++) {
+      uint16_t hi = (uint8_t)kSeqNT16[b >> 4];
+      uint16_t lo = (uint8_t)kSeqNT16[b & 0xF];
+      t[b] = (uint16_t)(hi | (lo << 8));  // little-endian: hi char first
+    }
+  }
+};
+const SeqLut kSeqLut;
+
 // ---------------------------------------------------------------------------
 // output collector
 // ---------------------------------------------------------------------------
@@ -136,6 +152,50 @@ struct Collector {
     chrom_ids.emplace(s, id);
     return id;
   }
+  // Append another collector's outputs (a worker's chunk share),
+  // remapping its interned name/chrom ids into this table. Row order is
+  // preserved, so per-chunk, per-range concatenation keeps file order.
+  void merge_from(const Collector& o) {
+    std::vector<int64_t> nmap(o.name_off.size() - 1);
+    for (size_t i = 0; i + 1 < o.name_off.size(); i++)
+      nmap[i] = intern_name(o.name_blob.substr(
+          o.name_off[i], o.name_off[i + 1] - o.name_off[i]));
+    std::vector<int32_t> cmap(o.chroms.size());
+    for (size_t i = 0; i < o.chroms.size(); i++)
+      cmap[i] = intern_chrom(o.chroms[i]);
+    auto cat_n = [&](Out<int64_t>& d, const Out<int64_t>& s) {
+      for (auto v : s.v) d.push(nmap[v]);
+    };
+    auto cat_c = [&](Out<int32_t>& d, const Out<int32_t>& s) {
+      for (auto v : s.v) d.push(cmap[v]);
+    };
+    auto cat = [&](auto& d, const auto& s) {
+      d.v.insert(d.v.end(), s.v.begin(), s.v.end());
+    };
+    cat_c(del_chr, o.del_chr); cat(del_pos, o.del_pos);
+    cat(del_len, o.del_len); cat_n(del_name, o.del_name);
+    int64_t soff = (int64_t)ins_seq_blob.size();
+    cat_c(ins_chr, o.ins_chr); cat(ins_posx2, o.ins_posx2);
+    cat(ins_len, o.ins_len); cat_n(ins_name, o.ins_name);
+    for (auto v : o.ins_seq_off.v) ins_seq_off.push(v + soff);
+    cat(ins_seq_len, o.ins_seq_len);
+    ins_seq_blob += o.ins_seq_blob;
+    cat_c(dup_chr, o.dup_chr); cat(dup_p1, o.dup_p1);
+    cat(dup_p2, o.dup_p2); cat_n(dup_name, o.dup_name);
+    cat_c(inv_chr, o.inv_chr); cat(inv_strand, o.inv_strand);
+    cat(inv_b1, o.inv_b1); cat(inv_b2, o.inv_b2); cat_n(inv_name, o.inv_name);
+    cat_c(tra_chr1, o.tra_chr1); cat(tra_type, o.tra_type);
+    cat(tra_p1, o.tra_p1); cat_c(tra_chr2, o.tra_chr2);
+    cat(tra_p2, o.tra_p2); cat_n(tra_name, o.tra_name);
+    cat_c(cen_chr, o.cen_chr); cat(cen_start, o.cen_start);
+    cat(cen_end, o.cen_end); cat(cen_prim, o.cen_prim);
+    cat_n(cen_name, o.cen_name);
+    cat_c(all_chr, o.all_chr); cat(all_start, o.all_start);
+    cat(all_end, o.all_end); cat(all_prim, o.all_prim);
+    cat_n(all_name, o.all_name);
+    n_records += o.n_records;
+  }
+
   void add_ins(int32_t chr, int64_t posx2, int64_t len, int64_t name,
                const std::string& seq) {
     ins_chr.push(chr); ins_posx2.push(posx2); ins_len.push(len);
@@ -432,13 +492,12 @@ struct BgzfChunkReader {
   FILE* f;
   int n_threads;
   bool eof = false;
-  std::string carry;  // partial record bytes from the previous chunk
 
   explicit BgzfChunkReader(FILE* fh, int threads)
       : f(fh), n_threads(std::max(1, threads)) {}
 
-  // Read up to max_blocks BGZF blocks, inflate them in parallel, return
-  // carry + payload. Returns false at clean EOF with no data.
+  // Read up to max_blocks BGZF blocks and inflate them in parallel into
+  // ``out``. Returns false when no new blocks were available.
   bool next_chunk(std::string& out, int max_blocks = 4096) {
     struct Blk {
       std::string cdata;
@@ -479,12 +538,10 @@ struct BgzfChunkReader {
       total += b.isize;
       blocks.push_back(std::move(b));
     }
-    if (blocks.empty()) return false;  // no new data (carry preserved)
+    if (blocks.empty()) return false;  // no new data
     out.clear();
-    out.resize(carry.size() + total);
-    memcpy(&out[0], carry.data(), carry.size());
-    size_t base = carry.size();
-    carry.clear();
+    out.resize(total);
+    size_t base = 0;
     std::atomic<size_t> next{0};
     auto worker = [&]() {
       libdeflate_decompressor* d = libdeflate_alloc_decompressor();
@@ -539,18 +596,17 @@ struct BedRegions {
   }
 };
 
-struct Decoder {
-  Params P;
+struct Worker {
+  const Params& P;
+  const BedRegions& bed;
   Collector C;
-  BedRegions bed;
-  std::vector<int64_t> ref_lens;
-
-  // scratch
   std::string seq_scratch;
+  double t_seq = 0;
 
-  void fail(const char* msg) {
-    fprintf(stderr, "bamdecode: %s\n", msg);
-    throw std::runtime_error(msg);
+  Worker(const Params& p, const BedRegions& b,
+         const std::vector<std::string>& header_chroms)
+      : P(p), bed(b) {
+    for (const auto& s : header_chroms) C.intern_chrom(s);
   }
 
   // -- SA CIGAR clip profile (cuteSV:466-481): only 'S' counts as clip --
@@ -620,12 +676,20 @@ struct Decoder {
 
     if (l_seq < P.min_read_len) return;  // query_length gate (cuteSV:607)
 
-    // decode SEQ lazily-ish (needed for INS slices and SA analysis)
-    seq_scratch.resize(l_seq);
-    for (int64_t k = 0; k < l_seq; k++) {
-      uint8_t b = (uint8_t)seq_p[k >> 1];
-      seq_scratch[k] = kSeqNT16[(k & 1) ? (b & 0xF) : (b >> 4)];
+    // decode SEQ (needed for INS slices and SA analysis): 2 bases/lookup
+    auto _t0 = std::chrono::steady_clock::now();
+    seq_scratch.resize((size_t)l_seq + 1);
+    {
+      char* dst = &seq_scratch[0];
+      int64_t nb = (l_seq + 1) / 2;
+      for (int64_t k = 0; k < nb; k++) {
+        uint16_t pair = kSeqLut.t[(uint8_t)seq_p[k]];
+        memcpy(dst + 2 * k, &pair, 2);
+      }
     }
+    seq_scratch.resize(l_seq);
+    t_seq += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - _t0).count();
 
     int process_signal;
     switch (flag) {
@@ -827,6 +891,16 @@ struct Decoder {
     }
   }
 
+};
+
+struct Decoder {
+  Params P;
+  Collector C;
+  BedRegions bed;
+  std::vector<int64_t> ref_lens;
+  std::vector<std::string> header_chroms;
+  double t_seq = 0;
+
   // returns 0 on success
   int run(const char* path) {
     FILE* f = fopen(path, "rb");
@@ -838,13 +912,9 @@ struct Decoder {
     if (!rd.next_chunk(chunk)) { fclose(f); return 2; }
     auto need = [&](size_t n) {
       while (chunk.size() < n) {
-        rd.carry.swap(chunk);  // next_chunk() prepends carry
         std::string more;
-        if (!rd.next_chunk(more)) {
-          chunk.swap(rd.carry);  // no new data; restore what we had
-          break;
-        }
-        chunk.swap(more);
+        if (!rd.next_chunk(more)) break;
+        chunk += more;
       }
       return chunk.size() >= n;
     };
@@ -869,30 +939,80 @@ struct Decoder {
       int32_t l_ref = rd_i32(chunk.data() + off);
       off += 4;
       C.intern_chrom(nm);
+      header_chroms.push_back(nm);
       ref_lens.push_back(l_ref);
     }
-    // --- records ---
+    // --- records --- (the next chunk inflates on worker threads while the
+    // main thread parses the current one)
     chunk.erase(0, off);
+    std::string nextc;
+    bool have_next = false;
+    std::thread prefetch([&]() { have_next = rd.next_chunk(nextc); });
+    int n_workers = (int)std::min<int64_t>(
+        std::max<int64_t>(P.n_threads, 1),
+        (int64_t)std::thread::hardware_concurrency());
     for (;;) {
+      // index record payload offsets in this chunk
+      std::vector<std::pair<size_t, int32_t>> recs;
       size_t p = 0;
       for (;;) {
         if (chunk.size() - p < 4) break;
         int32_t bs = rd_i32(chunk.data() + p);
         if (chunk.size() - p < 4 + (size_t)bs) break;
-        try {
-          process_record(chunk.data() + p + 4, bs);
-        } catch (...) {
-          fclose(f);
-          return 4;
-        }
+        recs.push_back({p + 4, bs});
         p += 4 + (size_t)bs;
       }
-      rd.carry.assign(chunk, p, chunk.size() - p);
-      std::string nextc;
-      if (!rd.next_chunk(nextc)) break;
-      chunk.swap(nextc);
+      // process records in parallel, thread-local collectors merged in
+      // range order so global row order equals file order
+      bool failed = false;
+      if (n_workers <= 1 || recs.size() < 512) {
+        Worker w(P, bed, header_chroms);
+        try {
+          for (auto& r : recs) w.process_record(chunk.data() + r.first,
+                                                r.second);
+        } catch (...) { failed = true; }
+        C.merge_from(w.C);
+        t_seq += w.t_seq;
+      } else {
+        std::vector<std::unique_ptr<Worker>> ws;
+        std::vector<std::thread> ts;
+        size_t per = (recs.size() + n_workers - 1) / n_workers;
+        std::atomic<bool> err{false};
+        for (int t = 0; t < n_workers; t++) {
+          ws.emplace_back(new Worker(P, bed, header_chroms));
+          size_t lo = t * per, hi = std::min(recs.size(), (t + 1) * per);
+          Worker* w = ws.back().get();
+          ts.emplace_back([&, w, lo, hi]() {
+            try {
+              for (size_t i = lo; i < hi; i++)
+                w->process_record(chunk.data() + recs[i].first,
+                                  recs[i].second);
+            } catch (...) { err = true; }
+          });
+        }
+        for (auto& t : ts) t.join();
+        failed = err;
+        for (auto& w : ws) { C.merge_from(w->C); t_seq += w->t_seq; }
+      }
+      if (failed) {
+        prefetch.join();
+        fclose(f);
+        return 4;
+      }
+      prefetch.join();
+      if (!have_next) break;
+      // chunk = leftover + next payload
+      std::string merged;
+      merged.reserve(chunk.size() - p + nextc.size());
+      merged.append(chunk, p, chunk.size() - p);
+      merged.append(nextc);
+      chunk.swap(merged);
+      nextc.clear();
+      prefetch = std::thread([&]() { have_next = rd.next_chunk(nextc); });
     }
     fclose(f);
+    if (getenv("CUTESV_DECODE_TIMING"))
+      fprintf(stderr, "bamdecode timing: seq=%.2fs\n", t_seq);
     return 0;
   }
 };

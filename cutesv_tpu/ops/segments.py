@@ -7,11 +7,15 @@ import jax.numpy as jnp
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
-def padded_size(n: int, minimum: int = 256) -> int:
-    """Round up to a power of two to bound jit recompilations."""
+def padded_size(n: int, minimum: int = 256, factor: int = 4) -> int:
+    """Round up on a coarse geometric ladder to bound jit recompilations.
+
+    Factor 4 keeps at most ~6 distinct shapes per run — compiles through a
+    remote-compile TPU tunnel cost tens of seconds each, so fewer shapes
+    beat tighter padding."""
     size = minimum
     while size < n:
-        size *= 2
+        size *= factor
     return size
 
 

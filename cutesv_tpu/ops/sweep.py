@@ -19,10 +19,15 @@ import numpy as np
 from cutesv_tpu.ops.segments import padded_size
 
 _READ_TILE = 4096
+_READ_CHUNK = 64 * _READ_TILE   # 262144 reads per device call
+_SV_CHUNK = 8192                # SV windows per device call
+
+# Fixed chunk shapes: exactly ONE compiled program serves every cover call
+# in a run, regardless of per-chromosome sizes.
 
 
-@partial(jax.jit, static_argnames=("n_tiles",))
-def _cover_scan(sv_s, sv_e, starts_tiled, ends_tiled, n_tiles: int):
+@jax.jit
+def _cover_scan(sv_s, sv_e, starts_tiled, ends_tiled):
     def step(acc, tile):
         st, en = tile
         m = (st[None, :] <= sv_s[:, None]) & (en[None, :] >= sv_e[:, None])
@@ -36,27 +41,35 @@ def _cover_scan(sv_s, sv_e, starts_tiled, ends_tiled, n_tiles: int):
 def cover_counts_device(sv_windows, read_starts, read_ends) -> np.ndarray:
     """Device dominance count; same contract as genotype.cover_counts."""
     n_sv = len(sv_windows)
-    if n_sv == 0 or len(read_starts) == 0:
+    n_reads = len(read_starts)
+    if n_sv == 0 or n_reads == 0:
         return np.zeros(n_sv, np.int64)
     s = np.asarray([w[0] for w in sv_windows], np.float64)
     e = np.asarray([w[1] for w in sv_windows], np.float64)
-    # windows may be half-integral (bias/2); scale by 2 to stay in ints
+    # windows may be half-integral (bias/2); scale by 2 to stay in ints:
+    # start <= s  <=>  2*start <= floor(2s); end >= e  <=>  2*end >= ceil(2e)
     s2 = np.floor(s * 2).astype(np.int64)
     e2 = np.ceil(e * 2).astype(np.int64)
-    # start <= s  <=>  2*start <= floor(2s); end >= e  <=>  2*end >= ceil(2e)
-    sp = padded_size(n_sv)
-    rp = padded_size(len(read_starts), _READ_TILE)
+    sp = -(-n_sv // _SV_CHUNK) * _SV_CHUNK
     sv_s = np.full(sp, np.iinfo(np.int32).min, np.int64)
     sv_e = np.full(sp, np.iinfo(np.int32).max, np.int64)
     sv_s[:n_sv] = s2
     sv_e[:n_sv] = e2
+    rp = -(-n_reads // _READ_CHUNK) * _READ_CHUNK
     st = np.full(rp, np.iinfo(np.int32).max, np.int64)
     en = np.full(rp, np.iinfo(np.int32).min, np.int64)
-    st[:len(read_starts)] = 2 * np.asarray(read_starts, np.int64)
-    en[:len(read_ends)] = 2 * np.asarray(read_ends, np.int64)
-    n_tiles = rp // _READ_TILE
-    acc = _cover_scan(jnp.asarray(sv_s, jnp.int32), jnp.asarray(sv_e, jnp.int32),
-                      jnp.asarray(st.reshape(n_tiles, _READ_TILE), jnp.int32),
-                      jnp.asarray(en.reshape(n_tiles, _READ_TILE), jnp.int32),
-                      n_tiles)
-    return np.asarray(acc)[:n_sv].astype(np.int64)
+    st[:n_reads] = 2 * np.asarray(read_starts, np.int64)
+    en[:n_reads] = 2 * np.asarray(read_ends, np.int64)
+    out = np.zeros(sp, np.int64)
+    for r0 in range(0, rp, _READ_CHUNK):
+        st_t = jnp.asarray(
+            st[r0:r0 + _READ_CHUNK].reshape(-1, _READ_TILE), jnp.int32)
+        en_t = jnp.asarray(
+            en[r0:r0 + _READ_CHUNK].reshape(-1, _READ_TILE), jnp.int32)
+        for s0 in range(0, sp, _SV_CHUNK):
+            acc = _cover_scan(
+                jnp.asarray(sv_s[s0:s0 + _SV_CHUNK], jnp.int32),
+                jnp.asarray(sv_e[s0:s0 + _SV_CHUNK], jnp.int32),
+                st_t, en_t)
+            out[s0:s0 + _SV_CHUNK] += np.asarray(acc)
+    return out[:n_sv]

@@ -1,0 +1,132 @@
+"""Genome-axis sharding of the clustering + genotype pipeline.
+
+The reference parallelizes over genome intervals with a process pool and
+pickle files (cuteSV:1026-1076). The TPU-native equivalent shards the
+merged per-chromosome signature stream across a 1-D device mesh
+("genome" axis): each chip owns one contiguous bin of the sorted stream,
+cluster boundaries are decided locally after a one-element halo exchange
+(``ppermute`` of each shard's last position to its right neighbor), global
+cluster ids come from an exclusive scan of per-shard boundary counts, and
+per-cluster statistics are combined with ``psum`` so clusters spanning bin
+boundaries are exact. Genotype cover counting shards the SV axis with read
+tiles resident per chip.
+
+Everything is jit-compiled once per (shard size) bucket via shard_map;
+collectives ride ICI on real hardware and compile/execute identically on
+the virtual CPU mesh used in tests and the driver's multi-chip dry run.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    devices = np.array(jax.devices()[:n_devices])
+    return Mesh(devices, ("genome",))
+
+
+def sharded_cluster_sizes(mesh: Mesh, max_cluster_bias: int):
+    """Build the jitted sharded step: sorted positions -> (cluster id per
+    row, cluster sizes, number of clusters).
+
+    Inputs/outputs are sharded along the leading axis; cluster sizes are
+    returned replicated (psum-combined across shards). Shapes are static
+    per call signature; pad with sentinel positions (INT32_MIN forbidden —
+    use a `valid` mask).
+    """
+    n = mesh.devices.size
+
+    def step(pos, valid):
+        # pos, valid: this shard's rows (sorted stream slice)
+        axis = jax.lax.axis_index("genome")
+        # halo: last element of the left neighbor
+        last = pos[-1:]
+        prev_last = jax.lax.ppermute(
+            last, "genome", [(i, (i + 1) % n) for i in range(n)])
+        prev = jnp.concatenate([prev_last, pos[:-1]])
+        new_cluster = (pos - prev > max_cluster_bias) & valid
+        # global first valid row opens cluster 0 implicitly (flag False)
+        new_cluster = jnp.where(
+            (jnp.arange(pos.shape[0]) == 0) & (axis == 0), False,
+            new_cluster)
+        # exclusive scan of per-shard boundary counts -> global ids
+        local_count = jnp.sum(new_cluster.astype(jnp.int32))
+        counts = jax.lax.all_gather(local_count, "genome")
+        offset = jnp.sum(jnp.where(jnp.arange(n) < axis, counts, 0))
+        cid = offset + jnp.cumsum(new_cluster.astype(jnp.int32))
+        cid = jnp.where(valid, cid, -1)
+        # per-cluster sizes, combined across shards (boundary clusters get
+        # contributions from both sides)
+        total = pos.shape[0] * n  # upper bound on cluster count
+        local_sizes = jax.ops.segment_sum(
+            valid.astype(jnp.int32), jnp.where(valid, cid, total),
+            num_segments=total + 1)[:total]
+        sizes = jax.lax.psum(local_sizes, "genome")
+        n_clusters = jax.lax.psum(local_count, "genome") + 1
+        return cid, sizes, n_clusters
+
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("genome"), P("genome")),
+        out_specs=(P("genome"), P(), P()),
+    ))
+
+
+def sharded_cover_counts(mesh: Mesh):
+    """Genotype read-support counting with the SV axis sharded.
+
+    Each chip holds the full read tile set (starts/ends, replicated) and a
+    shard of SV windows; counts = #{reads: start <= s and end >= e} per SV.
+    """
+    def step(sv_s, sv_e, starts, ends):
+        m = (starts[None, :] <= sv_s[:, None]) & (ends[None, :] >= sv_e[:, None])
+        return jnp.sum(m, axis=1, dtype=jnp.int32)
+
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("genome"), P("genome"), P(), P()),
+        out_specs=P("genome"),
+    ))
+
+
+def full_sharded_step(mesh: Mesh, max_cluster_bias: int = 200):
+    """The combined per-bin device step used by the multi-chip dry run:
+    cluster segmentation + sizes + genotype cover counts in one jit."""
+    n = mesh.devices.size
+    cluster = sharded_cluster_sizes(mesh, max_cluster_bias)
+    cover = sharded_cover_counts(mesh)
+
+    def step(pos, valid, sv_s, sv_e, read_starts, read_ends):
+        cid, sizes, n_clusters = cluster(pos, valid)
+        counts = cover(sv_s, sv_e, read_starts, read_ends)
+        return cid, sizes, n_clusters, counts
+
+    return step
+
+
+def demo_inputs(n_devices: int, rows_per_shard: int = 64,
+                svs_per_shard: int = 8, n_reads: int = 128):
+    """Tiny, valid inputs for compile checks: a sorted position stream with
+    plausible cluster structure, SV windows and read intervals."""
+    rng = np.random.default_rng(0)
+    total = n_devices * rows_per_shard
+    gaps = rng.integers(0, 400, size=total)
+    pos = np.cumsum(gaps).astype(np.int32)
+    valid = np.ones(total, bool)
+    valid[-rows_per_shard // 2:] = False  # padded tail
+    sv_total = n_devices * svs_per_shard
+    anchors = np.sort(rng.integers(0, pos.max() + 1, size=sv_total))
+    sv_s = (anchors - 200).clip(0).astype(np.int32)
+    sv_e = (anchors + 200).astype(np.int32)
+    starts = rng.integers(0, pos.max() + 1, size=n_reads).astype(np.int32)
+    ends = (starts + rng.integers(1000, 20000, size=n_reads)).astype(
+        np.int32)
+    return (jnp.asarray(pos), jnp.asarray(valid), jnp.asarray(sv_s),
+            jnp.asarray(sv_e), jnp.asarray(starts), jnp.asarray(ends))

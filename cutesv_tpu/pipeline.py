@@ -173,9 +173,9 @@ def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
     w1 = [j["window1"] for j in jobs]
     w2 = [j["window2"] for j in jobs]
     hull = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(w1, w2)]
-    c1 = cover(w1, p_start, p_end)
-    c2 = cover(w2, p_start, p_end)
-    ch = cover(hull, p_start, p_end)
+    allc = cover(w1 + w2 + hull, p_start, p_end)
+    m = len(jobs)
+    c1, c2, ch = allc[:m], allc[m:2 * m], allc[2 * m:]
     table = gl_table()
     for cand, job, n1, n2, nh in zip(cands, jobs, c1, c2, ch):
         union = int(n1) + int(n2) - int(nh)
@@ -207,6 +207,8 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     names = store.names  # rank -> string (native decode); None on oracle path
     use_device = names is not None or cfg.engine in ("device", "auto")
     if use_device:
+        from cutesv_tpu.utils.jaxsetup import setup_jax
+        setup_jax()
         from cutesv_tpu.models import device as device_models
         resolve_del = device_models.resolve_del_device
         resolve_ins = device_models.resolve_ins_device
