@@ -99,7 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("Force calling")
     g.add_argument("-Ivcf", dest="Ivcf", type=str, default=None,
-                   help="Regenotype the given VCF's sites (force calling).")
+                   help="Force calling/regenotyping: re-genotype every site "
+                        "of the given VCF against this BAM's signatures "
+                        "(enabled here; the reference CLI disables it).")
 
     g = p.add_argument_group("Advanced")
     g.add_argument("--max_cluster_bias_INS", type=int,

@@ -1,0 +1,77 @@
+"""Post-processing / evaluation tools."""
+from cutesv_tpu.tools import diploid_calling, eval_sim, vcf2bedpe
+
+HEADER = ("##fileformat=VCFv4.2\n"
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+
+
+def test_diploid_calling(tmp_path):
+    invcf = tmp_path / "in.vcf"
+    invcf.write_text(
+        HEADER
+        + "chr1\t100\tsv0\tA\t<DEL>\t30\tPASS\t"
+          "SVTYPE=DEL;SVLEN=-50;END=150;RE=4;"
+          "RNAMES=cutesvh1_r1,cutesvh2_r9\tGT:DR\t0/1:3\n"
+        + "chr1\t500\tsv1\tA\t<DEL>\t30\tPASS\t"
+          "SVTYPE=DEL;SVLEN=-60;END=560;RE=2;RNAMES=cutesvh1_r7\t"
+          "GT:DR\t0/1:3\n"
+        + "chr1\t900\tsv2\tN\tN[chr2:77[\t30\tPASS\t"
+          "SVTYPE=BND;RE=2;RNAMES=cutesvh2_r3\tGT:DR\t0/1:3\n")
+    outvcf = tmp_path / "out.vcf"
+    diploid_calling.convert(str(invcf), str(outvcf))
+    body = [l.split("\t") for l in outvcf.read_text().splitlines()
+            if not l.startswith("#")]
+    assert body[0][9] == "1/1"      # both haplotypes
+    assert body[1][9] == "1/0"      # h1 only
+    assert body[2][9] == "0/1"      # h2 only, BND fallback info path
+    assert body[2][7].startswith("SVTYPE=BND;RE=2")
+
+
+def test_vcf2bedpe(tmp_path):
+    invcf = tmp_path / "in.vcf"
+    invcf.write_text(
+        HEADER
+        + "chr1\t100\tsv0\tA\t<DEL>\t30\tPASS\t"
+          "SVTYPE=DEL;SVLEN=-50;END=150;RE=4\tGT\t0/1\n"
+        + "chr1\t900\tsv1\tN\tN[chr2:77[\t30\tPASS\tSVTYPE=BND;RE=2\t"
+          "GT\t0/1\n"
+        + "chr1\t950\tsv2\tN\t]chr2:88]N\t30\tPASS\tSVTYPE=BND;RE=2\t"
+          "GT\t0/1\n")
+    out = tmp_path / "out.bedpe"
+    vcf2bedpe.convert(str(invcf), str(out))
+    lines = [l.split("\t") for l in out.read_text().splitlines()[1:]]
+    assert lines[0][:6] == ["chr1", "101", "101", "chr1", "151", "151"]
+    assert lines[1][3:6] == ["chr2", "78", "78"]
+    assert lines[2][3:6] == ["chr2", "89", "89"]
+
+
+def test_eval_sim_matching(tmp_path):
+    ans = tmp_path / "ans.bed"
+    ans.write_text(
+        "chr1\t1000\t1050\tdeletion\t50\n"
+        "chr1\t5000\t5000\tinsertion\tACGTACGTAA\n")
+    gt = tmp_path / "gt.bed"
+    gt.write_text("chr1\t0\t10000\th1\t100.0\n")  # hom chromosome
+    calls = tmp_path / "calls.vcf"
+    calls.write_text(
+        HEADER
+        + "chr1\t1005\tc0\tA\t<DEL>\t30\tPASS\t"
+          "SVTYPE=DEL;SVLEN=-48;END=1053\tGT:DR\t1/1:0\n"
+        + "chr1\t5100\tc1\tA\t<INS>\t30\tPASS\t"
+          "SVTYPE=INS;SVLEN=9;END=5100\tGT:DR\t0/1:4\n"
+        + "chr1\t9000\tc2\tA\t<DEL>\t30\tPASS\t"
+          "SVTYPE=DEL;SVLEN=-300;END=9300\tGT:DR\t1/1:0\n")
+    answers = eval_sim.load_ans(str(ans))
+    genotype = eval_sim.load_gt(str(gt))
+    callset, ab = eval_sim.load_callset(str(calls), ["INS", "INV", "DEL"])
+    eval_sim.evaluate(callset, answers, 0.7, 1000, 1, genotype)
+    stats1 = eval_sim.statistics(callset, answers, 1, 1)
+    stats2 = eval_sim.statistics(callset, answers, 1, 2)
+    # DEL at 1005 matches (size ratio 48/50 ok) at genotype level (hom)
+    assert stats1[("call", "DEL")] == (1, 2)
+    assert stats2[("call", "DEL")] == (1, 2)
+    # INS len 9 vs 10: ratio 0.9 >= 0.7 and offset 100 <= 1000, but GT het
+    # vs truth hom -> presence only
+    assert stats1[("call", "INS")] == (1, 1)
+    assert stats2[("call", "INS")] == (0, 1)
+    assert genotype["chr1"] == "hom"
