@@ -135,6 +135,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BAM decoder implementation.")
     g.add_argument("--n_shards", type=int, default=d.n_shards,
                    help="Device-mesh width over the genome axis.")
+    g.add_argument("--resume", action="store_true",
+                   help="Resume from a signature checkpoint in work_dir "
+                        "(skips BAM decode).")
+    g.add_argument("--profile", action="store_true",
+                   help="Capture a JAX profiler trace of the clustering "
+                        "stage into work_dir/jax_trace.")
     return p
 
 

@@ -65,6 +65,8 @@ class Config:
     engine: str = "auto"       # "device" (TPU/JAX), "host" (numpy oracle), "auto"
     decoder: str = "auto"      # "native" (C++), "python", "auto"
     n_shards: int = 1          # device-mesh width for the genome axis
+    resume: bool = False       # resume from work_dir/sigstore.pickle
+    profile: bool = False      # capture a jax profiler trace into work_dir
 
 
 # Platform presets, from the reference's documented suggestions

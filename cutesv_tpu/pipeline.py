@@ -228,6 +228,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             action)
         if action:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
+        log.info("Finished %s:%s." % (chrom, "DEL"))
         add(chrom, cands)
     for chrom, sigs in store.sigs["INS"].items():
         cands, jobs = resolve_ins(
@@ -236,6 +237,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             action)
         if action:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
+        log.info("Finished %s:%s." % (chrom, "INS"))
         add(chrom, cands)
     for chrom, sigs in store.sigs["INV"].items():
         cands, jobs = host_models.resolve_inv(
@@ -244,6 +246,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         if action:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 8, 9, 10)
+        log.info("Finished %s:%s." % (chrom, "INV"))
         add(chrom, cands)
     for chrom, sigs in store.sigs["DUP"].items():
         cands, jobs = host_models.resolve_dup(
@@ -252,12 +255,14 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         if action:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 7, 8, 9)
+        log.info("Finished %s:%s." % (chrom, "DUP"))
         add(chrom, cands)
     for chrom, sigs in store.sigs["TRA"].items():
         cands = host_models.resolve_tra(
             sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
             cfg.max_cluster_bias_TRA, store.read_tables,
             store.chrom_lengths, action, cfg.gt_round, names=names)
+        log.info("Finished %s:%s." % (chrom, "TRA/BND"))
         add(chrom, cands)
     return results
 
@@ -271,17 +276,42 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
             "[Errno 2] No such file: '%s'" % cfg.reference)
     if not os.path.isfile(cfg.input):
         raise FileNotFoundError("[Errno 2] No such file: '%s'" % cfg.input)
+    ckpt = os.path.join(cfg.work_dir, "sigstore.pickle") if cfg.work_dir \
+        else None
+    if cfg.work_dir and not cfg.resume:
+        # refuse to clobber a previous run's signature artifacts
+        # (cuteSV:1005-1011); --resume reuses them instead
+        for item in list(sigstore.SVTYPES) + ["sigstore"]:
+            for suffix in (".sigs", ".pickle"):
+                path = os.path.join(cfg.work_dir, item + suffix)
+                if os.path.exists(path) and not (
+                        item == "sigstore" and suffix == ".sigs"):
+                    raise FileExistsError(
+                        "[Errno 2] File exists: '%s' "
+                        "(use --resume to reuse, or clean the work dir)"
+                        % path)
     stats = {}
     t0 = time.time()
-    store, candidates, references, n_records = decode_bam(cfg)
+    if cfg.resume and ckpt and os.path.exists(ckpt):
+        log.info("Resuming from signature checkpoint %s" % ckpt)
+        store = sigstore.load_store(cfg.work_dir)
+        candidates = None
+        references = [(c, l) for c, l in store.chrom_lengths.items()]
+        n_records = -1
+    else:
+        store, candidates, references, n_records = decode_bam(cfg)
     stats["decode_s"] = time.time() - t0
     stats["n_records"] = n_records
     stats["n_sigs"] = {t: sum(len(v) for v in store.sigs[t].values())
                        for t in sigstore.SVTYPES}
+    log.info("Decoded %d records; signatures: %s"
+             % (n_records, " ".join("%s=%d" % kv
+                                    for kv in stats["n_sigs"].items())))
 
     if cfg.work_dir:
         os.makedirs(cfg.work_dir, exist_ok=True)
-        if cfg.retain_work_dir and store.names is None:
+        if (cfg.retain_work_dir and store.names is None
+                and not cfg.resume):
             sigstore.save_store(store, cfg.work_dir)
         if cfg.write_old_sigs:
             if candidates is not None:
@@ -290,7 +320,14 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
                 sigstore.write_old_sigs_native(store, cfg.work_dir)
 
     t1 = time.time()
-    results = resolve_all(store, cfg)
+    if cfg.profile and cfg.work_dir:
+        import jax
+        trace_dir = os.path.join(cfg.work_dir, "jax_trace")
+        with jax.profiler.trace(trace_dir):
+            results = resolve_all(store, cfg)
+        log.info("Profiler trace written to %s" % trace_dir)
+    else:
+        results = resolve_all(store, cfg)
     stats["resolve_s"] = time.time() - t1
     stats["n_calls"] = sum(len(v) for v in results.values())
 

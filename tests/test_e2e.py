@@ -131,3 +131,38 @@ def test_min_support_gate(tmp_path):
     run_pipeline(cfg, [])
     _, records = _parse_vcf(str(out))
     assert records == []
+
+
+def test_workdir_guard_and_resume(tmp_path):
+    """Clobber refusal (cuteSV:1005-1011 parity) + checkpoint resume."""
+    rng = random.Random(3)
+    ref = simdata.make_reference(rng, {"c": 30_000})
+    chrom = ref["c"]
+    plans = [simdata.read_with_del(chrom, 0, start, 15_000, 80,
+                                   3000 - (15_000 - start), "g%d" % i)
+             for i, start in enumerate(range(12_100, 14_700, 250))]
+    bam, fa = tmp_path / "g.bam", tmp_path / "g.fa"
+    simdata.write_bam(str(bam), [("c", 30_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+    wd = tmp_path / "wd"
+    wd.mkdir()
+    out1 = tmp_path / "o1.vcf"
+    cfg = Config(input=str(bam), reference=str(fa), output=str(out1),
+                 work_dir=str(wd), genotype=True, min_support=3,
+                 retain_work_dir=True, decoder="python", engine="host")
+    run_pipeline(cfg, [])
+    assert (wd / "sigstore.pickle").exists()
+    # leftover checkpoint -> refuse to clobber
+    with pytest.raises(FileExistsError):
+        run_pipeline(cfg, [])
+    # --resume skips decode and reproduces the records
+    out2 = tmp_path / "o2.vcf"
+    cfg2 = Config(input=str(bam), reference=str(fa), output=str(out2),
+                  work_dir=str(wd), genotype=True, min_support=3,
+                  resume=True, decoder="python", engine="host")
+    run_pipeline(cfg2, [])
+    body1 = [l for l in out1.read_text().splitlines()
+             if not l.startswith("#")]
+    body2 = [l for l in out2.read_text().splitlines()
+             if not l.startswith("#")]
+    assert body1 == body2 and len(body1) == 1
