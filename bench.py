@@ -146,15 +146,19 @@ def main():
     outdir = os.path.join(CACHE, "out")
     os.makedirs(outdir, exist_ok=True)
 
-    # TPU path (warm once for jit compile, then measure)
+    # TPU path (warm once for jit compile, then measure min-of-2)
     dt_w, _, _ = run_once(bam, fa, "device", "native", outdir)
     dt_native, calls_native, vcf_native = run_once(bam, fa, "device",
                                                    "native", outdir)
+    dt_n2, _, _ = run_once(bam, fa, "device", "native", outdir)
+    dt_native = min(dt_native, dt_n2)
 
     rate_file = os.path.join(CACHE, "baseline_rate_%dmb.json" % genome_mb)
     if os.environ.get("BENCH_BASELINE", "1") != "0" or \
             not os.path.exists(rate_file):
         dt_py, calls_py, vcf_py = run_once(bam, fa, "host", "python", outdir)
+        dt_py2, _, _ = run_once(bam, fa, "host", "python", outdir)
+        dt_py = min(dt_py, dt_py2)
         base_rate = n_reads / dt_py
         json.dump({"rate": base_rate}, open(rate_file, "w"))
         identical = (

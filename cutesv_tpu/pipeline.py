@@ -132,6 +132,11 @@ def _decode_bam_python(cfg: Config):
 
 def _cover_fn(cfg: Config):
     if cfg.engine in ("device", "auto"):
+        import jax
+        if jax.default_backend() in ("tpu", "axon"):
+            # VMEM-resident Pallas kernel on TPU hardware
+            from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas
+            return cover_counts_pallas
         from cutesv_tpu.ops.sweep import cover_counts_device
         return cover_counts_device
     return None

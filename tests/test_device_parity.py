@@ -100,3 +100,20 @@ def test_cover_counts_device_parity():
     a = cover_counts(svs, starts, ends)
     b = cover_counts_device(svs, starts, ends)
     assert list(a) == list(b)
+
+
+def test_cover_counts_pallas_parity():
+    from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas
+    rng = random.Random(17)
+    starts = np.array([rng.randrange(0, 100_000) for _ in range(3000)])
+    ends = starts + np.array([rng.randrange(1, 20_000) for _ in range(3000)])
+    svs = []
+    for _ in range(1500):
+        s = rng.randrange(0, 110_000)
+        svs.append((max(s - 500, 0), s + 500))
+    for _ in range(100):
+        s = rng.randrange(0, 110_000)
+        svs.append((max(s - 250.5, 0), s + 250.5))
+    a = cover_counts(svs, starts, ends)
+    b = cover_counts_pallas(svs, starts, ends, interpret=True)
+    assert list(a) == list(b)
