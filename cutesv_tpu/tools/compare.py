@@ -202,6 +202,47 @@ def concordance(argv=None) -> int:
     return 0
 
 
+def cmp_base(argv=None) -> int:
+    """Recall of N callsets against a published base callset
+    (cmp_NA19240.py equivalent): 50..100000 bp size window, DUP counted as
+    INS, INS by position+ratio, others by padded overlap+ratio."""
+    p = argparse.ArgumentParser(prog="cmp_base")
+    p.add_argument("base", type=str, help="Base (published) VCF.")
+    p.add_argument("callsets", nargs="+", type=str)
+    p.add_argument("-b", "--bias", default=0.7, type=float)
+    p.add_argument("-o", "--offect", default=1000, type=int)
+    args = p.parse_args(argv)
+    _setup_logging()
+
+    def load(path):
+        out: Dict[str, list] = {}
+        cs = load_callset(path)
+        for svtype, rows in cs.items():
+            if svtype == "BND":
+                continue
+            t = "INS" if svtype == "DUP" else svtype
+            for chrom, pos, end, svlen, gt, flags in rows:
+                if svtype != "INV" and not 50 <= svlen <= 100000:
+                    continue
+                out.setdefault(t, []).append([chrom, pos, end, svlen, gt,
+                                              flags])
+        return out
+
+    base = load(args.base)
+    for path in args.callsets:
+        comp = load(path)
+        match(comp, base, args.bias, args.offect, "hit", path)
+        for svtype in sorted(comp):
+            tp = sum(1 for r in comp[svtype] if "hit" in r[-1])
+            logging.info("%s %s: matched %d / %d"
+                         % (path, svtype, tp, len(comp[svtype])))
+        for svtype in sorted(base):
+            found = sum(1 for r in base[svtype] if path in r[-1])
+            logging.info("base %s vs %s: recalled %d / %d"
+                         % (svtype, path, found, len(base[svtype])))
+    return 0
+
+
 def _setup_logging():
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")

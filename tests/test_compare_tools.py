@@ -89,3 +89,18 @@ def test_cmrg_prep(tmp_path):
             if not l.startswith("#")]
     assert body[0][7] == "SVTYPE=DEL;SVLEN=-4"
     assert body[1][7] == "SVTYPE=INS;SVLEN=5"
+
+
+def test_cmp_base_cli(tmp_path, caplog):
+    base, comp = tmp_path / "base.vcf", tmp_path / "c.vcf"
+    sv = ("chr1\t%d\tv\tA\t<%s>\t30\tPASS\t"
+          "SVTYPE=%s;SVLEN=%d;END=%d\tGT\t0/1\n")
+    _write(base, [sv % (1000, "DEL", "DEL", -100, 1100)])
+    _write(comp, [sv % (1020, "DEL", "DEL", -95, 1115),
+                  sv % (50000, "INS", "INS", 20, 50000)])  # below 50bp
+    import logging
+    with caplog.at_level(logging.INFO):
+        compare.cmp_base([str(base), str(comp)])
+    text = "\n".join(r.message for r in caplog.records)
+    assert "DEL: matched 1 / 1" in text
+    assert "recalled 1 / 1" in text
