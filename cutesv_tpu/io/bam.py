@@ -120,6 +120,13 @@ class BamReader:
     """
 
     def __init__(self, path):
+        if isinstance(path, (str, bytes)):
+            with open(path, "rb") as probe:
+                head = probe.read(4)
+            if head == b"CRAM":
+                raise ValueError(
+                    "CRAM input is not supported yet; convert with "
+                    "'samtools view -b -T ref.fa in.cram -o in.bam'")
         self._bgzf = BgzfReader(path)
         magic = self._bgzf.read_exact(4)
         if magic != BAM_MAGIC:

@@ -1,0 +1,77 @@
+"""Edge cases: empty inputs, boundary positions, filtered-out data."""
+import random
+
+import pytest
+
+from cutesv_tpu.config import Config
+from cutesv_tpu.io.bam import BamReader, BamWriter
+from cutesv_tpu.pipeline import run_pipeline
+from tests import simdata
+
+
+def _run(tmp_path, plans, refs, seqs, **cfg_kw):
+    bam, fa, out = tmp_path / "e.bam", tmp_path / "e.fa", tmp_path / "e.vcf"
+    simdata.write_bam(str(bam), refs, plans)
+    simdata.write_ref_fasta(str(fa), seqs)
+    kw = dict(input=str(bam), reference=str(fa), output=str(out),
+              work_dir=str(tmp_path), genotype=True, min_support=2)
+    kw.update(cfg_kw)
+    run_pipeline(Config(**kw), [])
+    return [l for l in out.read_text().splitlines()
+            if not l.startswith("#")]
+
+
+def test_empty_bam(tmp_path):
+    rng = random.Random(0)
+    seqs = simdata.make_reference(rng, {"chr1": 5_000})
+    for decoder in ("python", "native"):
+        body = _run(tmp_path / decoder if False else tmp_path, [],
+                    [("chr1", 5_000)], seqs, decoder=decoder)
+        assert body == []
+
+
+def test_all_low_mapq(tmp_path):
+    rng = random.Random(1)
+    seqs = simdata.make_reference(rng, {"c": 30_000})
+    chrom = seqs["c"]
+    plans = [simdata.read_with_del(chrom, 0, start, 15_000, 80,
+                                   3000 - (15_000 - start), "m%d" % i)
+             for i, start in enumerate(range(12_100, 14_700, 250))]
+    for p in plans:
+        p.mapq = 5  # below min_mapq=20: no signatures, no census
+    body = _run(tmp_path, plans, [("c", 30_000)], seqs, decoder="python")
+    assert body == []
+
+
+def test_sv_near_chrom_start(tmp_path):
+    """DEL whose genotype window clips at position 0."""
+    rng = random.Random(2)
+    seqs = simdata.make_reference(rng, {"c": 20_000})
+    chrom = seqs["c"]
+    plans = [simdata.read_with_del(chrom, 0, 0, 400 + (i % 3), 100,
+                                   2500, "s%d" % i) for i in range(6)]
+    body = _run(tmp_path, plans, [("c", 20_000)], seqs)
+    assert len(body) == 1
+    f = body[0].split("\t")
+    assert f[1] in ("400", "401")
+
+
+def test_cram_rejected(tmp_path):
+    cram = tmp_path / "x.cram"
+    cram.write_bytes(b"CRAM\x03\x00rest")
+    with pytest.raises(ValueError, match="CRAM input is not supported"):
+        BamReader(str(cram))
+
+
+def test_secondary_only_chrom(tmp_path):
+    """Records with flag 256 are census-excluded but counted in the read
+    table; no calls emerge."""
+    rng = random.Random(3)
+    seqs = simdata.make_reference(rng, {"c": 20_000})
+    chrom = seqs["c"]
+    plans = [simdata.read_with_del(chrom, 0, 1000, 5_000, 80, 2000,
+                                   "x%d" % i) for i in range(5)]
+    for p in plans:
+        p.flag = 256
+    body = _run(tmp_path, plans, [("c", 20_000)], seqs, decoder="python")
+    assert body == []
