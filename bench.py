@@ -76,13 +76,13 @@ def build_dataset(genome_mb: int, seed: int = 0):
                 for p, t, l in sv_loci:
                     if start + 500 < p < start + READ_LEN - 500:
                         events.append((p, t, l))
-            # noise: ~6 small (1-9 bp, below min_siglength) + ~12 medium
-            # (10-30 bp) indels per read — noisy-long-read signature volume
+            # noise: ~6 small (1-9 bp, below min_siglength) + ~5 medium
+            # (10-30 bp) indels per read — HiFi-like signature density
             for _ in range(6):
                 off = int(rng.integers(600, READ_LEN - 600))
                 events.append((start + off, "DEL" if rng.random() < 0.5
                                else "INS", int(rng.integers(1, 9))))
-            for _ in range(12):
+            for _ in range(5):
                 off = int(rng.integers(600, READ_LEN - 600))
                 events.append((start + off, "DEL" if rng.random() < 0.5
                                else "INS", int(rng.integers(10, 30))))
@@ -140,7 +140,7 @@ def run_once(bam, fa, engine, decoder, outdir):
 
 
 def main():
-    genome_mb = int(os.environ.get("BENCH_MB", "20"))
+    genome_mb = int(os.environ.get("BENCH_MB", "40"))
     bam, fa, info = build_dataset(genome_mb)
     n_reads = info["n_reads"]
     outdir = os.path.join(CACHE, "out")

@@ -492,6 +492,7 @@ struct BgzfChunkReader {
   FILE* f;
   int n_threads;
   bool eof = false;
+  double t_read = 0, t_inflate = 0;
 
   explicit BgzfChunkReader(FILE* fh, int threads)
       : f(fh), n_threads(std::max(1, threads)) {}
@@ -499,6 +500,7 @@ struct BgzfChunkReader {
   // Read up to max_blocks BGZF blocks and inflate them in parallel into
   // ``out``. Returns false when no new blocks were available.
   bool next_chunk(std::string& out, int max_blocks = 4096) {
+    auto t0 = std::chrono::steady_clock::now();
     struct Blk {
       std::string cdata;
       uint32_t isize;
@@ -538,6 +540,8 @@ struct BgzfChunkReader {
       total += b.isize;
       blocks.push_back(std::move(b));
     }
+    auto t1 = std::chrono::steady_clock::now();
+    t_read += std::chrono::duration<double>(t1 - t0).count();
     if (blocks.empty()) return false;  // no new data
     out.clear();
     out.resize(total);
@@ -563,6 +567,8 @@ struct BgzfChunkReader {
       for (int i = 0; i < n_threads; i++) ts.emplace_back(worker);
       for (auto& t : ts) t.join();
     }
+    t_inflate += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t1).count();
     return true;
   }
 };
@@ -676,20 +682,34 @@ struct Worker {
 
     if (l_seq < P.min_read_len) return;  // query_length gate (cuteSV:607)
 
-    // decode SEQ (needed for INS slices and SA analysis): 2 bases/lookup
-    auto _t0 = std::chrono::steady_clock::now();
-    seq_scratch.resize((size_t)l_seq + 1);
-    {
+    // SEQ decode is lazy: INS signatures need only their slices; the full
+    // read is materialized only for SA-tagged reads (split analysis works
+    // in query orientation). decode_slice clamps like a python slice.
+    auto decode_slice = [&](int64_t a, int64_t b) {
+      a = std::max<int64_t>(0, std::min(a, l_seq));
+      b = std::max<int64_t>(0, std::min(b, l_seq));
+      std::string out;
+      if (a >= b) return out;
+      out.resize(b - a);
+      for (int64_t k = a; k < b; k++) {
+        uint8_t byte = (uint8_t)seq_p[k >> 1];
+        out[k - a] = kSeqNT16[(k & 1) ? (byte & 0xF) : (byte >> 4)];
+      }
+      return out;
+    };
+    auto decode_full = [&]() {
+      auto _t0 = std::chrono::steady_clock::now();
+      seq_scratch.resize((size_t)l_seq + 1);
       char* dst = &seq_scratch[0];
       int64_t nb = (l_seq + 1) / 2;
       for (int64_t k = 0; k < nb; k++) {
         uint16_t pair = kSeqLut.t[(uint8_t)seq_p[k]];
         memcpy(dst + 2 * k, &pair, 2);
       }
-    }
-    seq_scratch.resize(l_seq);
-    t_seq += std::chrono::duration<double>(
-        std::chrono::steady_clock::now() - _t0).count();
+      seq_scratch.resize(l_seq);
+      t_seq += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - _t0).count();
+    };
 
     int process_signal;
     switch (flag) {
@@ -725,7 +745,8 @@ struct Worker {
             del_sigs.push_back({sig_start, ln});
             sig_start += ln;
           } else {
-            // slice [shift-ln, shift) of SEQ, python-clamped
+            // slice [shift-ln, shift) of SEQ, python-clamped, decoded
+            // on demand
             int64_t a = shift - ln, b = shift;
             a = std::max<int64_t>(0, std::min(a, l_seq));
             b = std::max<int64_t>(0, std::min(b, l_seq));
@@ -745,18 +766,18 @@ struct Worker {
     // same-read signature chaining (cuteSV:515-575)
     if (!ins_sigs.empty()) {
       IS cur = ins_sigs[0];
-      std::string cur_seq = seq_scratch.substr(cur.soff, cur.slen);
+      std::string cur_seq = decode_slice(cur.soff, cur.soff + cur.slen);
       int64_t last_pos = cur.pos;
       for (size_t i = 1; i < ins_sigs.size(); i++) {
         const IS& s = ins_sigs[i];
         if (s.pos - last_pos <= P.merge_ins_threshold) {
           cur.len += s.len;
-          cur_seq.append(seq_scratch, s.soff, s.slen);
+          cur_seq += decode_slice(s.soff, s.soff + s.slen);
           last_pos = s.pos;
         } else {
           C.add_ins(ref_id, 2 * cur.pos, cur.len, name_id, cur_seq);
           cur = s;
-          cur_seq = seq_scratch.substr(s.soff, s.slen);
+          cur_seq = decode_slice(s.soff, s.soff + s.slen);
           last_pos = s.pos;
         }
       }
@@ -816,6 +837,7 @@ struct Worker {
     }
     if (!sa) return;
 
+    decode_full();
     // query in original read orientation
     std::string query_seq =
         (process_signal == 1) ? seq_scratch : revcomp(seq_scratch);
@@ -899,7 +921,7 @@ struct Decoder {
   BedRegions bed;
   std::vector<int64_t> ref_lens;
   std::vector<std::string> header_chroms;
-  double t_seq = 0;
+  double t_seq = 0, t_records = 0;
 
   // returns 0 on success
   int run(const char* path) {
@@ -945,6 +967,7 @@ struct Decoder {
     // --- records --- (the next chunk inflates on worker threads while the
     // main thread parses the current one)
     chunk.erase(0, off);
+    auto t_rec0 = std::chrono::steady_clock::now();
     std::string nextc;
     bool have_next = false;
     std::thread prefetch([&]() { have_next = rd.next_chunk(nextc); });
@@ -1010,9 +1033,14 @@ struct Decoder {
       nextc.clear();
       prefetch = std::thread([&]() { have_next = rd.next_chunk(nextc); });
     }
+    t_records = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t_rec0).count();
     fclose(f);
     if (getenv("CUTESV_DECODE_TIMING"))
-      fprintf(stderr, "bamdecode timing: seq=%.2fs\n", t_seq);
+      fprintf(stderr,
+              "bamdecode timing: seq=%.2fs read=%.2fs inflate=%.2fs "
+              "wall_records=%.2fs\n",
+              t_seq, rd.t_read, rd.t_inflate, t_records);
     return 0;
   }
 };
