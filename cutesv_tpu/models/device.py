@@ -151,8 +151,10 @@ def _cipos_vectorized(values, first_row, support, aid, means):
     std = np.sqrt(sums / n)
     raw = 1.96 * std / np.sqrt(n)
     d = raw.astype(np.int64)
-    # ulp-boundary guard: recompute exactly where truncation is ambiguous
-    risky = np.abs(raw - np.round(raw)) < 1e-6
+    # ulp-boundary guard: recompute exactly where truncation is ambiguous.
+    # sums == 0 (singletons / identical values) is exact in both
+    # algorithms, so only non-degenerate near-integer values are risky.
+    risky = (np.abs(raw - np.round(raw)) < 1e-6) & (sums != 0)
     out = ["-%d,%d" % (x, x) for x in d]
     for a in np.nonzero(risky)[0]:
         lo = first_row[a]

@@ -76,12 +76,11 @@ def indel_cluster_structure(pos, length, rid, valid, max_cluster_bias,
     # and computed host-side in f64 from this stream)
     sort_cid = jnp.where(kept, s_cid, big)
     order2 = jnp.lexsort((ins_key, s_len, sort_cid))
+    # only what the host finalize needs crosses the device boundary
     return dict(
         cid=sort_cid[order2],
         pos=s_pos[order2],
         length=s_len[order2],
-        rid=s_rid[order2],
         stream_idx=s_idx[order2],
-        kept=kept[order2],
         n_kept=jnp.sum(kept.astype(jnp.int32)),
     )
