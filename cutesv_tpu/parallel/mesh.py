@@ -27,8 +27,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
-def make_mesh(n_devices: int) -> Mesh:
-    devices = np.array(jax.devices()[:n_devices])
+def make_mesh(n_devices: int, devices=None) -> Mesh:
+    devices = np.array((devices or jax.devices())[:n_devices])
     return Mesh(devices, ("genome",))
 
 
