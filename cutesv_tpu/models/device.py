@@ -312,3 +312,89 @@ def resolve_ins_device(sigs, chrom: str, read_count: int,
                                al["cilen"], ".", "./.", ".,.,.", ".", ".",
                                ",".join(names), ideal_seq])
     return candidates, gt_jobs
+
+
+# ---------------------------------------------------------------------------
+# DUP / INV device resolvers (ops/pair_cluster.py + host emission)
+# ---------------------------------------------------------------------------
+
+def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
+    """Run the pair-cluster kernel; yields slices of kernel-order row
+    indices (stream_idx) per kept cluster."""
+    from cutesv_tpu.ops.pair_cluster import pair_cluster_structure
+
+    n = len(k1)
+    if n == 0:
+        return []
+    _, rid = np.unique(np.asarray(keys), return_inverse=True)
+    cap = padded_size(n)
+    pad = cap - n
+
+    def padded(a, dtype):
+        return jnp.asarray(np.concatenate(
+            [np.asarray(a).astype(dtype), np.zeros(pad, dtype)]))
+
+    valid = jnp.asarray(np.concatenate([np.ones(n, bool),
+                                        np.zeros(pad, bool)]))
+    out = pair_cluster_structure(
+        padded(k1, np.int32), padded(k2, np.int32),
+        padded(aux, np.int32), padded(rid, np.int32), valid,
+        jnp.int32(bias), jnp.int32(read_count), cap, bool(break_on_k2))
+    nk = int(out["n_kept"])
+    cid = np.asarray(out["cid"])[:nk]
+    sidx = np.asarray(out["stream_idx"])[:nk]
+    if nk == 0:
+        return []
+    bounds = np.flatnonzero(np.diff(cid)) + 1
+    slices = []
+    lo = 0
+    for hi in list(bounds) + [nk]:
+        slices.append(sidx[lo:int(hi)])
+        lo = int(hi)
+    return slices
+
+
+def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,
+                       max_cluster_bias: int, sv_size: int, max_size: int,
+                       action: bool, names: Optional[Sequence[str]] = None):
+    """Device counterpart of models.host.resolve_dup; identical outputs.
+    Kernel rows arrive pre-sorted by pos2 (stable), so the host emission's
+    stable re-sort is a no-op."""
+    from cutesv_tpu.models.host import dup_cluster_emit
+
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
+    candidates: List[list] = []
+    gt_jobs: List[dict] = []
+    k1 = [r[0] for r in sigs]
+    k2 = [r[1] for r in sigs]
+    keys = [r[2] for r in sigs]
+    for sl in _pair_cluster_slices(k1, k2, np.zeros(len(sigs)), keys,
+                                   read_count, max_cluster_bias, False):
+        cluster = [sigs[int(i)] for i in sl]
+        dup_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
+                         sv_size, max_size, action, render, candidates,
+                         gt_jobs)
+    return candidates, gt_jobs
+
+
+def resolve_inv_device(sigs: Sequence, chrom: str, read_count: int,
+                       max_cluster_bias: int, sv_size: int, max_size: int,
+                       action: bool, names: Optional[Sequence[str]] = None):
+    """Device counterpart of models.host.resolve_inv; identical outputs."""
+    from cutesv_tpu.models.host import inv_cluster_emit
+
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
+    candidates: List[list] = []
+    gt_jobs: List[dict] = []
+    strand_code = np.fromiter((0 if r[0] == "++" else 1 for r in sigs),
+                              np.int64, len(sigs))
+    k1 = [r[1] for r in sigs]
+    k2 = [r[2] for r in sigs]
+    keys = [r[3] for r in sigs]
+    for sl in _pair_cluster_slices(k1, k2, strand_code, keys, read_count,
+                                   max_cluster_bias, True):
+        cluster = [sigs[int(i)] for i in sl]
+        inv_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
+                         sv_size, max_size, action, render, candidates,
+                         gt_jobs)
+    return candidates, gt_jobs

@@ -232,9 +232,22 @@ def resolve_dup(sigs: Sequence, chrom: str, read_count: int,
     clusters = _gap_clusters(sigs, lambda r: r[0], read_count,
                              max_cluster_bias)
     for cluster in clusters:
+        dup_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
+                         sv_size, max_size, action, render, candidates,
+                         gt_jobs)
+    return candidates, gt_jobs
+
+
+def dup_cluster_emit(cluster, chrom, read_count, max_cluster_bias, sv_size,
+                     max_size, action, render, candidates, gt_jobs):
+    """Per-cluster DUP sub-clustering + emission
+    (generate_dup_cluster, cuteSV_resolveDUP.py:79-131). ``cluster`` rows
+    may arrive pre-sorted by pos2 (stable ties by stream order) — the sort
+    here is stable so the result is identical."""
+    if True:
         support_all = _stable_unique([r[2] for r in cluster])
         if len(support_all) < read_count:
-            continue
+            return
         by_p2 = sorted(cluster, key=lambda r: r[1])
         sub: List[List] = [[by_p2[0]]]
         last = by_p2[0][1]
@@ -273,7 +286,6 @@ def resolve_dup(sigs: Sequence, chrom: str, read_count: int,
                                    str(len(support)), ".", "./.", ".,.,.",
                                    ".", ".",
                                    ",".join(render(k) for k in support)])
-    return candidates, gt_jobs
 
 
 def resolve_inv(sigs: Sequence, chrom: str, read_count: int,
@@ -296,9 +308,20 @@ def resolve_inv(sigs: Sequence, chrom: str, read_count: int,
     clusters = _gap_clusters(sigs, lambda r: r[1], read_count,
                              max_cluster_bias, also_break=also_break)
     for cluster in clusters:
+        inv_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
+                         sv_size, max_size, action, render, candidates,
+                         gt_jobs)
+    return candidates, gt_jobs
+
+
+def inv_cluster_emit(cluster, chrom, read_count, max_cluster_bias, sv_size,
+                     max_size, action, render, candidates, gt_jobs):
+    """Per-cluster INV sub-clustering + emission
+    (generate_semi_inv_cluster, cuteSV_resolveINV.py:101-203)."""
+    if True:
         strand = cluster[0][0]
         if len(_stable_unique([r[3] for r in cluster])) < read_count:
-            continue
+            return
         by_b2 = sorted(cluster, key=lambda r: r[2])
         # running sub-cluster accumulation (cuteSV_resolveINV.py:114-203)
         groups: List[List] = [[by_b2[0]]]
@@ -337,7 +360,6 @@ def resolve_inv(sigs: Sequence, chrom: str, read_count: int,
                                    str(int(inv_len)), str(max_count_id),
                                    ".", "./.", strand, ".,.,.", ".", ".",
                                    ",".join(render(k) for k in ids)])
-    return candidates, gt_jobs
 
 
 def _stable_unique(items: Sequence) -> List:

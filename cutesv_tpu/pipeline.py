@@ -217,9 +217,13 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         from cutesv_tpu.models import device as device_models
         resolve_del = device_models.resolve_del_device
         resolve_ins = device_models.resolve_ins_device
+        resolve_dup = device_models.resolve_dup_device
+        resolve_inv = device_models.resolve_inv_device
     else:
         resolve_del = host_models.resolve_del
         resolve_ins = host_models.resolve_ins
+        resolve_dup = host_models.resolve_dup
+        resolve_inv = host_models.resolve_inv
 
     def add(chrom, rows):
         if rows:
@@ -245,7 +249,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         log.info("Finished %s:%s." % (chrom, "INS"))
         add(chrom, cands)
     for chrom, sigs in store.sigs["INV"].items():
-        cands, jobs = host_models.resolve_inv(
+        cands, jobs = resolve_inv(
             sigs, chrom, cfg.min_support, cfg.max_cluster_bias_INV,
             cfg.min_size, cfg.max_size, action, names=names)
         if action:
@@ -254,7 +258,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         log.info("Finished %s:%s." % (chrom, "INV"))
         add(chrom, cands)
     for chrom, sigs in store.sigs["DUP"].items():
-        cands, jobs = host_models.resolve_dup(
+        cands, jobs = resolve_dup(
             sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
             cfg.min_size, cfg.max_size, action, names=names)
         if action:

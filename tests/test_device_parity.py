@@ -117,3 +117,67 @@ def test_cover_counts_pallas_parity():
     a = cover_counts(svs, starts, ends)
     b = cover_counts_pallas(svs, starts, ends, interpret=True)
     assert list(a) == list(b)
+
+
+def _random_dup_stream(rng, n_sites=20):
+    rows = []
+    pos = 0
+    for _ in range(n_sites):
+        pos += rng.randrange(600, 5000)
+        p2 = pos + rng.randrange(50, 2000)
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((pos + rng.randrange(-100, 100),
+                         p2 + rng.randrange(-300, 300),
+                         "r%04d" % rng.randrange(500)))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    out = []
+    for r in rows:
+        if not out or out[-1] != r:
+            out.append(r)
+    return out
+
+
+def _random_inv_stream(rng, n_sites=20):
+    rows = []
+    pos = 0
+    for _ in range(n_sites):
+        pos += rng.randrange(600, 5000)
+        b2 = pos + rng.randrange(100, 3000)
+        st = rng.choice(["++", "--"])
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((st, pos + rng.randrange(-100, 100),
+                         b2 + rng.randrange(-200, 200),
+                         "r%04d" % rng.randrange(500)))
+    rows.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    # note: reference sorts INV by (chr, strand, bp1, ...) — strand first
+    out = []
+    for r in rows:
+        if not out or out[-1] != r:
+            out.append(r)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_dup_parity(seed):
+    rng = random.Random(300 + seed)
+    sigs = _random_dup_stream(rng)
+    for action in (False, True):
+        a, ja = host.resolve_dup(sigs, "chr1", 3, 150, 30, 100000,
+                                 action)
+        b, jb = dev.resolve_dup_device(sigs, "chr1", 3, 150, 30, 100000,
+                                       action)
+        assert a == b
+        assert ja == jb
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_inv_parity(seed):
+    rng = random.Random(400 + seed)
+    sigs = _random_inv_stream(rng)
+    for action in (False, True):
+        a, ja = host.resolve_inv(sigs, "chr1", 3, 150, 30, 100000,
+                                 action)
+        b, jb = dev.resolve_inv_device(sigs, "chr1", 3, 150, 30, 100000,
+                                       action)
+        assert a == b
+        assert ja == jb
