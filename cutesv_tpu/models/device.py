@@ -200,15 +200,26 @@ def resolve_del_device(sigs, chrom: str, read_count: int,
                        minimum_support_reads: int,
                        remain_reads_ratio: float, action: bool):
     """Device counterpart of models.host.resolve_del; identical outputs."""
-    if remain_reads_ratio > 1:
-        remain_reads_ratio = 1
     stream = _as_stream(sigs, is_ins=False)
-    candidates: List[list] = []
-    gt_jobs: List[dict] = []
     res = _cluster_stream(stream, read_count, max_cluster_bias)
     if res is None or len(res[0]) == 0:
-        return candidates, gt_jobs
+        return [], []
     cid, pos, length, sidx = res
+    return _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
+                     max_cluster_bias, minimum_support_reads,
+                     remain_reads_ratio, action)
+
+
+def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
+              max_cluster_bias, minimum_support_reads, remain_reads_ratio,
+              action):
+    """Allele finalize + candidate build over kept DEL rows (allele-stream
+    order) of one chromosome."""
+    if remain_reads_ratio > 1:
+        remain_reads_ratio = 1
+    candidates: List[list] = []
+    gt_jobs: List[dict] = []
+    cid = cid - cid[0]  # cluster ids dense within a chromosome slice
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     fast = remain_reads_ratio == 1
     if fast:
@@ -255,15 +266,24 @@ def resolve_ins_device(sigs, chrom: str, read_count: int,
                        minimum_support_reads: int,
                        remain_reads_ratio: float, action: bool):
     """Device counterpart of models.host.resolve_ins; identical outputs."""
-    if remain_reads_ratio > 1:
-        remain_reads_ratio = 1
     stream = _as_stream(sigs, is_ins=True)
-    candidates: List[list] = []
-    gt_jobs: List[dict] = []
     res = _cluster_stream(stream, read_count, max_cluster_bias)
     if res is None or len(res[0]) == 0:
-        return candidates, gt_jobs
+        return [], []
     cid, pos, length, sidx = res
+    return _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
+                     max_cluster_bias, minimum_support_reads,
+                     remain_reads_ratio, action)
+
+
+def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
+              max_cluster_bias, minimum_support_reads, remain_reads_ratio,
+              action):
+    if remain_reads_ratio > 1:
+        remain_reads_ratio = 1
+    candidates: List[list] = []
+    gt_jobs: List[dict] = []
+    cid = cid - cid[0]
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     fast = remain_reads_ratio == 1
     if fast:
@@ -398,3 +418,118 @@ def resolve_inv_device(sigs: Sequence, chrom: str, read_count: int,
                          sv_size, max_size, action, render, candidates,
                          gt_jobs)
     return candidates, gt_jobs
+
+
+# ---------------------------------------------------------------------------
+# genome-batched DEL/INS resolution: one kernel dispatch covers many
+# chromosomes. Positions are offset into disjoint ranges (separated by more
+# than max_cluster_bias) so clusters can never span chromosomes; batches
+# are capped so offset coordinates stay within int32.
+# ---------------------------------------------------------------------------
+
+_INT32_SAFE = 2_000_000_000
+
+
+def _chrom_batches(streams, bias):
+    """Group ordered (chrom, stream) pairs into int32-safe offset batches;
+    yields lists of (chrom, stream, offset)."""
+    batches = []
+    cur = []
+    cur_off = 0
+    for chrom, stream in streams:
+        span = (int(stream.pos[-1]) if len(stream) else 0) + bias + 2
+        if cur and cur_off + span > _INT32_SAFE:
+            batches.append(cur)
+            cur = []
+            cur_off = 0
+        cur.append((chrom, stream, cur_off))
+        cur_off += span
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+class _Facade:
+    """Row-indexable view over concatenated per-chromosome streams."""
+
+    def __init__(self, members):
+        self.pos = np.concatenate([s.pos + off for _, s, off in members])
+        self.length = np.concatenate([s.length for _, s, _ in members])
+        self.rid = np.concatenate([s.rid for _, s, _ in members])
+        self._chrom = np.concatenate(
+            [np.full(len(s), i, np.int64)
+             for i, (_, s, _) in enumerate(members)])
+        self._local = np.concatenate(
+            [np.arange(len(s), dtype=np.int64) for _, s, _ in members])
+        self._members = members
+        if members[0][1].seq_len is not None:
+            self.seq_len = np.concatenate(
+                [s.seq_len for _, s, _ in members])
+        else:
+            self.seq_len = None
+
+    def __len__(self):
+        return len(self.pos)
+
+    def member(self, k):
+        return self._members[self._chrom[k]], int(self._local[k])
+
+    def name_of(self, k):
+        m, j = self.member(k)
+        return m[1].name_of(j)
+
+    def key_of(self, k):
+        m, j = self.member(k)
+        return m[1].key_of(j)
+
+    def seq_of(self, k):
+        m, j = self.member(k)
+        return m[1].seq_of(j)
+
+
+def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
+                               threshold_gloab: float,
+                               max_cluster_bias: int,
+                               minimum_support_reads: int,
+                               remain_reads_ratio: float, action: bool):
+    """Resolve DEL or INS across many chromosomes with one cluster-kernel
+    dispatch per int32-safe batch. ``streams``: ordered (chrom, stream)
+    pairs; returns {chrom: (candidates, gt_jobs)}, byte-identical to the
+    per-chromosome resolvers."""
+    emit = _emit_ins if is_ins else _emit_del
+    out = {}
+    streams = [(c, _as_stream(s, is_ins)) for c, s in streams]
+    for batch in _chrom_batches(streams, max_cluster_bias):
+        members = [(c, s, off) for c, s, off in batch if len(s)]
+        for c, s, off in batch:
+            if not len(s):
+                out[c] = ([], [])
+        if not members:
+            continue
+        facade = _Facade(members)
+        res = _cluster_stream(facade, read_count, max_cluster_bias)
+        if res is None or len(res[0]) == 0:
+            for c, _, _ in members:
+                out.setdefault(c, ([], []))
+            continue
+        cid, pos, length, sidx = res
+        row_chrom = facade._chrom[sidx]
+        offs = np.array([off for _, _, off in members], np.int64)
+        pos = pos - offs[row_chrom]
+        # kept rows are sorted by cluster; clusters never span chromosomes,
+        # so each chromosome owns a contiguous slice
+        bounds = np.flatnonzero(np.diff(row_chrom)) + 1
+        lo = 0
+        for hi in list(bounds) + [len(row_chrom)]:
+            hi = int(hi)
+            ci = int(row_chrom[lo])
+            chrom, stream, _ = members[ci]
+            local_sidx = facade._local[sidx[lo:hi]]
+            out[chrom] = emit(cid[lo:hi], pos[lo:hi], length[lo:hi],
+                              local_sidx, stream, chrom, threshold_gloab,
+                              max_cluster_bias, minimum_support_reads,
+                              remain_reads_ratio, action)
+            lo = hi
+        for c, _, _ in members:
+            out.setdefault(c, ([], []))
+    return out

@@ -230,20 +230,37 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             results.setdefault(chrom, []).extend(rows)
 
     min_sup5 = min(cfg.min_support, 5)
-    for chrom, sigs in store.sigs["DEL"].items():
-        cands, jobs = resolve_del(
-            sigs, chrom, cfg.min_support, cfg.diff_ratio_merging_DEL,
-            cfg.max_cluster_bias_DEL, min_sup5, cfg.remain_reads_ratio,
-            action)
+    if use_device:
+        # one cluster-kernel dispatch per int32-safe chromosome batch
+        del_res = device_models.resolve_indel_device_multi(
+            list(store.sigs["DEL"].items()), False, cfg.min_support,
+            cfg.diff_ratio_merging_DEL, cfg.max_cluster_bias_DEL, min_sup5,
+            cfg.remain_reads_ratio, action)
+        ins_res = device_models.resolve_indel_device_multi(
+            list(store.sigs["INS"].items()), True, cfg.min_support,
+            cfg.diff_ratio_merging_INS, cfg.max_cluster_bias_INS, min_sup5,
+            cfg.remain_reads_ratio, action)
+    else:
+        del_res = {
+            chrom: resolve_del(sigs, chrom, cfg.min_support,
+                               cfg.diff_ratio_merging_DEL,
+                               cfg.max_cluster_bias_DEL, min_sup5,
+                               cfg.remain_reads_ratio, action)
+            for chrom, sigs in store.sigs["DEL"].items()}
+        ins_res = {
+            chrom: resolve_ins(sigs, chrom, cfg.min_support,
+                               cfg.diff_ratio_merging_INS,
+                               cfg.max_cluster_bias_INS, min_sup5,
+                               cfg.remain_reads_ratio, action)
+            for chrom, sigs in store.sigs["INS"].items()}
+    for chrom in store.sigs["DEL"]:
+        cands, jobs = del_res[chrom]
         if action:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "DEL"))
         add(chrom, cands)
-    for chrom, sigs in store.sigs["INS"].items():
-        cands, jobs = resolve_ins(
-            sigs, chrom, cfg.min_support, cfg.diff_ratio_merging_INS,
-            cfg.max_cluster_bias_INS, min_sup5, cfg.remain_reads_ratio,
-            action)
+    for chrom in store.sigs["INS"]:
+        cands, jobs = ins_res[chrom]
         if action:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "INS"))

@@ -181,3 +181,34 @@ def test_inv_parity(seed):
                                        action)
         assert a == b
         assert ja == jb
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_multi_chrom_batched_resolution(seed):
+    """One batched kernel dispatch over many chromosomes must equal the
+    per-chromosome resolvers exactly."""
+    rng = random.Random(500 + seed)
+    streams = []
+    for c in ["chr1", "chr2", "chr3", "chrX"]:
+        streams.append((c, _random_del_stream(rng, n_sites=10)))
+    per = {c: host.resolve_del(s, c, 3, 0.5, 200, 3, 1.0, True)
+           for c, s in streams}
+    multi = dev.resolve_indel_device_multi(streams, False, 3, 0.5, 200, 3,
+                                           1.0, True)
+    assert set(multi) == set(per)
+    for c in per:
+        assert multi[c][0] == per[c][0]
+        assert multi[c][1] == per[c][1]
+
+
+def test_multi_chrom_batched_ins(seed=0):
+    rng = random.Random(600)
+    streams = [(c, _random_ins_stream(rng, n_sites=8))
+               for c in ["a", "b", "c"]]
+    per = {c: host.resolve_ins(s, c, 3, 0.3, 100, 3, 1.0, True)
+           for c, s in streams}
+    multi = dev.resolve_indel_device_multi(streams, True, 3, 0.3, 100, 3,
+                                           1.0, True)
+    for c in per:
+        assert multi[c][0] == per[c][0]
+        assert multi[c][1] == per[c][1]
