@@ -142,6 +142,82 @@ def _cover_fn(cfg: Config):
     return None
 
 
+def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
+                             cfg: Config) -> None:
+    """Cross-chromosome read-support pass (device/rank path): windows and
+    primary read intervals are offset into disjoint int32-safe coordinate
+    ranges, so one dominance-count kernel sequence serves every
+    chromosome. Candidates whose chromosome has no census rows are dropped
+    (call_gt's empty-chrom contract, cuteSV_resolveINDEL.py:443-444)."""
+    from cutesv_tpu.genotype import _assign_gt_ranks
+
+    chroms = [c for c in per_chrom if per_chrom[c][1]]
+    jobs_by_chrom = {}
+    offset = 0
+    all_windows, all_supports, spans = [], [], []
+    starts_parts, ends_parts, prim_parts, name_parts = [], [], [], []
+    for chrom in chroms:
+        cands, jobs = per_chrom[chrom]
+        census = store.census.get(chrom)
+        if census is None:
+            per_chrom[chrom] = ([], jobs)
+            continue
+        hi = int(max(
+            census["end"].max() if len(census["end"]) else 0,
+            max(w for j in jobs for w in j["window"]) if jobs else 0))
+        span = hi + 2
+        if offset + span > 1_000_000_000:
+            offset = 0  # kernels scale coords x2; keep 2*coord in int32
+            _flush_gt_batch(all_windows, all_supports, jobs_by_chrom,
+                            per_chrom, starts_parts, ends_parts,
+                            prim_parts, name_parts)
+            all_windows, all_supports = [], []
+            jobs_by_chrom = {}
+            starts_parts, ends_parts = [], []
+            prim_parts, name_parts = [], []
+        jobs_by_chrom[chrom] = (len(all_windows), len(jobs))
+        for j in jobs:
+            all_windows.append((j["window"][0] + offset,
+                                j["window"][1] + offset))
+            all_supports.append(j["support"])
+        starts_parts.append(census["start"] + offset)
+        ends_parts.append(census["end"] + offset)
+        prim_parts.append(census["is_primary"])
+        name_parts.append(census["name"])
+        offset += span
+    _flush_gt_batch(all_windows, all_supports, jobs_by_chrom, per_chrom,
+                    starts_parts, ends_parts, prim_parts, name_parts)
+
+
+def _flush_gt_batch(windows, supports, jobs_by_chrom, per_chrom,
+                    starts_parts, ends_parts, prim_parts, name_parts):
+    from cutesv_tpu.genotype import _assign_gt_ranks
+    from cutesv_tpu.ops.sweep import cover_counts_device
+
+    if not jobs_by_chrom:
+        return
+    merged = dict(
+        start=np.concatenate(starts_parts),
+        end=np.concatenate(ends_parts),
+        is_primary=np.concatenate(prim_parts),
+        name=np.concatenate(name_parts))
+    import jax
+    if jax.default_backend() in ("tpu", "axon"):
+        from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas as cf
+    else:
+        cf = cover_counts_device
+    rows = _assign_gt_ranks(windows, supports, merged, cf)
+    for chrom, (lo, n) in jobs_by_chrom.items():
+        cands, jobs = per_chrom[chrom]
+        for cand, (dv, dr, gt, pl, gq, qual) in zip(cands,
+                                                    rows[lo:lo + n]):
+            cand[7] = str(dr)
+            cand[8] = str(gt)
+            cand[9] = str(pl)
+            cand[10] = str(gq)
+            cand[11] = str(qual)
+
+
 def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
                      cfg: Config) -> List[list]:
     """call_gt for DEL/INS (cuteSV_resolveINDEL.py:441-479)."""
@@ -253,15 +329,22 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                                cfg.max_cluster_bias_INS, min_sup5,
                                cfg.remain_reads_ratio, action)
             for chrom, sigs in store.sigs["INS"].items()}
+    if action and use_device and store.names is not None:
+        # one batched read-support pass over all chromosomes per type
+        _fill_gt_del_ins_batched(del_res, store, cfg)
+        _fill_gt_del_ins_batched(ins_res, store, cfg)
+        filled = True
+    else:
+        filled = False
     for chrom in store.sigs["DEL"]:
         cands, jobs = del_res[chrom]
-        if action:
+        if action and not filled:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "DEL"))
         add(chrom, cands)
     for chrom in store.sigs["INS"]:
         cands, jobs = ins_res[chrom]
-        if action:
+        if action and not filled:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "INS"))
         add(chrom, cands)
