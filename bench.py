@@ -37,7 +37,7 @@ def _codes_to_str(codes):
 def build_dataset(genome_mb: int, seed: int = 0):
     """Synthesize ref.fa + sim.bam under CACHE; returns paths."""
     os.makedirs(CACHE, exist_ok=True)
-    tag = "g%dmb_c%dx" % (genome_mb, COVERAGE)
+    tag = "g%dmb4chr_c%dx" % (genome_mb, COVERAGE)
     bam = os.path.join(CACHE, "sim_%s.bam" % tag)
     fa = os.path.join(CACHE, "ref_%s.fa" % tag)
     meta = os.path.join(CACHE, "meta_%s.json" % tag)
@@ -46,28 +46,34 @@ def build_dataset(genome_mb: int, seed: int = 0):
     from cutesv_tpu.io.bam import BamWriter
 
     rng = np.random.default_rng(seed)
-    n = genome_mb * 1_000_000
-    ref_codes = rng.integers(0, 4, size=n, dtype=np.uint8)
-
-    # planted SVs: every 50 kb, alternating DEL/INS, len 60-400, all het
-    sv_loci = []
-    p = 100_000
-    k = 0
-    while p < n - 100_000:
-        svlen = int(rng.integers(60, 400))
-        sv_loci.append((p, "DEL" if k % 2 == 0 else "INS", svlen))
-        k += 1
-        p += 50_000
-    ins_seqs = {p: rng.integers(0, 4, size=l, dtype=np.uint8)
-                for p, t, l in sv_loci if t == "INS"}
+    n_chroms = 4
+    n = genome_mb * 1_000_000 // n_chroms  # per chromosome
+    chrom_names = ["chr%d" % (i + 1) for i in range(n_chroms)]
 
     step = READ_LEN // COVERAGE
     n_reads = 0
-    with BamWriter(bam, [("chr1", n)]) as w:
+    n_sv_total = 0
+    with BamWriter(bam, [(c, n) for c in chrom_names]) as w,             open(fa, "w") as fa_out:
+      for chrom_id, chrom_name in enumerate(chrom_names):
+        ref_codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+
+        # planted SVs: every 50 kb, alternating DEL/INS, len 60-400, het
+        sv_loci = []
+        p = 100_000
+        k = 0
+        while p < n - 100_000:
+            svlen = int(rng.integers(60, 400))
+            sv_loci.append((p, "DEL" if k % 2 == 0 else "INS", svlen))
+            k += 1
+            p += 50_000
+        n_sv_total += len(sv_loci)
+        ins_seqs = {p: rng.integers(0, 4, size=l, dtype=np.uint8)
+                    for p, t, l in sv_loci if t == "INS"}
+
         ridx = 0
         for start in range(0, n - READ_LEN, step):
             ridx += 1
-            qname = "r%06d" % ridx
+            qname = "%s_r%06d" % (chrom_name, ridx)
             carrier = ridx % 2 == 0
             # collect events inside the read: planted SVs (if carrier) and
             # noise indels
@@ -110,16 +116,14 @@ def build_dataset(genome_mb: int, seed: int = 0):
             cigar.append((0, end - cur))
             chunks.append(ref_codes[cur:end])
             seq = _codes_to_str(np.concatenate(chunks))
-            w.write(qname, 0, 0, start, 60, cigar, seq)
+            w.write(qname, 0, chrom_id, start, 60, cigar, seq)
             n_reads += 1
 
-    # FASTA
-    with open(fa, "w") as fh:
-        fh.write(">chr1\n")
+        fa_out.write(">%s\n" % chrom_name)
         s = _codes_to_str(ref_codes)
         for i in range(0, n, 10_000):
-            fh.write(s[i:i + 10_000] + "\n")
-    info = {"n_reads": n_reads, "n_sv": len(sv_loci)}
+            fa_out.write(s[i:i + 10_000] + "\n")
+    info = {"n_reads": n_reads, "n_sv": n_sv_total}
     json.dump(info, open(meta, "w"))
     return bam, fa, info
 
@@ -170,7 +174,7 @@ def main():
 
     rate = n_reads / dt_native
     result = {
-        "metric": "synthetic %dMb %dx end-to-end calling reads/s "
+        "metric": "synthetic %dMb 4-chrom %dx end-to-end calling reads/s "
                   "(native+TPU vs reference-equivalent python)" % (
                       genome_mb, COVERAGE),
         "value": round(rate, 1),
