@@ -75,3 +75,40 @@ def test_secondary_only_chrom(tmp_path):
         p.flag = 256
     body = _run(tmp_path, plans, [("c", 20_000)], seqs, decoder="python")
     assert body == []
+
+
+def test_include_bed_filter(tmp_path):
+    """Reads outside the (±1000-padded) BED regions produce no signatures;
+    both decoders agree."""
+    rng = random.Random(4)
+    seqs = simdata.make_reference(rng, {"c": 60_000})
+    chrom = seqs["c"]
+    plans = []
+    # two DEL sites; BED keeps only the first
+    for i, start in enumerate(range(12_100, 14_700, 250)):
+        plans.append(simdata.read_with_del(chrom, 0, start, 15_000, 80,
+                                           3000 - (15_000 - start),
+                                           "a%d" % i))
+    for i, start in enumerate(range(42_100, 44_700, 250)):
+        plans.append(simdata.read_with_del(chrom, 0, start, 45_000, 80,
+                                           3000 - (45_000 - start),
+                                           "b%d" % i))
+    bed = tmp_path / "regions.bed"
+    bed.write_text("c\t14000\t16000\n")
+    bodies = {}
+    for decoder in ("python", "native"):
+        bam = tmp_path / ("i_%s.bam" % decoder)
+        fa = tmp_path / ("i_%s.fa" % decoder)
+        out = tmp_path / ("i_%s.vcf" % decoder)
+        simdata.write_bam(str(bam), [("c", 60_000)], plans)
+        simdata.write_ref_fasta(str(fa), seqs)
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(tmp_path), genotype=True, min_support=3,
+                     include_bed=str(bed), decoder=decoder,
+                     engine="host" if decoder == "python" else "device")
+        run_pipeline(cfg, [])
+        bodies[decoder] = [l for l in out.read_text().splitlines()
+                           if not l.startswith("#")]
+    assert bodies["python"] == bodies["native"]
+    assert len(bodies["python"]) == 1
+    assert bodies["python"][0].split("\t")[1] == "15000"
