@@ -971,9 +971,11 @@ struct Decoder {
     std::string nextc;
     bool have_next = false;
     std::thread prefetch([&]() { have_next = rd.next_chunk(nextc); });
+    // allow oversubscription: record parsing is latency-bound (cold
+    // record headers 10KB apart), so more workers than cores helps
     int n_workers = (int)std::min<int64_t>(
         std::max<int64_t>(P.n_threads, 1),
-        (int64_t)std::thread::hardware_concurrency());
+        4 * (int64_t)std::max(1u, std::thread::hardware_concurrency()));
     for (;;) {
       // index record payload offsets in this chunk
       std::vector<std::pair<size_t, int32_t>> recs;
