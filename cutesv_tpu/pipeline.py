@@ -51,7 +51,9 @@ def decode_bam(cfg: Config):
     Uses the C++ decoder (native/bamdecode.cpp) unless ``cfg.decoder`` is
     "python" or the native library cannot be built; the Python path is the
     behavioral oracle."""
-    if cfg.decoder in ("native", "auto"):
+    with open(cfg.input, "rb") as probe:
+        is_cram = probe.read(4) == b"CRAM"
+    if cfg.decoder in ("native", "auto") and not is_cram:
         try:
             return _decode_bam_native(cfg)
         except Exception:
@@ -59,6 +61,8 @@ def decode_bam(cfg: Config):
                 raise
             log.warning("native decoder unavailable; falling back to the "
                         "python decoder", exc_info=True)
+    elif is_cram:
+        log.info("CRAM input: decoding with the python CRAM 3.0 reader")
     return _decode_bam_python(cfg)
 
 
@@ -90,11 +94,13 @@ def _decode_bam_native(cfg: Config):
 
 
 def _decode_bam_python(cfg: Config):
+    from cutesv_tpu.io.cram import open_alignment_file
+
     candidates = extract.new_candidate_dict()
     census_rows: List[tuple] = []
     allread_rows: List[tuple] = []
     bed = load_bed_regions(cfg.include_bed)
-    reader = BamReader(cfg.input)
+    reader = open_alignment_file(cfg.input, reference=cfg.reference or None)
     chrom_names = [n for n, _ in reader.references]
     chrom_lengths = {n: l for n, l in reader.references}
     n_records = 0

@@ -26,3 +26,13 @@ def setup_jax():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # cache is an optimization; never fail the pipeline over it
+    # the pinned platform (e.g. a TPU plugin) can fail to register; fall
+    # back to whatever backend is actually available rather than dying
+    try:
+        jax.devices()
+    except RuntimeError:
+        try:
+            jax.config.update("jax_platforms", "")
+            jax.devices()
+        except Exception:
+            jax.config.update("jax_platforms", "cpu")
