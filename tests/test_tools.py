@@ -75,3 +75,33 @@ def test_eval_sim_matching(tmp_path):
     assert stats1[("call", "INS")] == (1, 1)
     assert stats2[("call", "INS")] == (0, 1)
     assert genotype["chr1"] == "hom"
+
+
+def test_simulate_then_call_then_eval(tmp_path):
+    """simulate -> call -> eval_sim closes the loop: planted SVs are
+    recalled at the genotype level."""
+    import logging
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import run_pipeline
+    from cutesv_tpu.tools import simulate
+
+    info = simulate.simulate(str(tmp_path / "sim"), genome_mb=2.0,
+                             n_chroms=2, coverage=12, read_len=6000,
+                             sv_spacing=100_000, zygosity="hom")
+    out = tmp_path / "calls.vcf"
+    cfg = Config(input=info["bam"], reference=info["fa"], output=str(out),
+                 work_dir=str(tmp_path), genotype=True, min_support=3)
+    run_pipeline(cfg, ["sim"])
+    ans = eval_sim.load_ans(info["bed"])
+    gt = eval_sim.load_gt(info["gt"])
+    callset, _ = eval_sim.load_callset(str(out), ["INS", "INV", "DEL"])
+    eval_sim.evaluate(callset, ans, 0.7, 1000, 1, gt)
+    s2 = eval_sim.statistics(callset, ans, 1, 2)
+    n_truth = sum(len(v) for v in ans.values())
+    # every planted DEL and INS recalled with matching (hom) genotype
+    for svtype in ("DEL", "INS"):
+        tp, total = s2[("call", svtype)]
+        assert total >= 8 and tp == total, (svtype, tp, total)
+        fn, t2 = s2[("ans", svtype)]
+        assert fn == t2, (svtype, fn, t2)
