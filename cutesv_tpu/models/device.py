@@ -34,22 +34,42 @@ class IndelStream:
     """Columnar view over one chromosome's merged DEL or INS stream.
 
     ``pos``/``length`` int64 arrays; ``rid`` int read identities whose
-    numeric order equals read-name string order; ``names`` renders an
-    identity to its string. INS streams add per-row sequence access.
+    numeric order equals read-name string order. Two storage modes share
+    one row API (``name_of``/``key_of``/``seq_of``): tuple-backed (oracle
+    path, string identities) and array-backed (native decode path,
+    rank-id identities). Plain attributes only, so signature checkpoints
+    pickle cleanly.
     """
 
-    def __init__(self, pos, length, rid, name_of, key_of, seq_len=None,
-                 seq_of=None):
+    def __init__(self, pos, length, rid, rows=None, names_table=None,
+                 seq_len=None, seq_blob=None, seq_off=None):
         self.pos = pos
         self.length = length
         self.rid = rid
-        self.name_of = name_of      # stream row -> display name (str)
-        self.key_of = key_of        # stream row -> identity key (str/int)
-        self.seq_len = seq_len      # stream row -> sequence length
-        self.seq_of = seq_of        # stream row -> sequence string
+        self._rows = rows               # tuple mode
+        self._names_table = names_table  # array mode
+        self.seq_len = seq_len
+        self._seq_blob = seq_blob
+        self._seq_off = seq_off
 
     def __len__(self):
         return len(self.pos)
+
+    def name_of(self, k):
+        if self._rows is not None:
+            return self._rows[k][2]
+        return self._names_table[int(self.rid[k])]
+
+    def key_of(self, k):
+        if self._rows is not None:
+            return self._rows[k][2]
+        return int(self.rid[k])
+
+    def seq_of(self, k):
+        if self._rows is not None:
+            return self._rows[k][3]
+        o = int(self._seq_off[k])
+        return self._seq_blob[o:o + int(self.seq_len[k])].decode("ascii")
 
     @classmethod
     def from_tuples(cls, rows: Sequence, is_ins: bool) -> "IndelStream":
@@ -61,25 +81,15 @@ class IndelStream:
         kw = {}
         if is_ins:
             kw = dict(seq_len=np.fromiter((len(r[3]) for r in rows),
-                                          np.int64, n),
-                      seq_of=lambda k: rows[k][3])
-        return cls(pos, length, rid.astype(np.int64),
-                   name_of=lambda k: rows[k][2],
-                   key_of=lambda k: rows[k][2], **kw)
+                                          np.int64, n))
+        return cls(pos, length, rid.astype(np.int64), rows=list(rows), **kw)
 
     @classmethod
     def from_arrays(cls, pos, length, rid, names_table, seq_len=None,
                     seq_blob=None, seq_off=None) -> "IndelStream":
-        kw = {}
-        if seq_len is not None:
-            def seq_of(k):
-                o = int(seq_off[k])
-                return seq_blob[o:o + int(seq_len[k])].decode("ascii")
-            kw = dict(seq_len=seq_len, seq_of=seq_of)
         return cls(np.asarray(pos, np.int64), np.asarray(length, np.int64),
-                   np.asarray(rid, np.int64),
-                   name_of=lambda k, r=rid: names_table[int(r[k])],
-                   key_of=lambda k, r=rid: int(r[k]), **kw)
+                   np.asarray(rid, np.int64), names_table=names_table,
+                   seq_len=seq_len, seq_blob=seq_blob, seq_off=seq_off)
 
 
 def _cluster_stream(stream: IndelStream, read_count: int, bias: int):

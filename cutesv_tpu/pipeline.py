@@ -425,8 +425,7 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
 
     if cfg.work_dir:
         os.makedirs(cfg.work_dir, exist_ok=True)
-        if (cfg.retain_work_dir and store.names is None
-                and not cfg.resume):
+        if cfg.retain_work_dir and not cfg.resume:
             sigstore.save_store(store, cfg.work_dir)
         if cfg.write_old_sigs:
             if candidates is not None:

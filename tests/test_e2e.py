@@ -166,3 +166,30 @@ def test_workdir_guard_and_resume(tmp_path):
     body2 = [l for l in out2.read_text().splitlines()
              if not l.startswith("#")]
     assert body1 == body2 and len(body1) == 1
+
+
+def test_native_checkpoint_resume(tmp_path):
+    """--resume works from a native-decode (columnar) checkpoint."""
+    rng = random.Random(8)
+    ref = simdata.make_reference(rng, {"c": 30_000})
+    chrom = ref["c"]
+    plans = [simdata.read_with_del(chrom, 0, start, 15_000, 80,
+                                   3000 - (15_000 - start), "n%d" % i)
+             for i, start in enumerate(range(12_100, 14_700, 250))]
+    bam, fa = tmp_path / "n.bam", tmp_path / "n.fa"
+    simdata.write_bam(str(bam), [("c", 30_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+    wd = tmp_path / "wd"
+    wd.mkdir()
+    out1, out2 = tmp_path / "n1.vcf", tmp_path / "n2.vcf"
+    cfg = Config(input=str(bam), reference=str(fa), output=str(out1),
+                 work_dir=str(wd), genotype=True, min_support=3,
+                 retain_work_dir=True, decoder="native", engine="device")
+    run_pipeline(cfg, [])
+    cfg2 = Config(input=str(bam), reference=str(fa), output=str(out2),
+                  work_dir=str(wd), genotype=True, min_support=3,
+                  resume=True, decoder="native", engine="device")
+    run_pipeline(cfg2, [])
+    strip = lambda p: [l for l in p.read_text().splitlines()
+                       if not l.startswith("#")]
+    assert strip(out1) == strip(out2) and len(strip(out1)) == 1
