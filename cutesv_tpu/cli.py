@@ -48,7 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, default=d.threads,
                    help="Number of host threads to use.[%(default)s]")
     p.add_argument("-b", "--batches", type=int, default=d.batches,
-                   help="Batch of genome segmentation interval.[%(default)s]")
+                   help="Batch of genome segmentation interval (accepted for "
+                        "cuteSV compatibility; streaming decode makes it "
+                        "a no-op).[%(default)s]")
     p.add_argument("-S", "--sample", type=str, default=d.sample,
                    help="Sample name/id")
     p.add_argument("--retain_work_dir", action="store_true",

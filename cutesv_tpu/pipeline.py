@@ -7,7 +7,6 @@ fill -> VCF.
 """
 from __future__ import annotations
 
-import bisect
 import logging
 import os
 import time
