@@ -158,19 +158,38 @@ def main():
     dt_native = min(dt_native, dt_n2)
 
     rate_file = os.path.join(CACHE, "baseline_rate_%dmb.json" % genome_mb)
+    identical = None
+    base_rate = None
     if os.environ.get("BENCH_BASELINE", "1") != "0" or \
             not os.path.exists(rate_file):
-        dt_py, calls_py, vcf_py = run_once(bam, fa, "host", "python", outdir)
-        dt_py2, _, _ = run_once(bam, fa, "host", "python", outdir)
-        dt_py = min(dt_py, dt_py2)
-        base_rate = n_reads / dt_py
-        json.dump({"rate": base_rate}, open(rate_file, "w"))
-        identical = (
-            open(vcf_native).read().split("#CHROM")[-1]
-            == open(vcf_py).read().split("#CHROM")[-1])
-    else:
-        base_rate = json.load(open(rate_file))["rate"]
-        identical = None
+        # guard the slow python baseline with an alarm so a driver-side
+        # timeout still gets the JSON line (falls back to the cached rate)
+        import signal
+
+        def _bail(sig, frame):
+            raise TimeoutError()
+
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(int(os.environ.get("BENCH_BASELINE_TIMEOUT", "300")))
+        try:
+            dt_py, calls_py, vcf_py = run_once(bam, fa, "host", "python",
+                                               outdir)
+            dt_py2, _, _ = run_once(bam, fa, "host", "python", outdir)
+            dt_py = min(dt_py, dt_py2)
+            base_rate = n_reads / dt_py
+            json.dump({"rate": base_rate}, open(rate_file, "w"))
+            identical = (
+                open(vcf_native).read().split("#CHROM")[-1]
+                == open(vcf_py).read().split("#CHROM")[-1])
+        except TimeoutError:
+            pass
+        finally:
+            signal.alarm(0)
+    if base_rate is None:
+        if os.path.exists(rate_file):
+            base_rate = json.load(open(rate_file))["rate"]
+        else:
+            base_rate = float("nan")
 
     rate = n_reads / dt_native
     result = {
