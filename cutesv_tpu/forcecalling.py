@@ -17,6 +17,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import re
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -25,6 +26,8 @@ from cutesv_tpu.genotype import cal_CIPOS, gl_table
 from cutesv_tpu.vcf import vcf_header
 
 log = logging.getLogger("cutesv_tpu")
+
+_BND_MATE_RE = re.compile(r"[\[\]]([^\[\]]+)[\[\]]")
 
 
 # ---------------------------------------------------------------------------
@@ -76,15 +79,16 @@ def parse_vcf_records(path: str):
             else:
                 svlen = 0
             if sv_type in ("TRA", "BND"):
+                # mate coordinates from the bracket-delimited ALT segment.
+                # (Deviation: the reference slices assuming an N-leading
+                # ALT and silently mis-parses base-leading breakends —
+                # including its own emitted ones, cuteSV_forcecalling.py:
+                # 57-77; extracting between the brackets handles both.)
                 try:
-                    tra_alt = alts
-                    if tra_alt[0] == "N":
-                        tra_alt = tra_alt[2:-1]
-                    else:
-                        tra_alt = tra_alt[1:-2]
-                    if ":" in tra_alt:
-                        chrom2 = tra_alt.split(":")[0]
-                        end = int(tra_alt.split(":")[1])
+                    mate = _BND_MATE_RE.search(alts)
+                    if mate and ":" in mate.group(1):
+                        chrom2 = mate.group(1).split(":")[0]
+                        end = int(mate.group(1).split(":")[1])
                 except Exception:
                     pass
             if end is None:

@@ -102,3 +102,35 @@ def test_find_in_indel_list_merging():
     ids, ss, se, cipos, cilen = find_in_indel_list(
         "DEL", rows, 1000, 1010, 120, 0.3, False)
     assert sorted(ids) == ["r1", "r2", "r3"]
+
+
+def test_force_calling_all_types(tmp_path):
+    """Force-call a discovery VCF containing DUP/INV/BND records."""
+    from tests.test_e2e_alltypes import _build
+
+    bam, fa = _build(tmp_path)
+    disc = tmp_path / "disc_all.vcf"
+    cfg = Config(input=str(bam), reference=str(fa), output=str(disc),
+                 work_dir=str(tmp_path), genotype=True, min_support=3)
+    run_pipeline(cfg, ["d"])
+    types_in = sorted({l.split("SVTYPE=")[1].split(";")[0]
+                       for l in disc.read_text().splitlines()
+                       if not l.startswith("#")})
+    assert types_in == ["BND", "DEL", "DUP", "INV"]
+
+    fc_out = tmp_path / "fc_all.vcf"
+    cfg2 = Config(input=str(bam), reference=str(fa), output=str(fc_out),
+                  work_dir=str(tmp_path), Ivcf=str(disc), genotype=True)
+    run_force_calling(cfg2, ["f"])
+    body = [l.split("\t") for l in fc_out.read_text().splitlines()
+            if not l.startswith("#")]
+    assert len(body) == 4
+    by_type = {}
+    for f in body:
+        info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+        by_type[info["SVTYPE"]] = (f, info)
+    assert set(by_type) == {"BND", "DEL", "DUP", "INV"}
+    # supports rediscovered: RE > 0 and a called genotype for each
+    for t, (f, info) in by_type.items():
+        assert int(info["RE"]) >= 3, (t, info)
+        assert f[9].split(":")[0] in ("0/1", "1/1"), (t, f[9])
