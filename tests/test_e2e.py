@@ -193,3 +193,46 @@ def test_native_checkpoint_resume(tmp_path):
     strip = lambda p: [l for l in p.read_text().splitlines()
                        if not l.startswith("#")]
     assert strip(out1) == strip(out2) and len(strip(out1)) == 1
+
+
+def test_emission_flags(tmp_path):
+    """--ignore_sequence, --report_readid and -L max_size emission rules."""
+    rng = random.Random(12)
+    ref = simdata.make_reference(rng, {"c": 40_000})
+    chrom = ref["c"]
+    plans = []
+    for i, start in enumerate(range(7_400, 9_700, 250)):   # DEL len 120
+        plans.append(simdata.read_with_del(chrom, 0, start, 10_000, 120,
+                                           3000 - (10_120 - start),
+                                           "a%02d" % i))
+    for i, start in enumerate(range(27_800, 29_700, 250)):  # DEL len 500
+        plans.append(simdata.read_with_del(chrom, 0, start, 30_000, 500,
+                                           3000 - (30_500 - start),
+                                           "b%02d" % i))
+    bam, fa = tmp_path / "f.bam", tmp_path / "f.fa"
+    simdata.write_bam(str(bam), [("c", 40_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+
+    def run(**kw):
+        out = tmp_path / ("out_%d.vcf" % len(list(tmp_path.iterdir())))
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(tmp_path), genotype=True, min_support=3,
+                     **kw)
+        run_pipeline(cfg, [])
+        return [l.split("\t") for l in out.read_text().splitlines()
+                if not l.startswith("#")]
+
+    base = run()
+    assert len(base) == 2
+    assert len(base[0][3]) == 121  # REF carries deleted bases
+
+    sym = run(ignore_sequence=True)
+    assert sym[0][3] == "N" and sym[0][4] == "<DEL>"
+
+    rn = run(report_readid=True)
+    assert "RNAMES=" in rn[0][7]
+    assert "a00" in rn[0][7]
+
+    capped = run(max_size=300)  # drops the 500bp DEL at emission
+    assert len(capped) == 1
+    assert "SVLEN=-120" in capped[0][7]
