@@ -1,0 +1,48 @@
+"""Multi-device genotype cover counting (the --n_shards path).
+
+Shards the SV-window axis across the genome mesh with the read tile set
+replicated per device — the production layout for multi-chip genotyping
+(SURVEY §2.5): per-bin candidate windows live where their signatures
+live; read intervals are small and replicate cheaply.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from cutesv_tpu.parallel import mesh as pmesh
+
+
+@lru_cache(maxsize=4)
+def _fns(n_shards: int):
+    mesh = pmesh.make_mesh(n_shards)
+    return mesh, pmesh.sharded_cover_counts(mesh)
+
+
+def make_sharded_cover(n_shards: int):
+    mesh, fn = _fns(n_shards)
+
+    def cover(sv_windows, read_starts, read_ends) -> np.ndarray:
+        import jax.numpy as jnp
+
+        n_sv = len(sv_windows)
+        n_reads = len(read_starts)
+        if n_sv == 0 or n_reads == 0:
+            return np.zeros(n_sv, np.int64)
+        s = np.asarray([w[0] for w in sv_windows], np.float64)
+        e = np.asarray([w[1] for w in sv_windows], np.float64)
+        s2 = np.floor(s * 2).astype(np.int64)
+        e2 = np.ceil(e * 2).astype(np.int64)
+        sp = -(-n_sv // n_shards) * n_shards
+        sv_s = np.full(sp, np.iinfo(np.int32).min, np.int64)
+        sv_e = np.full(sp, np.iinfo(np.int32).max, np.int64)
+        sv_s[:n_sv] = s2
+        sv_e[:n_sv] = e2
+        st = 2 * np.asarray(read_starts, np.int64)
+        en = 2 * np.asarray(read_ends, np.int64)
+        out = fn(jnp.asarray(sv_s, jnp.int32), jnp.asarray(sv_e, jnp.int32),
+                 jnp.asarray(st, jnp.int32), jnp.asarray(en, jnp.int32))
+        return np.asarray(out)[:n_sv].astype(np.int64)
+
+    return cover

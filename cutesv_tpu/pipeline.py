@@ -136,15 +136,19 @@ def _decode_bam_python(cfg: Config):
 
 
 def _cover_fn(cfg: Config):
-    if cfg.engine in ("device", "auto"):
-        import jax
-        if jax.default_backend() in ("tpu", "axon"):
-            # VMEM-resident Pallas kernel on TPU hardware
-            from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas
-            return cover_counts_pallas
-        from cutesv_tpu.ops.sweep import cover_counts_device
-        return cover_counts_device
-    return None
+    if cfg.engine not in ("device", "auto"):
+        return None
+    import jax
+    if cfg.n_shards > 1 and len(jax.devices()) >= cfg.n_shards:
+        # SV axis sharded over the genome mesh, reads replicated
+        from cutesv_tpu.parallel.sharded_cover import make_sharded_cover
+        return make_sharded_cover(cfg.n_shards)
+    if jax.default_backend() in ("tpu", "axon"):
+        # VMEM-resident Pallas kernel on TPU hardware
+        from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas
+        return cover_counts_pallas
+    from cutesv_tpu.ops.sweep import cover_counts_device
+    return cover_counts_device
 
 
 def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,

@@ -61,3 +61,36 @@ def test_sharded_cover_counts(mesh8):
     st, en = np.asarray(starts), np.asarray(ends)
     exp = [(int(np.sum((st <= s) & (en >= e)))) for s, e in zip(s_np, e_np)]
     assert got.tolist() == exp
+
+
+def test_sharded_cover_in_pipeline(tmp_path, mesh8):
+    """--n_shards 8 routes genotype cover counts through the mesh and the
+    VCF stays byte-identical; --profile writes a trace."""
+    import random
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import run_pipeline
+    from tests import simdata
+
+    rng = random.Random(6)
+    ref = simdata.make_reference(rng, {"c": 30_000})
+    chrom = ref["c"]
+    plans = [simdata.read_with_del(chrom, 0, start, 15_000, 80,
+                                   3000 - (15_080 - start), "s%d" % i)
+             for i, start in enumerate(range(12_200, 14_700, 250))]
+    bam, fa = tmp_path / "s.bam", tmp_path / "s.fa"
+    simdata.write_bam(str(bam), [("c", 30_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+    bodies = {}
+    for shards in (1, 8):
+        out = tmp_path / ("o%d.vcf" % shards)
+        wd = tmp_path / ("wd%d" % shards)
+        wd.mkdir()
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(wd), genotype=True, min_support=3,
+                     n_shards=shards, profile=(shards == 8))
+        run_pipeline(cfg, [])
+        bodies[shards] = [l for l in out.read_text().splitlines()
+                          if not l.startswith("#")]
+    assert bodies[1] == bodies[8] and len(bodies[1]) == 1
+    assert (tmp_path / "wd8" / "jax_trace").exists()
