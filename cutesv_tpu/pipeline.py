@@ -300,8 +300,6 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         from cutesv_tpu.utils.jaxsetup import setup_jax
         setup_jax()
         from cutesv_tpu.models import device as device_models
-        resolve_del = device_models.resolve_del_device
-        resolve_ins = device_models.resolve_ins_device
         resolve_dup = device_models.resolve_dup_device
         resolve_inv = device_models.resolve_inv_device
     else:
