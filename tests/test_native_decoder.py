@@ -63,9 +63,15 @@ def _random_sa(rng):
         m = rng.randrange(100, 3000)
         b = rng.randrange(0, 900)
         cig = ""
+        if rng.random() < 0.15:
+            cig += "%dH" % rng.randrange(1, 50)  # H is NOT a clip here
         if a:
             cig += "%dS" % a
-        cig += "%dM" % m
+        if rng.random() < 0.3:
+            cig += "%d=%dX%dM" % (m // 3, rng.randrange(1, 20),
+                                  m - m // 3)
+        else:
+            cig += "%dM" % m
         if rng.random() < 0.5:
             cig += "%dD%dM" % (rng.randrange(1, 100), rng.randrange(50, 500))
         if b:
@@ -85,7 +91,8 @@ def _make_random_bam(path, rng, n_reads=300):
         cigar = _random_cigar(rng, read_len)
         qlen = _qlen(cigar)
         seq = "".join(rng.choice("ACGT") for _ in range(qlen))
-        flag = rng.choice([0, 0, 0, 16, 16, 2048, 2064, 256, 272, 0])
+        flag = rng.choice([0, 0, 0, 16, 16, 2048, 2064, 256, 272, 0,
+                           99, 147, 83, 163, 2304])
         mapq = rng.choice([0, 10, 20, 30, 60, 60])
         tags = {}
         if rng.random() < 0.5:
