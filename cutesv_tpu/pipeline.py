@@ -153,18 +153,21 @@ def _cover_fn(cfg: Config):
 
 def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
                              cfg: Config) -> None:
-    """Cross-chromosome read-support pass (device/rank path): windows and
-    primary read intervals are offset into disjoint int32-safe coordinate
-    ranges, so one dominance-count kernel sequence serves every
-    chromosome. Candidates whose chromosome has no census rows are dropped
-    (call_gt's empty-chrom contract, cuteSV_resolveINDEL.py:443-444)."""
-    from cutesv_tpu.genotype import _assign_gt_ranks
+    """Cross-chromosome read-support pass (device/rank path).
 
+    Only the positional cover counting is batched (windows and primary
+    read intervals offset into disjoint coordinate ranges, one
+    dominance-count kernel sequence for everything); the support-interval
+    intersection stays per chromosome — read names can carry primary
+    alignments on several chromosomes, and each chromosome's genotype must
+    only see its own (call_gt's per-chrom reads list,
+    cuteSV_resolveINDEL.py:443-448). Candidates on chromosomes without
+    census rows are dropped (the empty-chrom contract)."""
     chroms = [c for c in per_chrom if per_chrom[c][1]]
-    jobs_by_chrom = {}
     offset = 0
-    all_windows, all_supports, spans = [], [], []
-    starts_parts, ends_parts, prim_parts, name_parts = [], [], [], []
+    all_windows = []
+    starts_parts, ends_parts = [], []
+    spans = {}
     for chrom in chroms:
         cands, jobs = per_chrom[chrom]
         census = store.census.get(chrom)
@@ -177,54 +180,75 @@ def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
         span = hi + 2
         if offset + span > 1_000_000_000:
             offset = 0  # kernels scale coords x2; keep 2*coord in int32
-            _flush_gt_batch(all_windows, all_supports, jobs_by_chrom,
-                            per_chrom, starts_parts, ends_parts,
-                            prim_parts, name_parts)
-            all_windows, all_supports = [], []
-            jobs_by_chrom = {}
+            _batched_cover_flush(all_windows, starts_parts, ends_parts,
+                                 spans, per_chrom, store, cfg)
+            all_windows = []
             starts_parts, ends_parts = [], []
-            prim_parts, name_parts = [], []
-        jobs_by_chrom[chrom] = (len(all_windows), len(jobs))
+            spans = {}
+        prim = census["is_primary"] == 1
+        spans[chrom] = (len(all_windows), len(jobs))
         for j in jobs:
             all_windows.append((j["window"][0] + offset,
                                 j["window"][1] + offset))
-            all_supports.append(j["support"])
-        starts_parts.append(census["start"] + offset)
-        ends_parts.append(census["end"] + offset)
-        prim_parts.append(census["is_primary"])
-        name_parts.append(census["name"])
+        starts_parts.append(census["start"][prim] + offset)
+        ends_parts.append(census["end"][prim] + offset)
         offset += span
-    _flush_gt_batch(all_windows, all_supports, jobs_by_chrom, per_chrom,
-                    starts_parts, ends_parts, prim_parts, name_parts)
+    _batched_cover_flush(all_windows, starts_parts, ends_parts, spans,
+                         per_chrom, store, cfg)
 
 
-def _flush_gt_batch(windows, supports, jobs_by_chrom, per_chrom,
-                    starts_parts, ends_parts, prim_parts, name_parts):
-    from cutesv_tpu.genotype import _assign_gt_ranks
-    from cutesv_tpu.ops.sweep import cover_counts_device
-
-    if not jobs_by_chrom:
+def _batched_cover_flush(windows, starts_parts, ends_parts, spans,
+                         per_chrom, store, cfg) -> None:
+    if not spans:
         return
-    merged = dict(
-        start=np.concatenate(starts_parts),
-        end=np.concatenate(ends_parts),
-        is_primary=np.concatenate(prim_parts),
-        name=np.concatenate(name_parts))
-    import jax
-    if jax.default_backend() in ("tpu", "axon"):
-        from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas as cf
-    else:
-        cf = cover_counts_device
-    rows = _assign_gt_ranks(windows, supports, merged, cf)
-    for chrom, (lo, n) in jobs_by_chrom.items():
+    cover = _cover_fn(cfg)
+    covers = cover(windows, np.concatenate(starts_parts),
+                   np.concatenate(ends_parts))
+    table = gl_table()
+    for chrom, (lo, n) in spans.items():
         cands, jobs = per_chrom[chrom]
-        for cand, (dv, dr, gt, pl, gq, qual) in zip(cands,
-                                                    rows[lo:lo + n]):
+        census = store.census[chrom]
+        inter = _support_inter_counts(census, jobs)
+        for i, (cand, job) in enumerate(zip(cands, jobs)):
+            dr = int(covers[lo + i]) - int(inter[i])
+            dv = len(set(job["support"]))
+            gt, pl, gq, qual = table.lookup(dr, dv)
             cand[7] = str(dr)
             cand[8] = str(gt)
             cand[9] = str(pl)
             cand[10] = str(gq)
             cand[11] = str(qual)
+
+
+def _support_inter_counts(census, jobs) -> np.ndarray:
+    """#(support reads whose primary alignment on THIS chromosome covers
+    the window) per job; identities are integer ranks. Last primary per
+    rank wins, matching the dict-build order of the oracle path."""
+    n_sv = len(jobs)
+    prim = census["is_primary"] == 1
+    p_rank = census["name"][prim].astype(np.int64)
+    p_start = census["start"][prim]
+    p_end = census["end"][prim]
+    if len(p_rank) == 0 or n_sv == 0:
+        return np.zeros(n_sv, np.int64)
+    uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
+    last_idx = len(p_rank) - 1 - idx_rev
+    st_u = p_start[last_idx]
+    en_u = p_end[last_idx]
+    supports = [sorted(set(j["support"])) for j in jobs]
+    lens = np.fromiter((len(s) for s in supports), np.int64, n_sv)
+    flat_key = (np.concatenate(
+        [np.asarray(s, np.int64) for s in supports])
+        if lens.sum() else np.empty(0, np.int64))
+    flat_sv = np.repeat(np.arange(n_sv), lens)
+    pos = np.searchsorted(uniq, flat_key)
+    pos_c = np.minimum(pos, len(uniq) - 1)
+    ok = uniq[pos_c] == flat_key
+    s_arr = np.fromiter((j["window"][0] for j in jobs), np.float64, n_sv)
+    e_arr = np.fromiter((j["window"][1] for j in jobs), np.float64, n_sv)
+    mask = ok & (st_u[pos_c] <= s_arr[flat_sv]) & (en_u[pos_c]
+                                                   >= e_arr[flat_sv])
+    return np.bincount(flat_sv[mask], minlength=n_sv)
 
 
 def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
