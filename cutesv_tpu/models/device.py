@@ -501,7 +501,8 @@ def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
                                threshold_gloab: float,
                                max_cluster_bias: int,
                                minimum_support_reads: int,
-                               remain_reads_ratio: float, action: bool):
+                               remain_reads_ratio: float, action: bool,
+                               n_shards: int = 1):
     """Resolve DEL or INS across many chromosomes with one cluster-kernel
     dispatch per int32-safe batch. ``streams``: ordered (chrom, stream)
     pairs; returns {chrom: (candidates, gt_jobs)}, byte-identical to the
@@ -517,7 +518,11 @@ def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
         if not members:
             continue
         facade = _Facade(members)
-        res = _cluster_stream(facade, read_count, max_cluster_bias)
+        if n_shards > 1:
+            res = _cluster_stream_sharded(facade, read_count,
+                                          max_cluster_bias, n_shards)
+        else:
+            res = _cluster_stream(facade, read_count, max_cluster_bias)
         if res is None or len(res[0]) == 0:
             for c, _, _ in members:
                 out.setdefault(c, ([], []))
@@ -543,3 +548,91 @@ def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
         for c, _, _ in members:
             out.setdefault(c, ([], []))
     return out
+
+
+# ---------------------------------------------------------------------------
+# multi-device clustering: cut the merged stream at inter-cluster gaps so
+# every device runs the exact local kernel (no cluster spans a shard)
+# ---------------------------------------------------------------------------
+
+def _gap_cuts(pos: np.ndarray, n_shards: int, bias: int):
+    """Shard boundaries at positions where pos[i]-pos[i-1] > bias, chosen
+    nearest to equal splits. Returns cut indices (len n_shards-1) or None
+    when no valid gap exists near some split (caller falls back)."""
+    n = len(pos)
+    gaps = np.flatnonzero(np.diff(pos) > bias) + 1  # valid cut indices
+    if len(gaps) < n_shards - 1:
+        return None
+    cuts = []
+    for k in range(1, n_shards):
+        target = k * n // n_shards
+        j = int(np.searchsorted(gaps, target))
+        cand = []
+        if j < len(gaps):
+            cand.append(gaps[j])
+        if j > 0:
+            cand.append(gaps[j - 1])
+        cut = min(cand, key=lambda c: abs(int(c) - target))
+        if cuts and cut <= cuts[-1]:
+            return None  # degenerate split; fall back
+        cuts.append(int(cut))
+    return cuts
+
+
+def _cluster_stream_sharded(stream, read_count: int, bias: int,
+                            n_shards: int):
+    """Sharded variant of _cluster_stream: exact per-shard kernels over
+    gap-aligned cuts, concatenated back in order with shard-unique cluster
+    ids. Falls back to the single-device kernel when a clean cut does not
+    exist or too few devices are present."""
+    import jax
+
+    from cutesv_tpu.ops.indel_cluster import sharded_cluster_structure
+    from cutesv_tpu.parallel import mesh as pmesh
+
+    n = len(stream)
+    if n == 0:
+        return None
+    devices = jax.devices()
+    if len(devices) < n_shards:
+        devices = jax.devices("cpu")
+    if n_shards <= 1 or len(devices) < n_shards or n < 4 * n_shards:
+        return _cluster_stream(stream, read_count, bias)
+    cuts = _gap_cuts(np.asarray(stream.pos), n_shards, bias)
+    if cuts is None:
+        return _cluster_stream(stream, read_count, bias)
+    bounds = [0] + cuts + [n]
+    shard_rows = padded_size(max(bounds[i + 1] - bounds[i]
+                                 for i in range(n_shards)))
+    pos = np.zeros((n_shards, shard_rows), np.int32)
+    length = np.zeros((n_shards, shard_rows), np.int32)
+    rid = np.zeros((n_shards, shard_rows), np.int32)
+    valid = np.zeros((n_shards, shard_rows), bool)
+    for k in range(n_shards):
+        lo, hi = bounds[k], bounds[k + 1]
+        m = hi - lo
+        pos[k, :m] = stream.pos[lo:hi]
+        length[k, :m] = stream.length[lo:hi]
+        rid[k, :m] = stream.rid[lo:hi]
+        valid[k, :m] = True
+    mesh = pmesh.make_mesh(n_shards, devices=devices)
+    fn = sharded_cluster_structure(mesh, bias, read_count, shard_rows)
+    import jax.numpy as jnp
+    cid_s, pos_s, len_s, sidx_s, nk_s = jax.device_get(fn(
+        jnp.asarray(pos), jnp.asarray(length), jnp.asarray(rid),
+        jnp.asarray(valid)))
+    cids, poss, lens, sidxs = [], [], [], []
+    for k in range(n_shards):
+        nk = int(nk_s[k])
+        if nk == 0:
+            continue
+        # shard-unique cluster ids + global stream indices
+        cids.append(cid_s[k, :nk].astype(np.int64)
+                    + k * (shard_rows + 2))
+        poss.append(pos_s[k, :nk].astype(np.int64))
+        lens.append(len_s[k, :nk].astype(np.int64))
+        sidxs.append(sidx_s[k, :nk].astype(np.int64) + bounds[k])
+    if not cids:
+        return (np.empty(0, np.int64),) * 4
+    return (np.concatenate(cids), np.concatenate(poss),
+            np.concatenate(lens), np.concatenate(sidxs))

@@ -84,3 +84,32 @@ def indel_cluster_structure(pos, length, rid, valid, max_cluster_bias,
         stream_idx=s_idx[order2],
         n_kept=jnp.sum(kept.astype(jnp.int32)),
     )
+
+
+def sharded_cluster_structure(mesh, max_cluster_bias, read_count,
+                              shard_rows: int):
+    """shard_map wrapper: each device runs the cluster kernel on its own
+    contiguous stream shard. The caller guarantees shards are cut at
+    inter-cluster gaps (pos gap > max_cluster_bias), so no cluster spans
+    devices and per-shard results equal the global computation.
+
+    Inputs are (n_shards, shard_rows) arrays sharded on the genome axis;
+    outputs are the kernel's row arrays per shard plus per-shard n_kept.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    bias = jnp.int32(max_cluster_bias)
+    rc = jnp.int32(read_count)
+
+    def per_shard(pos, length, rid, valid):
+        out = indel_cluster_structure(pos[0], length[0], rid[0], valid[0],
+                                      bias, rc, shard_rows)
+        return (out["cid"][None], out["pos"][None], out["length"][None],
+                out["stream_idx"][None], out["n_kept"][None])
+
+    return jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("genome", None),) * 4,
+        out_specs=(P("genome", None),) * 4 + (P("genome"),),
+    ))

@@ -342,11 +342,11 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         del_res = device_models.resolve_indel_device_multi(
             list(store.sigs["DEL"].items()), False, cfg.min_support,
             cfg.diff_ratio_merging_DEL, cfg.max_cluster_bias_DEL, min_sup5,
-            cfg.remain_reads_ratio, action)
+            cfg.remain_reads_ratio, action, n_shards=cfg.n_shards)
         ins_res = device_models.resolve_indel_device_multi(
             list(store.sigs["INS"].items()), True, cfg.min_support,
             cfg.diff_ratio_merging_INS, cfg.max_cluster_bias_INS, min_sup5,
-            cfg.remain_reads_ratio, action)
+            cfg.remain_reads_ratio, action, n_shards=cfg.n_shards)
     else:
         del_res = {
             chrom: resolve_del(sigs, chrom, cfg.min_support,

@@ -94,3 +94,25 @@ def test_sharded_cover_in_pipeline(tmp_path, mesh8):
                           if not l.startswith("#")]
     assert bodies[1] == bodies[8] and len(bodies[1]) == 1
     assert (tmp_path / "wd8" / "jax_trace").exists()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_sharded_cluster_resolution_parity(mesh8, seed):
+    """8-way sharded DEL resolution (gap-aligned cuts, per-shard kernels)
+    equals the host oracle byte for byte."""
+    import random
+
+    from tests.test_device_parity import _random_del_stream
+    from cutesv_tpu.models import device as dev
+    from cutesv_tpu.models import host as host
+
+    rng = random.Random(700 + seed)
+    streams = [(c, _random_del_stream(rng, n_sites=14))
+               for c in ["chr1", "chr2", "chr3"]]
+    per = {c: host.resolve_del(s, c, 3, 0.5, 200, 3, 1.0, True)
+           for c, s in streams}
+    multi = dev.resolve_indel_device_multi(streams, False, 3, 0.5, 200, 3,
+                                           1.0, True, n_shards=8)
+    for c in per:
+        assert multi[c][0] == per[c][0], c
+        assert multi[c][1] == per[c][1], c
