@@ -608,6 +608,8 @@ struct Worker {
   Collector C;
   std::string seq_scratch;
   double t_seq = 0;
+  double t_hdr = 0, t_cig = 0, t_sa = 0;
+  bool timing = getenv("CUTESV_DECODE_TIMING") != nullptr;
 
   Worker(const Params& p, const BedRegions& b,
          const std::vector<std::string>& header_chroms)
@@ -652,6 +654,8 @@ struct Worker {
 
     if (ref_id < 0 || (flag & 0x4)) return;
     C.n_records++;
+    std::chrono::steady_clock::time_point _s0;
+    if (timing) _s0 = std::chrono::steady_clock::now();
 
     // reference end from CIGAR
     int64_t ref_end = pos;
@@ -680,6 +684,11 @@ struct Worker {
       C.cen_prim.push(prim); C.cen_name.push(name_id);
     }
 
+    if (timing) {
+      auto now = std::chrono::steady_clock::now();
+      t_hdr += std::chrono::duration<double>(now - _s0).count();
+      _s0 = now;
+    }
     if (l_seq < P.min_read_len) return;  // query_length gate (cuteSV:607)
 
     // SEQ decode is lazy: INS signatures need only their slices; the full
@@ -802,6 +811,11 @@ struct Worker {
       C.del_len.push(cur.len); C.del_name.push(name_id);
     }
 
+    if (timing) {
+      auto now = std::chrono::steady_clock::now();
+      t_cig += std::chrono::duration<double>(now - _s0).count();
+      _s0 = now;
+    }
     if (process_signal != 1 && process_signal != 2) return;
 
     // find SA tag
@@ -911,6 +925,9 @@ struct Worker {
       Extractor ex(P, C);
       ex.analyse_split(split, l_seq, name_id, query_seq);
     }
+    if (timing)
+      t_sa += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - _s0).count();
   }
 
 };
@@ -921,7 +938,7 @@ struct Decoder {
   BedRegions bed;
   std::vector<int64_t> ref_lens;
   std::vector<std::string> header_chroms;
-  double t_seq = 0, t_records = 0;
+  double t_seq = 0, t_records = 0, t_hdr = 0, t_cig = 0, t_sa = 0;
 
   // returns 0 on success
   int run(const char* path) {
@@ -998,6 +1015,7 @@ struct Decoder {
         } catch (...) { failed = true; }
         C.merge_from(w.C);
         t_seq += w.t_seq;
+        t_hdr += w.t_hdr; t_cig += w.t_cig; t_sa += w.t_sa;
       } else {
         std::vector<std::unique_ptr<Worker>> ws;
         std::vector<std::thread> ts;
@@ -1017,7 +1035,8 @@ struct Decoder {
         }
         for (auto& t : ts) t.join();
         failed = err;
-        for (auto& w : ws) { C.merge_from(w->C); t_seq += w->t_seq; }
+        for (auto& w : ws) { C.merge_from(w->C); t_seq += w->t_seq;
+          t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa; }
       }
       if (failed) {
         prefetch.join();
@@ -1041,8 +1060,9 @@ struct Decoder {
     if (getenv("CUTESV_DECODE_TIMING"))
       fprintf(stderr,
               "bamdecode timing: seq=%.2fs read=%.2fs inflate=%.2fs "
-              "wall_records=%.2fs\n",
-              t_seq, rd.t_read, rd.t_inflate, t_records);
+              "wall_records=%.2fs hdr=%.2fs cig=%.2fs sa=%.2fs\n",
+              t_seq, rd.t_read, rd.t_inflate, t_records, t_hdr, t_cig,
+              t_sa);
     return 0;
   }
 };
