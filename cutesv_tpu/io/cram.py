@@ -718,9 +718,15 @@ class CramWriter:
     bookkeeping), EXTERNAL/BYTE_ARRAY_STOP series, gzip + rANS blocks.
     Records must arrive coordinate-sorted."""
 
-    def __init__(self, path: str, references, max_slice: int = 1000):
+    def __init__(self, path: str, references, max_slice: int = 1000,
+                 ref_seqs=None):
+        """``ref_seqs``: optional {chrom: sequence}; when given, M runs
+        whose bases match the reference are stored implicitly and single
+        mismatches become 'X' substitution features (the layout real
+        htslib CRAMs use); otherwise M runs are verbatim 'b' features."""
         self._fh = open(path, "wb")
         self.references = list(references)
+        self._ref_seqs = ref_seqs
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -868,6 +874,8 @@ class CramWriter:
                 put_raw("BA", rec.seq.encode())
             else:
                 feats = self._features(rec)
+                if self._ref_seqs is not None:
+                    feats = self._reference_features(rec, feats)
                 put_int("FN", len(feats))
                 qprev = 0
                 for fpos, fc, payload in feats:
@@ -876,6 +884,11 @@ class CramWriter:
                     qprev = fpos
                     if fc == "b":
                         put_stop("BB", payload)
+                    elif fc == "X":
+                        put_int("BS", payload)
+                    elif fc == "B":
+                        put_raw("BA", payload)
+                        put_raw("QS", b"\xff")
                     elif fc == "I":
                         put_stop("IN", payload)
                     elif fc == "S":
@@ -928,6 +941,35 @@ class CramWriter:
             len(blocks), ref_id, start, span, len(recs), self._counter,
             sum(r.query_length for r in recs), 3 + len(ids), [0]))
         self._fh.write(blocks)
+
+    def _reference_features(self, rec: BamRecord, feats):
+        """Rewrite verbatim 'b' M-run features as implicit matches with
+        'X' substitution codes where a single base differs (sub-matrix =
+        identity ranking, sub_matrix_default)."""
+        ref = self._ref_seqs[self.references[rec.ref_id][0]]
+        sm = sub_matrix_decode(sub_matrix_default())
+        code_of = {r: {b: c for c, b in m.items()} for r, m in sm.items()}
+        out = []
+        rpos = rec.pos
+        for fpos, fc, payload in feats:
+            if fc != "b":
+                out.append((fpos, fc, payload))
+                if fc == "D":
+                    rpos += payload
+                elif fc == "N":
+                    rpos += payload
+                continue
+            bases = payload.decode("ascii")
+            for k, base in enumerate(bases):
+                rbase = ref[rpos + k].upper()
+                if base != rbase:
+                    rkey = rbase if rbase in code_of else "N"
+                    if base in code_of[rkey]:
+                        out.append((fpos + k, "X", code_of[rkey][base]))
+                    else:
+                        out.append((fpos + k, "B", base.encode()))
+            rpos += len(bases)
+        return out
 
     @staticmethod
     def _features(rec: BamRecord):

@@ -95,3 +95,77 @@ def test_open_alignment_file_dispatch(tmp_path):
     assert isinstance(open_alignment_file(str(bam)), BamReader)
     assert isinstance(open_alignment_file(str(cram), reference=str(fa)),
                       CramReader)
+
+
+def test_cram_pipeline_on_fuzzed_bam(tmp_path):
+    """Messy fuzzed records (hard clips, SA tags, secondary flags) survive
+    the BAM->CRAM->pipeline round trip with identical calls."""
+    import numpy as np
+
+    from cutesv_tpu.pipeline import run_pipeline
+    from tests.test_native_decoder import _make_random_bam
+
+    rng0 = np.random.default_rng(2)
+    fa = tmp_path / "ref.fa"
+    with open(fa, "w") as fh:
+        for name, ln in (("chr1", 1_000_000), ("chr2", 800_000)):
+            fh.write(">%s\n" % name)
+            s = (np.frombuffer(b"ACGT", np.uint8)[
+                rng0.integers(0, 4, ln)]).tobytes().decode()
+            for i in range(0, ln, 10_000):
+                fh.write(s[i:i + 10_000] + "\n")
+    bam = tmp_path / "fz.bam"
+    _make_random_bam(str(bam), random.Random(51), n_reads=200)
+    cram = tmp_path / "fz.cram"
+    with BamReader(str(bam)) as r:
+        with CramWriter(str(cram), r.references) as w:
+            for rec in r:
+                w.write(rec)
+    outs = {}
+    for label, path in (("bam", bam), ("cram", cram)):
+        out = tmp_path / ("fz_%s.vcf" % label)
+        wd = tmp_path / ("fzw_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=str(path), reference=str(fa), output=str(out),
+                     work_dir=str(wd), genotype=True, min_support=2,
+                     decoder="python", engine="host")
+        run_pipeline(cfg, ["c"])
+        outs[label] = [l for l in out.read_text().splitlines()
+                       if not l.startswith("##")]
+    assert outs["bam"] == outs["cram"]
+
+
+def test_cram_reference_based_roundtrip(tmp_path):
+    """Reference-based writing (implicit matches + X substitutions) takes
+    the reader through the reconstruction paths real CRAMs use."""
+    bam, fa = _fixture(tmp_path)
+    from cutesv_tpu.io.fasta import FastaFile
+
+    fasta = FastaFile(str(fa))
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    # plant point mismatches in a few reads to force X features
+    for rec in records[5:10]:
+        if rec.cigar and rec.cigar[0][0] == 0 and len(rec.seq) > 100:
+            s = list(rec.seq)
+            s[50] = "A" if s[50] != "A" else "C"
+            rec.seq = "".join(s)
+    cram = tmp_path / "rb.cram"
+    ref_seqs = {n: fasta.fetch(n) for n, _ in refs}
+    with CramWriter(str(cram), refs, ref_seqs=ref_seqs) as w:
+        for rec in records:
+            w.write(rec)
+    # implicit matching should beat verbatim-base storage on size
+    verb = tmp_path / "vb.cram"
+    with CramWriter(str(verb), refs) as w:
+        for rec in records:
+            w.write(rec)
+    assert cram.stat().st_size < verb.stat().st_size / 2
+    with CramReader(str(cram), reference=str(fa)) as cr:
+        back = list(cr)
+    assert len(back) == len(records)
+    for a, b in zip(records, back):
+        assert (a.qname, a.flag, a.pos, a.cigar) == (b.qname, b.flag,
+                                                     b.pos, b.cigar)
+        assert a.seq == b.seq
