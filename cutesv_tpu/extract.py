@@ -16,7 +16,7 @@ Signature tuples produced (per read), matching the reference's spill format:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 from cutesv_tpu.io.bam import BamRecord
 

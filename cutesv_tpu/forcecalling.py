@@ -18,7 +18,7 @@ import logging
 import math
 import os
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 

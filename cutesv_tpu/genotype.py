@@ -21,7 +21,7 @@ Reproduces cal_GL / overlap_cover / assign_gt / count_coverage semantics
 from __future__ import annotations
 
 import math
-from bisect import bisect_left, bisect_right, insort
+from bisect import bisect_left, insort
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

@@ -23,7 +23,7 @@ import zlib
 from io import BytesIO
 from typing import Dict, List, Optional, Tuple
 
-from cutesv_tpu.io.bam import BamRecord, CONSUMES_REF
+from cutesv_tpu.io.bam import BamRecord
 from cutesv_tpu.io.cram_codecs import (rans_decode, rans_encode_o0,
                                        read_itf8, read_ltf8, write_itf8,
                                        write_ltf8)

@@ -16,8 +16,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from cutesv_tpu.genotype import (ReadTable, assign_gt_del_ins, cal_CIPOS,
-                                 call_gt_tra, gl_table)
+from cutesv_tpu.genotype import ReadTable, cal_CIPOS, call_gt_tra
 
 
 def _gap_clusters(rows: Sequence, pos_of, read_count: int, bias: int,

@@ -10,13 +10,10 @@ VPU compare+accumulate, no data-dependent control flow, exact integers.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cutesv_tpu.ops.segments import padded_size
 
 _READ_TILE = 4096
 _READ_CHUNK = 64 * _READ_TILE   # 262144 reads per device call

@@ -17,9 +17,6 @@ the virtual CPU mesh used in tests and the driver's multi-chip dry run.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

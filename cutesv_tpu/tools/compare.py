@@ -22,7 +22,7 @@ import itertools
 import logging
 import sys
 import time
-from typing import Dict, List
+from typing import Dict
 
 from cutesv_tpu.tools.eval_sim import parse_info, phase_gt, _parse_bnd_alt
 

@@ -13,7 +13,7 @@ import argparse
 import logging
 import sys
 import time
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 TYPETRANS = {"insertion": "INS", "deletion": "DEL", "inversion": "INV",
              "tandem duplication": "DUP", "reciprocal translocation": "BND"}

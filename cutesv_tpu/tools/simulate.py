@@ -9,7 +9,6 @@ long reads carrying the planted DEL/INS SVs at the requested zygosity.
 from __future__ import annotations
 
 import argparse
-import gzip
 import logging
 import sys
 import time
