@@ -38,7 +38,7 @@ def get_lib():
     lib = ctypes.CDLL(_SO_PATH)
     lib.bamdecode_run.restype = ctypes.c_void_p
     lib.bamdecode_run.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
     lib.bamdecode_status.restype = ctypes.c_int
@@ -120,9 +120,15 @@ def _fetch(lib, handle, field: int):
     return np.frombuffer(buf, dtype=dtype).copy()
 
 
-def decode(path: str, cfg, bed_ids=None) -> NativeDecode:
-    """Run the native decoder. ``bed_ids``: optional (chr_id, start, end)
-    int arrays in header chrom-id space (already ±1000-padded)."""
+class NativeUnsupported(IOError):
+    """The native decoder met a feature it does not implement (status 10,
+    e.g. a bzip2/lzma CRAM block); callers fall back to the Python path."""
+
+
+def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
+    """Run the native decoder (BAM, or CRAM when ``reference`` names the
+    FASTA). ``bed_ids``: optional (chr_id, start, end) int arrays in
+    header chrom-id space (already ±1000-padded)."""
     lib = get_lib()
     params = (ctypes.c_int64 * 9)(
         cfg.min_size, cfg.min_mapq, cfg.max_split_parts, cfg.min_read_len,
@@ -141,10 +147,14 @@ def decode(path: str, cfg, bed_ids=None) -> NativeDecode:
         bc_p = ctypes.POINTER(ctypes.c_int32)()
         bs_p = ctypes.POINTER(ctypes.c_int64)()
         be_p = ctypes.POINTER(ctypes.c_int64)()
-    handle = lib.bamdecode_run(path.encode(), params, bc_p, bs_p, be_p,
-                               n_bed)
+    ref_arg = reference.encode() if reference else None
+    handle = lib.bamdecode_run(path.encode(), ref_arg, params, bc_p, bs_p,
+                               be_p, n_bed)
     try:
         status = lib.bamdecode_status(handle)
+        if status == 10:
+            raise NativeUnsupported(
+                "native decode: unsupported CRAM feature in %s" % path)
         if status != 0:
             raise IOError("native BAM decode failed (status %d) for %s"
                           % (status, path))

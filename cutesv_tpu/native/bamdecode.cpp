@@ -14,7 +14,9 @@
 #include <libdeflate.h>
 
 #include <algorithm>
+#include <array>
 #include <atomic>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -940,6 +942,51 @@ struct Decoder {
   std::vector<std::string> header_chroms;
   double t_seq = 0, t_records = 0, t_hdr = 0, t_cig = 0, t_sa = 0;
 
+  // shared parallel record processing (BAM chunks and CRAM-synthesized
+  // chunks go through the same path): thread-local collectors are merged
+  // in range order so global row order equals input record order
+  bool process_recs(const std::string& chunk,
+                    const std::vector<std::pair<size_t, int32_t>>& recs) {
+    // allow oversubscription: record parsing is latency-bound (cold
+    // record headers 10KB apart), so more workers than cores helps
+    int n_workers = (int)std::min<int64_t>(
+        std::max<int64_t>(P.n_threads, 1),
+        4 * (int64_t)std::max(1u, std::thread::hardware_concurrency()));
+    bool failed = false;
+    if (n_workers <= 1 || recs.size() < 512) {
+      Worker w(P, bed, header_chroms);
+      try {
+        for (auto& r : recs)
+          w.process_record(chunk.data() + r.first, r.second);
+      } catch (...) { failed = true; }
+      C.merge_from(w.C);
+      t_seq += w.t_seq;
+      t_hdr += w.t_hdr; t_cig += w.t_cig; t_sa += w.t_sa;
+    } else {
+      std::vector<std::unique_ptr<Worker>> ws;
+      std::vector<std::thread> ts;
+      size_t per = (recs.size() + n_workers - 1) / n_workers;
+      std::atomic<bool> err{false};
+      for (int t = 0; t < n_workers; t++) {
+        ws.emplace_back(new Worker(P, bed, header_chroms));
+        size_t lo = t * per, hi = std::min(recs.size(), (t + 1) * per);
+        Worker* w = ws.back().get();
+        ts.emplace_back([&, w, lo, hi]() {
+          try {
+            for (size_t i = lo; i < hi; i++)
+              w->process_record(chunk.data() + recs[i].first,
+                                recs[i].second);
+          } catch (...) { err = true; }
+        });
+      }
+      for (auto& t : ts) t.join();
+      failed = err;
+      for (auto& w : ws) { C.merge_from(w->C); t_seq += w->t_seq;
+        t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa; }
+    }
+    return !failed;
+  }
+
   // returns 0 on success
   int run(const char* path) {
     FILE* f = fopen(path, "rb");
@@ -988,11 +1035,6 @@ struct Decoder {
     std::string nextc;
     bool have_next = false;
     std::thread prefetch([&]() { have_next = rd.next_chunk(nextc); });
-    // allow oversubscription: record parsing is latency-bound (cold
-    // record headers 10KB apart), so more workers than cores helps
-    int n_workers = (int)std::min<int64_t>(
-        std::max<int64_t>(P.n_threads, 1),
-        4 * (int64_t)std::max(1u, std::thread::hardware_concurrency()));
     for (;;) {
       // index record payload offsets in this chunk
       std::vector<std::pair<size_t, int32_t>> recs;
@@ -1004,41 +1046,7 @@ struct Decoder {
         recs.push_back({p + 4, bs});
         p += 4 + (size_t)bs;
       }
-      // process records in parallel, thread-local collectors merged in
-      // range order so global row order equals file order
-      bool failed = false;
-      if (n_workers <= 1 || recs.size() < 512) {
-        Worker w(P, bed, header_chroms);
-        try {
-          for (auto& r : recs) w.process_record(chunk.data() + r.first,
-                                                r.second);
-        } catch (...) { failed = true; }
-        C.merge_from(w.C);
-        t_seq += w.t_seq;
-        t_hdr += w.t_hdr; t_cig += w.t_cig; t_sa += w.t_sa;
-      } else {
-        std::vector<std::unique_ptr<Worker>> ws;
-        std::vector<std::thread> ts;
-        size_t per = (recs.size() + n_workers - 1) / n_workers;
-        std::atomic<bool> err{false};
-        for (int t = 0; t < n_workers; t++) {
-          ws.emplace_back(new Worker(P, bed, header_chroms));
-          size_t lo = t * per, hi = std::min(recs.size(), (t + 1) * per);
-          Worker* w = ws.back().get();
-          ts.emplace_back([&, w, lo, hi]() {
-            try {
-              for (size_t i = lo; i < hi; i++)
-                w->process_record(chunk.data() + recs[i].first,
-                                  recs[i].second);
-            } catch (...) { err = true; }
-          });
-        }
-        for (auto& t : ts) t.join();
-        failed = err;
-        for (auto& w : ws) { C.merge_from(w->C); t_seq += w->t_seq;
-          t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa; }
-      }
-      if (failed) {
+      if (!process_recs(chunk, recs)) {
         prefetch.join();
         fclose(f);
         return 4;
@@ -1066,6 +1074,10 @@ struct Decoder {
     return 0;
   }
 };
+
+// CRAM 3.0 front-end (same anonymous namespace; synthesizes BAM-layout
+// records fed through Decoder::process_recs)
+#include "cramdecode.inc"
 
 // ---------------------------------------------------------------------------
 // rank helpers: lexicographic ranks over the interned name table; INS seq
@@ -1136,9 +1148,10 @@ struct CResult {
   int status;
 };
 
-CResult* bamdecode_run(const char* path, const int64_t* params,
-                       const int32_t* bed_chr, const int64_t* bed_start,
-                       const int64_t* bed_end, int64_t n_bed) {
+CResult* bamdecode_run(const char* path, const char* ref_path,
+                       const int64_t* params, const int32_t* bed_chr,
+                       const int64_t* bed_start, const int64_t* bed_end,
+                       int64_t n_bed) {
   auto* r = new CResult();
   auto* d = new Decoder();
   r->dec = d;
@@ -1174,7 +1187,15 @@ CResult* bamdecode_run(const char* path, const int64_t* params,
       }
     }
   }
-  r->status = d->run(path);
+  // CRAM by magic sniff, BGZF/BAM otherwise
+  bool is_cram = false;
+  if (FILE* probe = fopen(path, "rb")) {
+    char magic[4];
+    is_cram = fread(magic, 1, 4, probe) == 4
+              && memcmp(magic, "CRAM", 4) == 0;
+    fclose(probe);
+  }
+  r->status = is_cram ? cram_run(*d, path, ref_path) : d->run(path);
   r->n_records = d->C.n_records;
   r->nrank = new std::vector<int64_t>(name_ranks(d->C));
   r->srank = new std::vector<int64_t>(seq_ranks(d->C));

@@ -52,26 +52,33 @@ def decode_bam(cfg: Config):
     behavioral oracle."""
     with open(cfg.input, "rb") as probe:
         is_cram = probe.read(4) == b"CRAM"
-    if cfg.decoder in ("native", "auto") and not is_cram:
+    if cfg.decoder in ("native", "auto"):
         try:
-            return _decode_bam_native(cfg)
-        except Exception:
-            if cfg.decoder == "native":
+            return _decode_bam_native(cfg, is_cram)
+        except Exception as exc:
+            from cutesv_tpu.io.native import NativeUnsupported
+            if cfg.decoder == "native" and not isinstance(exc,
+                                                          NativeUnsupported):
                 raise
-            log.warning("native decoder unavailable; falling back to the "
-                        "python decoder", exc_info=True)
-    elif is_cram:
-        log.info("CRAM input: decoding with the python CRAM 3.0 reader")
+            if isinstance(exc, NativeUnsupported):
+                log.info("native decoder: %s; using the python reader", exc)
+            else:
+                log.warning("native decoder unavailable; falling back to "
+                            "the python decoder", exc_info=True)
     return _decode_bam_python(cfg)
 
 
-def _decode_bam_native(cfg: Config):
+def _decode_bam_native(cfg: Config, is_cram: bool = False):
     from cutesv_tpu.io import native as native_io
     bed_ids = None
     if cfg.include_bed is not None:
         bed = load_bed_regions(cfg.include_bed)
         # map chrom names to header ids via a cheap header-only read
-        header = BamReader(cfg.input)
+        if is_cram:
+            from cutesv_tpu.io.cram import CramReader
+            header = CramReader(cfg.input, reference=cfg.reference or None)
+        else:
+            header = BamReader(cfg.input)
         name_to_id = {n: i for i, (n, _) in enumerate(header.references)}
         header.close()
         bc, bs, be = [], [], []
@@ -85,7 +92,8 @@ def _decode_bam_native(cfg: Config):
                 be.append(r1)
         bed_ids = (np.array(bc, np.int32), np.array(bs, np.int64),
                    np.array(be, np.int64))
-    nd = native_io.decode(cfg.input, cfg, bed_ids)
+    nd = native_io.decode(cfg.input, cfg, bed_ids,
+                          reference=cfg.reference if is_cram else None)
     store = sigstore.build_store_native(nd, cfg)
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]

@@ -1,0 +1,109 @@
+"""Native C++ CRAM front-end vs the BAM paths.
+
+The CRAM decoder (native/cramdecode.inc) synthesizes BAM-layout records
+fed through the same extraction Worker, so decoding a CRAM made from a
+BAM must yield byte-identical signature tensors to decoding the BAM
+itself — across both writer profiles (verbatim-base 'b' features and
+reference-based implicit matches + X/B substitutions, the layout real
+htslib files use).
+"""
+import random
+
+import pytest
+
+from cutesv_tpu.config import Config
+from cutesv_tpu.io import native
+from cutesv_tpu.io.bam import BamReader
+from cutesv_tpu.io.cram import CramWriter
+from cutesv_tpu.io.fasta import write_fasta
+from tests.test_native_decoder import _make_random_bam, _native_tuples
+
+
+def _random_ref(rng, lengths):
+    import numpy as np
+    seqs = {}
+    r = np.random.default_rng(rng.randrange(1 << 30))
+    for name, ln in lengths:
+        seqs[name] = (np.frombuffer(b"ACGT", np.uint8)[
+            r.integers(0, 4, size=ln)]).tobytes().decode()
+    return seqs
+
+
+def _bam_to_cram(bam, cram, ref_seqs=None):
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        with CramWriter(str(cram), refs, ref_seqs=ref_seqs) as w:
+            for rec in r:
+                w.write(rec)
+    return refs
+
+
+def _assert_same_decode(nd_bam, nd_cram):
+    assert nd_cram.names == nd_bam.names
+    assert nd_cram.chroms == nd_bam.chroms
+    assert list(nd_cram.ref_lengths) == list(nd_bam.ref_lengths)
+    assert nd_cram.n_records == nd_bam.n_records
+    assert _native_tuples(nd_cram) == _native_tuples(nd_bam)
+    for key in nd_bam.arrays:
+        assert list(nd_cram.arrays[key]) == list(nd_bam.arrays[key]), key
+    assert nd_cram.ins_seq_blob == nd_bam.ins_seq_blob
+
+
+@pytest.mark.parametrize("seed,ref_based", [(0, False), (0, True),
+                                            (1, False), (2, True)])
+def test_native_cram_matches_native_bam(tmp_path, seed, ref_based):
+    rng = random.Random(seed)
+    bam = tmp_path / "f.bam"
+    cram = tmp_path / "f.cram"
+    fa = tmp_path / "f.fa"
+    _make_random_bam(str(bam), rng, n_reads=120)
+    with BamReader(str(bam)) as r:
+        lengths = r.references
+    ref_seqs = _random_ref(rng, lengths)
+    write_fasta(str(fa), ref_seqs)
+    _bam_to_cram(bam, cram, ref_seqs=ref_seqs if ref_based else None)
+    cfg = Config(input=str(bam), min_support=3)
+    nd_bam = native.decode(str(bam), cfg)
+    nd_cram = native.decode(str(cram), cfg, reference=str(fa))
+    _assert_same_decode(nd_bam, nd_cram)
+
+
+def test_native_cram_unsupported_falls_back(tmp_path):
+    """A CRAM the native decoder rejects (major version 2) raises
+    NativeUnsupported, and the pipeline transparently retries with the
+    Python reader."""
+    rng = random.Random(3)
+    bam = tmp_path / "g.bam"
+    cram = tmp_path / "g.cram"
+    fa = tmp_path / "g.fa"
+    _make_random_bam(str(bam), rng, n_reads=40)
+    with BamReader(str(bam)) as r:
+        lengths = r.references
+    write_fasta(str(fa), _random_ref(rng, lengths))
+    _bam_to_cram(bam, cram)
+    raw = bytearray(cram.read_bytes())
+    assert raw[:4] == b"CRAM" and raw[4] == 3
+    raw[4] = 2  # pretend CRAM 2.x; layout is otherwise readable
+    cram.write_bytes(bytes(raw))
+    with pytest.raises(native.NativeUnsupported):
+        native.decode(str(cram), Config(input=str(cram)),
+                      reference=str(fa))
+
+    from cutesv_tpu.pipeline import decode_bam
+    cfg = Config(input=str(cram), reference=str(fa), decoder="auto",
+                 min_support=3)
+    store, _, references, n_records = decode_bam(cfg)
+    assert n_records > 0
+    assert references == lengths
+
+
+def test_pipeline_native_cram_requires_reference(tmp_path):
+    """Without a FASTA the native CRAM decode reports unsupported (the
+    python reader then raises the user-facing error)."""
+    rng = random.Random(4)
+    bam = tmp_path / "h.bam"
+    cram = tmp_path / "h.cram"
+    _make_random_bam(str(bam), rng, n_reads=20)
+    _bam_to_cram(bam, cram)
+    with pytest.raises(native.NativeUnsupported):
+        native.decode(str(cram), Config(input=str(cram)))
