@@ -92,12 +92,17 @@ def write_block(out, method: int, content_type: int, content_id: int,
 
 def read_block(buf: bytes, off: int):
     start = off
-    method = buf[off]
-    content_type = buf[off + 1]
+    try:
+        method = buf[off]
+        content_type = buf[off + 1]
+    except IndexError:
+        raise ValueError("truncated CRAM file (block header)")
     off += 2
     content_id, off = read_itf8(buf, off)
     comp_size, off = read_itf8(buf, off)
     raw_size, off = read_itf8(buf, off)
+    if off + comp_size + 4 > len(buf):
+        raise ValueError("truncated CRAM file (block payload)")
     data = buf[off:off + comp_size]
     off += comp_size
     crc = struct.unpack_from("<I", buf, off)[0]
