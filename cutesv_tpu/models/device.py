@@ -384,9 +384,77 @@ def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
     return slices
 
 
+def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
+                                 break_on_k2, n_shards):
+    """Sharded variant of _pair_cluster_slices: exact per-shard kernels
+    over k1-gap-aligned cuts (a k1 gap > bias always opens a cluster, so
+    no cluster spans devices). Falls back to the single-device kernel when
+    no clean cut exists or too few devices are present."""
+    import jax
+
+    from cutesv_tpu.ops.pair_cluster import sharded_pair_cluster
+    from cutesv_tpu.parallel import mesh as pmesh
+
+    n = len(k1)
+    if n == 0:
+        return []
+    devices = jax.devices()
+    if len(devices) < n_shards:
+        devices = jax.devices("cpu")
+    if n_shards <= 1 or len(devices) < n_shards or n < 4 * n_shards:
+        return _pair_cluster_slices(k1, k2, aux, keys, read_count, bias,
+                                    break_on_k2)
+    cuts = _gap_cuts(np.asarray(k1, np.int64), n_shards, bias)
+    if cuts is None:
+        return _pair_cluster_slices(k1, k2, aux, keys, read_count, bias,
+                                    break_on_k2)
+    _, rid = np.unique(np.asarray(keys), return_inverse=True)
+    bounds = [0] + cuts + [n]
+    shard_rows = padded_size(max(bounds[i + 1] - bounds[i]
+                                 for i in range(n_shards)))
+    a_k1 = np.zeros((n_shards, shard_rows), np.int32)
+    a_k2 = np.zeros((n_shards, shard_rows), np.int32)
+    a_aux = np.zeros((n_shards, shard_rows), np.int32)
+    a_rid = np.zeros((n_shards, shard_rows), np.int32)
+    a_val = np.zeros((n_shards, shard_rows), bool)
+    k1a = np.asarray(k1, np.int32)
+    k2a = np.asarray(k2, np.int32)
+    auxa = np.asarray(aux, np.int32)
+    for k in range(n_shards):
+        lo, hi = bounds[k], bounds[k + 1]
+        m = hi - lo
+        a_k1[k, :m] = k1a[lo:hi]
+        a_k2[k, :m] = k2a[lo:hi]
+        a_aux[k, :m] = auxa[lo:hi]
+        a_rid[k, :m] = rid[lo:hi]
+        a_val[k, :m] = True
+    mesh = pmesh.make_mesh(n_shards, devices=devices)
+    fn = sharded_pair_cluster(mesh, bias, read_count, shard_rows,
+                              bool(break_on_k2))
+    cid_s, sidx_s, nk_s = jax.device_get(fn(
+        jnp.asarray(a_k1), jnp.asarray(a_k2), jnp.asarray(a_aux),
+        jnp.asarray(a_rid), jnp.asarray(a_val)))
+    # shards are stream-order contiguous, so concatenating per-shard
+    # cluster slices in shard order reproduces the global kernel order
+    slices = []
+    for k in range(n_shards):
+        nk = int(nk_s[k])
+        if nk == 0:
+            continue
+        cid = cid_s[k, :nk]
+        sidx = sidx_s[k, :nk].astype(np.int64) + bounds[k]
+        bnds = np.flatnonzero(np.diff(cid)) + 1
+        lo = 0
+        for hi in list(bnds) + [nk]:
+            slices.append(sidx[lo:int(hi)])
+            lo = int(hi)
+    return slices
+
+
 def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,
                        max_cluster_bias: int, sv_size: int, max_size: int,
-                       action: bool, names: Optional[Sequence[str]] = None):
+                       action: bool, names: Optional[Sequence[str]] = None,
+                       n_shards: int = 1):
     """Device counterpart of models.host.resolve_dup; identical outputs.
     Kernel rows arrive pre-sorted by pos2 (stable), so the host emission's
     stable re-sort is a no-op."""
@@ -398,8 +466,10 @@ def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,
     k1 = [r[0] for r in sigs]
     k2 = [r[1] for r in sigs]
     keys = [r[2] for r in sigs]
-    for sl in _pair_cluster_slices(k1, k2, np.zeros(len(sigs)), keys,
-                                   read_count, max_cluster_bias, False):
+    for sl in _pair_cluster_slices_sharded(k1, k2, np.zeros(len(sigs)),
+                                           keys, read_count,
+                                           max_cluster_bias, False,
+                                           n_shards):
         cluster = [sigs[int(i)] for i in sl]
         dup_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
                          sv_size, max_size, action, render, candidates,
@@ -409,7 +479,8 @@ def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,
 
 def resolve_inv_device(sigs: Sequence, chrom: str, read_count: int,
                        max_cluster_bias: int, sv_size: int, max_size: int,
-                       action: bool, names: Optional[Sequence[str]] = None):
+                       action: bool, names: Optional[Sequence[str]] = None,
+                       n_shards: int = 1):
     """Device counterpart of models.host.resolve_inv; identical outputs."""
     from cutesv_tpu.models.host import inv_cluster_emit
 
@@ -421,8 +492,9 @@ def resolve_inv_device(sigs: Sequence, chrom: str, read_count: int,
     k1 = [r[1] for r in sigs]
     k2 = [r[2] for r in sigs]
     keys = [r[3] for r in sigs]
-    for sl in _pair_cluster_slices(k1, k2, strand_code, keys, read_count,
-                                   max_cluster_bias, True):
+    for sl in _pair_cluster_slices_sharded(k1, k2, strand_code, keys,
+                                           read_count, max_cluster_bias,
+                                           True, n_shards):
         cluster = [sigs[int(i)] for i in sl]
         inv_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
                          sv_size, max_size, action, render, candidates,

@@ -62,3 +62,32 @@ def pair_cluster_structure(k1, k2, aux, rid, valid, bias, read_count,
         stream_idx=idx[order2],
         n_kept=jnp.sum(kept.astype(jnp.int32)),
     )
+
+
+def sharded_pair_cluster(mesh, max_cluster_bias, read_count,
+                         shard_rows: int, break_on_k2: bool):
+    """shard_map wrapper: each device runs the pair-cluster kernel on its
+    own contiguous stream shard. The caller cuts the stream at k1 gaps
+    > bias — a guaranteed cluster boundary (the break conditions are
+    OR-ed), so per-shard results equal the global computation.
+
+    Inputs are (n_shards, shard_rows) arrays sharded on the genome axis;
+    outputs are the kernel's row arrays per shard plus per-shard n_kept.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    bias = jnp.int32(max_cluster_bias)
+    rc = jnp.int32(read_count)
+
+    def per_shard(k1, k2, aux, rid, valid):
+        out = pair_cluster_structure(k1[0], k2[0], aux[0], rid[0], valid[0],
+                                     bias, rc, shard_rows, break_on_k2)
+        return (out["cid"][None], out["stream_idx"][None],
+                out["n_kept"][None])
+
+    return jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("genome", None),) * 5,
+        out_specs=(P("genome", None),) * 2 + (P("genome"),),
+    ))

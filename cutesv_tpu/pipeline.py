@@ -331,9 +331,13 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     if use_device:
         from cutesv_tpu.utils.jaxsetup import setup_jax
         setup_jax()
+        from functools import partial
+
         from cutesv_tpu.models import device as device_models
-        resolve_dup = device_models.resolve_dup_device
-        resolve_inv = device_models.resolve_inv_device
+        resolve_dup = partial(device_models.resolve_dup_device,
+                              n_shards=cfg.n_shards)
+        resolve_inv = partial(device_models.resolve_inv_device,
+                              n_shards=cfg.n_shards)
     else:
         resolve_del = host_models.resolve_del
         resolve_ins = host_models.resolve_ins

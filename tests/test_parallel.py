@@ -116,3 +116,28 @@ def test_sharded_cluster_resolution_parity(mesh8, seed):
     for c in per:
         assert multi[c][0] == per[c][0], c
         assert multi[c][1] == per[c][1], c
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_sharded_pair_cluster_parity(mesh8, seed):
+    """8-way sharded DUP/INV resolution (k1-gap-aligned cuts, per-shard
+    pair-cluster kernels) equals the host oracle byte for byte."""
+    import random
+
+    from tests.test_device_parity import (_random_dup_stream,
+                                          _random_inv_stream)
+    from cutesv_tpu.models import device as dev
+    from cutesv_tpu.models import host as host
+
+    rng = random.Random(900 + seed)
+    dup = _random_dup_stream(rng, n_sites=40)
+    inv = _random_inv_stream(rng, n_sites=40)
+    for action in (False, True):
+        a, ja = host.resolve_dup(dup, "chr1", 3, 150, 30, 100000, action)
+        b, jb = dev.resolve_dup_device(dup, "chr1", 3, 150, 30, 100000,
+                                       action, n_shards=8)
+        assert a == b and ja == jb
+        a, ja = host.resolve_inv(inv, "chr1", 3, 150, 30, 100000, action)
+        b, jb = dev.resolve_inv_device(inv, "chr1", 3, 150, 30, 100000,
+                                       action, n_shards=8)
+        assert a == b and ja == jb
