@@ -143,6 +143,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--profile", action="store_true",
                    help="Capture a JAX profiler trace of the clustering "
                         "stage into work_dir/jax_trace.")
+    g.add_argument("--distributed", action="store_true",
+                   help="Multi-host run: initialize jax.distributed, "
+                        "resolve this host's chromosome bucket, gather "
+                        "results onto host 0 for the VCF merge.")
+    g.add_argument("--coordinator", type=str, default=d.coordinator,
+                   help="jax.distributed coordinator address host:port "
+                        "(omit on Cloud TPU for auto-detection).")
+    g.add_argument("--num_processes", type=int, default=d.num_processes,
+                   help="Number of processes in the distributed run.")
+    g.add_argument("--process_id", type=int, default=d.process_id,
+                   help="This process's index in the distributed run.")
     return p
 
 

@@ -67,6 +67,10 @@ class Config:
     n_shards: int = 1          # device-mesh width for the genome axis
     resume: bool = False       # resume from work_dir/sigstore.pickle
     profile: bool = False      # capture a jax profiler trace into work_dir
+    distributed: bool = False  # multi-host (jax.distributed) run
+    coordinator: str = None    # coordinator address host:port (or auto)
+    num_processes: int = None  # processes in the pod-slice run (or auto)
+    process_id: int = None     # this process's index (or auto)
 
 
 # Platform presets, from the reference's documented suggestions

@@ -419,6 +419,49 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     return results
 
 
+def _filter_store_chroms(store: sigstore.SigStore, keep) -> sigstore.SigStore:
+    """Shallow copy of the store with signature streams restricted to the
+    chromosomes ``keep(chrom)`` selects. Census/read tables stay complete:
+    TRA genotyping replays coverage on the mate chromosome too."""
+    out = sigstore.SigStore(
+        sigs={t: {c: v for c, v in per.items() if keep(c)}
+              for t, per in store.sigs.items()},
+        census=store.census, read_tables=store.read_tables,
+        chrom_lengths=store.chrom_lengths, names=store.names)
+    return out
+
+
+def _gather_results(results: Dict[str, List]):
+    """Multi-host merge: allgather each host's per-chromosome candidate
+    rows (pickled, padded to the max length) onto every process; host 0
+    returns the merged dict, other hosts return None and skip the VCF
+    emit (reference stage-4 is serial too, cuteSV:1218-1247)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    blob = pickle.dumps(results)
+    n = np.array([len(blob)], np.int64)
+    lens = np.asarray(multihost_utils.process_allgather(jnp.asarray(n)))
+    cap = int(lens.max())
+    padded = np.zeros(cap, np.uint8)
+    padded[:len(blob)] = np.frombuffer(blob, np.uint8)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(padded)))
+    if jax.process_index() != 0:
+        return None
+    merged: Dict[str, List] = {}
+    lens = lens.reshape(-1)
+    gathered = gathered.reshape(jax.process_count(), cap)
+    for k in range(jax.process_count()):
+        part = pickle.loads(gathered[k, :int(lens[k])].tobytes())
+        for chrom, rows in part.items():
+            merged.setdefault(chrom, []).extend(rows)
+    return merged
+
+
 def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
     """Full discovery run; returns stage timing + counters."""
     argv = argv if argv is not None else []
@@ -442,6 +485,11 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
                         "[Errno 2] File exists: '%s' "
                         "(use --resume to reuse, or clean the work dir)"
                         % path)
+    dist_active = False
+    if cfg.distributed:
+        from cutesv_tpu.parallel.distributed import init_distributed
+        dist_active = init_distributed(cfg.coordinator, cfg.num_processes,
+                                       cfg.process_id)
     stats = {}
     t0 = time.time()
     if cfg.resume and ckpt and os.path.exists(ckpt):
@@ -470,6 +518,16 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
             else:
                 sigstore.write_old_sigs_native(store, cfg.work_dir)
 
+    if dist_active:
+        # every host decoded the input; this host resolves only its
+        # chromosome bucket (SURVEY §2.5 TPU-native equivalent: genome
+        # bins over the pod, host 0 merges)
+        import jax
+
+        from cutesv_tpu.parallel.distributed import chrom_bucket
+        store = _filter_store_chroms(
+            store, lambda c: chrom_bucket(c, jax.process_count())
+            == jax.process_index())
     t1 = time.time()
     if cfg.profile and cfg.work_dir:
         import jax
@@ -479,6 +537,12 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
         log.info("Profiler trace written to %s" % trace_dir)
     else:
         results = resolve_all(store, cfg)
+    if dist_active:
+        results = _gather_results(results)
+        if results is None:  # non-emitter host: done after the gather
+            stats["resolve_s"] = time.time() - t1
+            stats["total_s"] = time.time() - t0
+            return stats
     stats["resolve_s"] = time.time() - t1
     stats["n_calls"] = sum(len(v) for v in results.values())
 

@@ -141,3 +141,68 @@ def test_sharded_pair_cluster_parity(mesh8, seed):
         b, jb = dev.resolve_inv_device(inv, "chr1", 3, 150, 30, 100000,
                                        action, n_shards=8)
         assert a == b and ja == jb
+
+
+def test_chrom_bucket_partition():
+    """Every chromosome lands in exactly one host bucket, deterministic
+    across processes."""
+    from cutesv_tpu.parallel.distributed import chrom_bucket
+
+    chroms = ["chr%d" % i for i in range(1, 23)] + ["chrX", "chrY", "chrM"]
+    for n in (1, 2, 4, 8):
+        owners = {c: chrom_bucket(c, n) for c in chroms}
+        assert all(0 <= b < n for b in owners.values())
+        assert owners == {c: chrom_bucket(c, n) for c in chroms}
+    assert all(b == 0 for b in
+               (chrom_bucket(c, 1) for c in chroms))
+
+
+def test_filter_store_and_gather_roundtrip():
+    """_filter_store_chroms keeps only the bucket's chromosomes (census
+    and read tables stay whole); _gather_results on a single process
+    returns the input merged dict unchanged."""
+    from cutesv_tpu import pipeline, sigstore
+
+    store = sigstore.SigStore(
+        sigs={"DEL": {"chr1": [1], "chr2": [2]},
+              "INS": {"chr1": [3]}},
+        census={"chr1": {}, "chr2": {}},
+        read_tables={"chr1": None, "chr2": None},
+        chrom_lengths={"chr1": 10, "chr2": 20})
+    sub = pipeline._filter_store_chroms(store, lambda c: c == "chr2")
+    assert sub.sigs == {"DEL": {"chr2": [2]}, "INS": {}}
+    assert set(sub.census) == {"chr1", "chr2"}
+    assert set(sub.read_tables) == {"chr1", "chr2"}
+
+    results = {"chr1": [["a"], ["b"]], "chr2": [["c"]]}
+    merged = pipeline._gather_results(dict(results))
+    assert merged == results
+
+
+def test_distributed_single_process_cli(tmp_path):
+    """--distributed --num_processes 1 degenerates cleanly: initialize()
+    skipped, output identical to the plain run."""
+    from cutesv_tpu.cli import main
+
+    from tests import simdata
+    import random
+    rng = random.Random(5)
+    seqs = simdata.make_reference(rng, {"chr1": 40_000})
+    plans = [simdata.plain_read(seqs["chr1"], 0, s, 3000, "p%03d" % i)
+             for i, s in enumerate(range(0, 36_000, 400))]
+    for i, s in enumerate(range(17_000, 19_300, 230)):
+        plans.append(simdata.read_with_del(seqs["chr1"], 0, s, 20_000, 120,
+                                           2000, "d%02d" % i))
+    simdata.write_bam(str(tmp_path / "in.bam"), [("chr1", 40_000)], plans)
+    simdata.write_ref_fasta(str(tmp_path / "ref.fa"), seqs)
+    base = [str(tmp_path / "in.bam"), str(tmp_path / "ref.fa")]
+    assert main(base + [str(tmp_path / "a.vcf"), str(tmp_path / "wa"),
+                        "--engine", "host"]) == 0
+    assert main(base + [str(tmp_path / "b.vcf"), str(tmp_path / "wb"),
+                        "--engine", "host", "--distributed",
+                        "--num_processes", "1"]) == 0
+
+    def body(p):
+        return [l for l in open(p) if not l.startswith("##")]
+
+    assert body(tmp_path / "a.vcf") == body(tmp_path / "b.vcf")
