@@ -184,6 +184,62 @@ class BitReader:
         return v
 
 
+class BitWriter:
+    """MSB-first bit stream (core block writer side)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write_bits(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def write_gamma(self, v: int):
+        # Elias gamma of v >= 1: (bitlen-1) zeros, a 1, then the low bits
+        n = v.bit_length() - 1
+        self.write_bits(0, n)
+        self.write_bits(1, 1)
+        if n:
+            self.write_bits(v & ((1 << n) - 1), n)
+
+    def getvalue(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append((self.cur << (8 - self.nbits)) & 0xFF)
+        return bytes(out)
+
+
+def huffman_canonical(symbols):
+    """Kraft-complete canonical code table over ``symbols`` (ascending):
+    with k symbols and L = ceil(log2 k), the first 2^L - k symbols get
+    length L-1, the rest length L. Returns (alphabet, lengths,
+    {symbol: (code, length)}) matching Codec._build_huffman."""
+    alphabet = sorted(symbols)
+    k = len(alphabet)
+    if k == 1:
+        return alphabet, [0], {alphabet[0]: (0, 0)}
+    L = max(1, (k - 1).bit_length())
+    a = (1 << L) - k
+    lengths = [L - 1] * a + [L] * (k - a)
+    pairs = sorted(zip(lengths, range(k)))
+    codes = {}
+    code = 0
+    prev_len = pairs[0][0]
+    for ln, idx in pairs:
+        code <<= (ln - prev_len)
+        prev_len = ln
+        codes[alphabet[idx]] = (code, ln)
+        code += 1
+    return alphabet, lengths, codes
+
+
 class ExternalStream:
     def __init__(self, data: bytes):
         self.data = data
@@ -724,14 +780,19 @@ class CramWriter:
     Records must arrive coordinate-sorted."""
 
     def __init__(self, path: str, references, max_slice: int = 1000,
-                 ref_seqs=None):
+                 ref_seqs=None, core_series: bool = False):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
-        htslib CRAMs use); otherwise M runs are verbatim 'b' features."""
+        htslib CRAMs use); otherwise M runs are verbatim 'b' features.
+
+        ``core_series``: encode FN/FC/MQ into the core bit block
+        (GAMMA / canonical HUFFMAN / BETA) instead of external streams —
+        the layout htslib emits; exercises the bit-codec decode paths."""
         self._fh = open(path, "wb")
         self.references = list(references)
         self._ref_seqs = ref_seqs
+        self._core_series = core_series
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -774,14 +835,33 @@ class CramWriter:
 
     # -- container assembly ------------------------------------------------
 
-    def _comp_header(self, td_blob: bytes, tag_specs: List[bytes]) -> bytes:
+    def _comp_header(self, td_blob: bytes, tag_specs: List[bytes],
+                     fc_alphabet=None, fc_lengths=None) -> bytes:
         pres = [b"RN" + b"\x01", b"AP" + b"\x00", b"RR" + b"\x01",
                 b"SM" + sub_matrix_default(),
                 b"TD" + write_itf8(len(td_blob)) + td_blob]
         series = []
+        core_keys = {"FN", "FC", "MQ"} if self._core_series else set()
         for key in ("BF", "CF", "RL", "AP", "RG", "TL", "FN", "FC", "FP",
                     "BS", "DL", "RS", "HC", "PD", "MQ", "BA", "QS"):
-            series.append(key.encode() + _enc_external(_W_IDS[key]))
+            if key not in core_keys:
+                series.append(key.encode() + _enc_external(_W_IDS[key]))
+        if self._core_series:
+            # FN: Elias gamma of fn+1 (offset 1)
+            par = write_itf8(1)
+            series.append(b"FN" + write_itf8(9) + write_itf8(len(par))
+                          + par)
+            # FC: canonical huffman over the observed feature codes
+            par = (write_itf8(len(fc_alphabet))
+                   + b"".join(write_itf8(s) for s in fc_alphabet)
+                   + write_itf8(len(fc_lengths))
+                   + b"".join(write_itf8(l) for l in fc_lengths))
+            series.append(b"FC" + write_itf8(3) + write_itf8(len(par))
+                          + par)
+            # MQ: 8-bit beta, offset 0
+            par = write_itf8(0) + write_itf8(8)
+            series.append(b"MQ" + write_itf8(6) + write_itf8(len(par))
+                          + par)
         for key in ("RN", "IN", "SC", "BB"):
             series.append(key.encode() + _enc_stop(0, _W_IDS[key]))
         return (_map_bytes(pres) + _map_bytes(series)
@@ -863,10 +943,28 @@ class CramWriter:
                 else:
                     tag_streams[cid] += struct.pack("<f", val)
 
+        # features first: the core-series profile needs the FC symbol set
+        # before any record is written
+        rec_feats = []
+        for rec in recs:
+            if rec.flag & 4:
+                rec_feats.append(None)
+                continue
+            feats = self._features(rec)
+            if self._ref_seqs is not None:
+                feats = self._reference_features(rec, feats)
+            rec_feats.append(feats)
+        core = BitWriter() if self._core_series else None
+        fc_alphabet = fc_lengths = fc_codes = None
+        if self._core_series:
+            symbols = {ord(fc) for feats in rec_feats if feats
+                       for _, fc, _ in feats} or {ord("b")}
+            fc_alphabet, fc_lengths, fc_codes = huffman_canonical(symbols)
+
         # records
         min_pos = None
         max_end = 0
-        for rec, tl in zip(recs, rec_tag_rows):
+        for rec, tl, feats in zip(recs, rec_tag_rows, rec_feats):
             put_int("BF", rec.flag)
             put_int("CF", 0)
             put_int("RL", rec.query_length)
@@ -878,13 +976,17 @@ class CramWriter:
             if rec.flag & 4:
                 put_raw("BA", rec.seq.encode())
             else:
-                feats = self._features(rec)
-                if self._ref_seqs is not None:
-                    feats = self._reference_features(rec, feats)
-                put_int("FN", len(feats))
+                if core is not None:
+                    core.write_gamma(len(feats) + 1)
+                else:
+                    put_int("FN", len(feats))
                 qprev = 0
                 for fpos, fc, payload in feats:
-                    put_int("FC", ord(fc))
+                    if core is not None:
+                        code, ln = fc_codes[ord(fc)]
+                        core.write_bits(code, ln)
+                    else:
+                        put_int("FC", ord(fc))
                     put_int("FP", fpos - qprev)
                     qprev = fpos
                     if fc == "b":
@@ -906,7 +1008,10 @@ class CramWriter:
                         put_int("HC", payload)
                     elif fc == "P":
                         put_int("PD", payload)
-                put_int("MQ", rec.mapq)
+                if core is not None:
+                    core.write_bits(rec.mapq & 0xFF, 8)
+                else:
+                    put_int("MQ", rec.mapq)
             if min_pos is None:
                 min_pos = ap
             max_end = max(max_end, rec.reference_end + 1)
@@ -933,9 +1038,11 @@ class CramWriter:
 
         buf = BytesIO()
         write_block(buf, GZIP, CT_COMPRESSION_HEADER, 0,
-                    self._comp_header(td_blob, tag_enc_entries))
+                    self._comp_header(td_blob, tag_enc_entries,
+                                      fc_alphabet, fc_lengths))
         write_block(buf, RAW, CT_SLICE_HEADER, 0, bytes(sh))
-        write_block(buf, RAW, CT_CORE, 0, b"")
+        write_block(buf, RAW, CT_CORE, 0,
+                    core.getvalue() if core is not None else b"")
         for i, cid in enumerate(ids):
             data = bytes(streams.get(cid, b"")
                          or tag_streams.get(cid, b""))

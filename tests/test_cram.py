@@ -169,3 +169,29 @@ def test_cram_reference_based_roundtrip(tmp_path):
         assert (a.qname, a.flag, a.pos, a.cigar) == (b.qname, b.flag,
                                                      b.pos, b.cigar)
         assert a.seq == b.seq
+
+
+def test_cram_core_series_roundtrip(tmp_path):
+    """core_series profile stores FN/FC/MQ in the core bit block (Elias
+    gamma / canonical huffman / beta) — the layout htslib emits — and
+    must round-trip through the bit-codec reader paths."""
+    bam, fa = _fixture(tmp_path)
+    from cutesv_tpu.io.fasta import FastaFile
+
+    fasta = FastaFile(str(fa))
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    ref_seqs = {n: fasta.fetch(n) for n, _ in refs}
+    cram = tmp_path / "core.cram"
+    with CramWriter(str(cram), refs, ref_seqs=ref_seqs,
+                    core_series=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramReader(str(cram), reference=str(fa)) as cr:
+        back = list(cr)
+    assert len(back) == len(records)
+    for a, b in zip(records, back):
+        assert (a.qname, a.flag, a.pos, a.mapq, a.cigar) == (
+            b.qname, b.flag, b.pos, b.mapq, b.cigar)
+        assert a.seq == b.seq
