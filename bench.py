@@ -150,12 +150,14 @@ def main():
     outdir = os.path.join(CACHE, "out")
     os.makedirs(outdir, exist_ok=True)
 
-    # TPU path (warm once for jit compile, then measure min-of-2)
+    # TPU path (warm once for jit compile, then min-of-3: TPU dispatch
+    # latency through the remote-compile tunnel varies run to run)
     dt_w, _, _ = run_once(bam, fa, "device", "native", outdir)
     dt_native, calls_native, vcf_native = run_once(bam, fa, "device",
                                                    "native", outdir)
-    dt_n2, _, _ = run_once(bam, fa, "device", "native", outdir)
-    dt_native = min(dt_native, dt_n2)
+    for _ in range(2):
+        dt_n2, _, _ = run_once(bam, fa, "device", "native", outdir)
+        dt_native = min(dt_native, dt_n2)
 
     rate_file = os.path.join(CACHE, "baseline_rate_%dmb.json" % genome_mb)
     identical = None
