@@ -490,25 +490,45 @@ struct Extractor {
 // BGZF chunked reader (multithreaded inflate)
 // ---------------------------------------------------------------------------
 
+// growable raw byte buffer: no zero-fill on growth, reused across chunks
+// (std::string::resize would write the whole chunk twice — zero-fill then
+// inflate — and reallocate every iteration)
+struct RawBuf {
+  std::unique_ptr<char[]> mem;
+  size_t cap = 0;
+  size_t start = 0, len = 0;  // valid payload = [start, len)
+  void ensure(size_t n) {
+    if (cap >= n) return;
+    size_t nc = std::max(n, cap * 2);
+    std::unique_ptr<char[]> nm(new char[nc]);
+    if (len > 0) memcpy(nm.get(), mem.get(), len);
+    mem.swap(nm);
+    cap = nc;
+  }
+  char* data() { return mem.get(); }
+  const char* data() const { return mem.get(); }
+};
+
 struct BgzfChunkReader {
   FILE* f;
   int n_threads;
   bool eof = false;
   double t_read = 0, t_inflate = 0;
 
+  struct Blk {
+    std::string cdata;
+    uint32_t isize;
+    size_t out_off;
+  };
+  std::vector<Blk> blocks;  // reused across chunks
+
   explicit BgzfChunkReader(FILE* fh, int threads)
       : f(fh), n_threads(std::max(1, threads)) {}
 
-  // Read up to max_blocks BGZF blocks and inflate them in parallel into
-  // ``out``. Returns false when no new blocks were available.
-  bool next_chunk(std::string& out, int max_blocks = 4096) {
+  // Read up to max_blocks BGZF block payloads; returns total inflated size.
+  size_t read_blocks(int max_blocks) {
     auto t0 = std::chrono::steady_clock::now();
-    struct Blk {
-      std::string cdata;
-      uint32_t isize;
-      size_t out_off;
-    };
-    std::vector<Blk> blocks;
+    blocks.clear();
     size_t total = 0;
     for (int i = 0; i < max_blocks; i++) {
       unsigned char hdr[12];
@@ -542,12 +562,13 @@ struct BgzfChunkReader {
       total += b.isize;
       blocks.push_back(std::move(b));
     }
+    t_read += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    return total;
+  }
+
+  void inflate_blocks(char* dst) {
     auto t1 = std::chrono::steady_clock::now();
-    t_read += std::chrono::duration<double>(t1 - t0).count();
-    if (blocks.empty()) return false;  // no new data
-    out.clear();
-    out.resize(total);
-    size_t base = 0;
     std::atomic<size_t> next{0};
     auto worker = [&]() {
       libdeflate_decompressor* d = libdeflate_alloc_decompressor();
@@ -557,8 +578,7 @@ struct BgzfChunkReader {
         const Blk& b = blocks[i];
         size_t actual = 0;
         libdeflate_deflate_decompress(d, b.cdata.data(), b.cdata.size(),
-                                      &out[base + b.out_off], b.isize,
-                                      &actual);
+                                      dst + b.out_off, b.isize, &actual);
       }
       libdeflate_free_decompressor(d);
     };
@@ -571,6 +591,28 @@ struct BgzfChunkReader {
     }
     t_inflate += std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t1).count();
+  }
+
+  // string variant (header phase, FASTA load): simple, zero-fills
+  bool next_chunk(std::string& out, int max_blocks = 4096) {
+    size_t total = read_blocks(max_blocks);
+    if (blocks.empty()) return false;
+    out.clear();
+    out.resize(total);
+    inflate_blocks(&out[0]);
+    return true;
+  }
+
+  // raw variant: inflates at ``prefix`` into a reused buffer, leaving
+  // [0, prefix) untouched for the caller's leftover bytes
+  bool next_chunk_raw(RawBuf& out, size_t prefix, int max_blocks = 1024) {
+    size_t total = read_blocks(max_blocks);
+    if (blocks.empty()) return false;
+    out.len = 0;  // nothing to preserve on growth
+    out.ensure(prefix + total);
+    inflate_blocks(out.data() + prefix);
+    out.start = prefix;
+    out.len = prefix + total;
     return true;
   }
 };
@@ -945,7 +987,7 @@ struct Decoder {
   // shared parallel record processing (BAM chunks and CRAM-synthesized
   // chunks go through the same path): thread-local collectors are merged
   // in range order so global row order equals input record order
-  bool process_recs(const std::string& chunk,
+  bool process_recs(const char* base,
                     const std::vector<std::pair<size_t, int32_t>>& recs) {
     // allow oversubscription: record parsing is latency-bound (cold
     // record headers 10KB apart), so more workers than cores helps
@@ -957,7 +999,7 @@ struct Decoder {
       Worker w(P, bed, header_chroms);
       try {
         for (auto& r : recs)
-          w.process_record(chunk.data() + r.first, r.second);
+          w.process_record(base + r.first, r.second);
       } catch (...) { failed = true; }
       C.merge_from(w.C);
       t_seq += w.t_seq;
@@ -974,7 +1016,7 @@ struct Decoder {
         ts.emplace_back([&, w, lo, hi]() {
           try {
             for (size_t i = lo; i < hi; i++)
-              w->process_record(chunk.data() + recs[i].first,
+              w->process_record(base + recs[i].first,
                                 recs[i].second);
           } catch (...) { err = true; }
         });
@@ -1029,38 +1071,56 @@ struct Decoder {
       ref_lens.push_back(l_ref);
     }
     // --- records --- (the next chunk inflates on worker threads while the
-    // main thread parses the current one)
-    chunk.erase(0, off);
+    // main thread parses the current one; raw double buffers with a
+    // leftover gap avoid re-copying the inflated stream every iteration)
     auto t_rec0 = std::chrono::steady_clock::now();
-    std::string nextc;
+    constexpr size_t GAP = 1 << 20;  // holds any partial trailing record
+    RawBuf A, B;
+    A.ensure(chunk.size() - off);
+    memcpy(A.data(), chunk.data() + off, chunk.size() - off);
+    A.start = 0;
+    A.len = chunk.size() - off;
+    chunk.clear();
+    chunk.shrink_to_fit();
     bool have_next = false;
-    std::thread prefetch([&]() { have_next = rd.next_chunk(nextc); });
+    std::thread prefetch([&]() { have_next = rd.next_chunk_raw(B, GAP); });
     for (;;) {
-      // index record payload offsets in this chunk
+      // index record payload offsets in this buffer
       std::vector<std::pair<size_t, int32_t>> recs;
-      size_t p = 0;
+      size_t p = A.start;
       for (;;) {
-        if (chunk.size() - p < 4) break;
-        int32_t bs = rd_i32(chunk.data() + p);
-        if (chunk.size() - p < 4 + (size_t)bs) break;
+        if (A.len - p < 4) break;
+        int32_t bs = rd_i32(A.data() + p);
+        if (bs < 0 || A.len - p < 4 + (size_t)bs) break;
         recs.push_back({p + 4, bs});
         p += 4 + (size_t)bs;
       }
-      if (!process_recs(chunk, recs)) {
+      if (!process_recs(A.data(), recs)) {
         prefetch.join();
         fclose(f);
         return 4;
       }
       prefetch.join();
       if (!have_next) break;
-      // chunk = leftover + next payload
-      std::string merged;
-      merged.reserve(chunk.size() - p + nextc.size());
-      merged.append(chunk, p, chunk.size() - p);
-      merged.append(nextc);
-      chunk.swap(merged);
-      nextc.clear();
-      prefetch = std::thread([&]() { have_next = rd.next_chunk(nextc); });
+      size_t leftover = A.len - p;
+      if (leftover <= GAP) {
+        memcpy(B.data() + GAP - leftover, A.data() + p, leftover);
+        B.start = GAP - leftover;
+      } else {
+        // a partial record larger than the gap (ultralong read): fall
+        // back to one explicit stitch copy
+        RawBuf C2;
+        C2.ensure(leftover + (B.len - B.start));
+        memcpy(C2.data(), A.data() + p, leftover);
+        memcpy(C2.data() + leftover, B.data() + B.start,
+               B.len - B.start);
+        C2.start = 0;
+        C2.len = leftover + (B.len - B.start);
+        std::swap(B, C2);
+      }
+      std::swap(A, B);
+      prefetch = std::thread(
+          [&]() { have_next = rd.next_chunk_raw(B, GAP); });
     }
     t_records = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t_rec0).count();
