@@ -92,9 +92,9 @@ class IndelStream:
                    seq_len=seq_len, seq_blob=seq_blob, seq_off=seq_off)
 
 
-def _cluster_stream(stream: IndelStream, read_count: int, bias: int):
-    """Run the device kernel; returns kept rows in allele-stream order as
-    (cid, pos, length, stream_idx) numpy arrays."""
+def _cluster_stream_dispatch(stream: IndelStream, read_count: int,
+                             bias: int):
+    """Dispatch the (async) device kernel; returns the jax output dict."""
     n = len(stream)
     if n == 0:
         return None
@@ -107,15 +107,31 @@ def _cluster_stream(stream: IndelStream, read_count: int, bias: int):
 
     valid = jnp.asarray(
         np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]))
-    out = indel_cluster_structure(
+    return indel_cluster_structure(
         padded(stream.pos, np.int32), padded(stream.length, np.int32),
         padded(stream.rid, np.int32), valid,
         jnp.int32(bias), jnp.int32(read_count), cap)
-    nk = int(out["n_kept"])
-    return (np.asarray(out["cid"])[:nk].astype(np.int64),
-            np.asarray(out["pos"])[:nk].astype(np.int64),
-            np.asarray(out["length"])[:nk].astype(np.int64),
-            np.asarray(out["stream_idx"])[:nk].astype(np.int64))
+
+
+def _cluster_stream_fetch(out):
+    """Fetch dispatched kernel outputs with one batched device_get."""
+    import jax
+
+    if out is None:
+        return None
+    got = jax.device_get(out)  # all transfers started async, one block
+    nk = int(got["n_kept"])
+    return (np.asarray(got["cid"])[:nk].astype(np.int64),
+            np.asarray(got["pos"])[:nk].astype(np.int64),
+            np.asarray(got["length"])[:nk].astype(np.int64),
+            np.asarray(got["stream_idx"])[:nk].astype(np.int64))
+
+
+def _cluster_stream(stream: IndelStream, read_count: int, bias: int):
+    """Run the device kernel; returns kept rows in allele-stream order as
+    (cid, pos, length, stream_idx) numpy arrays."""
+    return _cluster_stream_fetch(
+        _cluster_stream_dispatch(stream, read_count, bias))
 
 
 def _allele_slices(cid, length, threshold_gloab):
@@ -366,13 +382,16 @@ def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
 
     valid = jnp.asarray(np.concatenate([np.ones(n, bool),
                                         np.zeros(pad, bool)]))
+    import jax
+
     out = pair_cluster_structure(
         padded(k1, np.int32), padded(k2, np.int32),
         padded(aux, np.int32), padded(rid, np.int32), valid,
         jnp.int32(bias), jnp.int32(read_count), cap, bool(break_on_k2))
-    nk = int(out["n_kept"])
-    cid = np.asarray(out["cid"])[:nk]
-    sidx = np.asarray(out["stream_idx"])[:nk]
+    got = jax.device_get(out)  # one batched transfer
+    nk = int(got["n_kept"])
+    cid = np.asarray(got["cid"])[:nk]
+    sidx = np.asarray(got["stream_idx"])[:nk]
     if nk == 0:
         return []
     bounds = np.flatnonzero(np.diff(cid)) + 1
@@ -569,18 +588,15 @@ class _Facade:
         return m[1].seq_of(j)
 
 
-def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
-                               threshold_gloab: float,
-                               max_cluster_bias: int,
-                               minimum_support_reads: int,
-                               remain_reads_ratio: float, action: bool,
-                               n_shards: int = 1):
-    """Resolve DEL or INS across many chromosomes with one cluster-kernel
-    dispatch per int32-safe batch. ``streams``: ordered (chrom, stream)
-    pairs; returns {chrom: (candidates, gt_jobs)}, byte-identical to the
-    per-chromosome resolvers."""
-    emit = _emit_ins if is_ins else _emit_del
+def resolve_indel_multi_start(streams, is_ins: bool, read_count: int,
+                              max_cluster_bias: int, n_shards: int = 1):
+    """Phase 1 of the genome-batched DEL/INS resolver: dispatch the
+    (async) cluster kernels for every int32-safe batch. Returns opaque
+    state for :func:`resolve_indel_multi_finish`. Dispatching both SV
+    types before fetching either overlaps device compute with host
+    emission."""
     out = {}
+    jobs = []
     streams = [(c, _as_stream(s, is_ins)) for c, s in streams]
     for batch in _chrom_batches(streams, max_cluster_bias):
         members = [(c, s, off) for c, s, off in batch if len(s)]
@@ -591,10 +607,32 @@ def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
             continue
         facade = _Facade(members)
         if n_shards > 1:
-            res = _cluster_stream_sharded(facade, read_count,
-                                          max_cluster_bias, n_shards)
+            # sharded path computes host-side cuts; runs eagerly
+            jobs.append((members, facade, "sharded", None))
         else:
-            res = _cluster_stream(facade, read_count, max_cluster_bias)
+            jobs.append((members, facade, "kernel",
+                         _cluster_stream_dispatch(facade, read_count,
+                                                  max_cluster_bias)))
+    return dict(out=out, jobs=jobs, is_ins=is_ins, read_count=read_count,
+                max_cluster_bias=max_cluster_bias, n_shards=n_shards)
+
+
+def resolve_indel_multi_finish(state, threshold_gloab: float,
+                               minimum_support_reads: int,
+                               remain_reads_ratio: float, action: bool):
+    """Phase 2: fetch kernel outputs and run the per-chromosome host
+    emission; returns {chrom: (candidates, gt_jobs)}."""
+    emit = _emit_ins if state["is_ins"] else _emit_del
+    out = state["out"]
+    read_count = state["read_count"]
+    max_cluster_bias = state["max_cluster_bias"]
+    for members, facade, kind, handle in state["jobs"]:
+        if kind == "sharded":
+            res = _cluster_stream_sharded(facade, read_count,
+                                          max_cluster_bias,
+                                          state["n_shards"])
+        else:
+            res = _cluster_stream_fetch(handle)
         if res is None or len(res[0]) == 0:
             for c, _, _ in members:
                 out.setdefault(c, ([], []))
@@ -620,6 +658,23 @@ def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
         for c, _, _ in members:
             out.setdefault(c, ([], []))
     return out
+
+
+def resolve_indel_device_multi(streams, is_ins: bool, read_count: int,
+                               threshold_gloab: float,
+                               max_cluster_bias: int,
+                               minimum_support_reads: int,
+                               remain_reads_ratio: float, action: bool,
+                               n_shards: int = 1):
+    """Resolve DEL or INS across many chromosomes with one cluster-kernel
+    dispatch per int32-safe batch. ``streams``: ordered (chrom, stream)
+    pairs; returns {chrom: (candidates, gt_jobs)}, byte-identical to the
+    per-chromosome resolvers."""
+    state = resolve_indel_multi_start(streams, is_ins, read_count,
+                                      max_cluster_bias, n_shards)
+    return resolve_indel_multi_finish(state, threshold_gloab,
+                                      minimum_support_reads,
+                                      remain_reads_ratio, action)
 
 
 # ---------------------------------------------------------------------------

@@ -350,15 +350,21 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
 
     min_sup5 = min(cfg.min_support, 5)
     if use_device:
-        # one cluster-kernel dispatch per int32-safe chromosome batch
-        del_res = device_models.resolve_indel_device_multi(
+        # one cluster-kernel dispatch per int32-safe chromosome batch;
+        # both SV types dispatch (async) before either is fetched, so the
+        # INS kernel runs on-device while DEL emission runs on host
+        del_state = device_models.resolve_indel_multi_start(
             list(store.sigs["DEL"].items()), False, cfg.min_support,
-            cfg.diff_ratio_merging_DEL, cfg.max_cluster_bias_DEL, min_sup5,
-            cfg.remain_reads_ratio, action, n_shards=cfg.n_shards)
-        ins_res = device_models.resolve_indel_device_multi(
+            cfg.max_cluster_bias_DEL, n_shards=cfg.n_shards)
+        ins_state = device_models.resolve_indel_multi_start(
             list(store.sigs["INS"].items()), True, cfg.min_support,
-            cfg.diff_ratio_merging_INS, cfg.max_cluster_bias_INS, min_sup5,
-            cfg.remain_reads_ratio, action, n_shards=cfg.n_shards)
+            cfg.max_cluster_bias_INS, n_shards=cfg.n_shards)
+        del_res = device_models.resolve_indel_multi_finish(
+            del_state, cfg.diff_ratio_merging_DEL, min_sup5,
+            cfg.remain_reads_ratio, action)
+        ins_res = device_models.resolve_indel_multi_finish(
+            ins_state, cfg.diff_ratio_merging_INS, min_sup5,
+            cfg.remain_reads_ratio, action)
     else:
         del_res = {
             chrom: resolve_del(sigs, chrom, cfg.min_support,
