@@ -1037,11 +1037,11 @@ struct Decoder {
     std::string chunk;
     // --- header ---
     // keep pulling chunks until we have the full header
-    if (!rd.next_chunk(chunk)) { fclose(f); return 2; }
+    if (!rd.next_chunk(chunk, 1024)) { fclose(f); return 2; }
     auto need = [&](size_t n) {
       while (chunk.size() < n) {
         std::string more;
-        if (!rd.next_chunk(more)) break;
+        if (!rd.next_chunk(more, 1024)) break;
         chunk += more;
       }
       return chunk.size() >= n;
@@ -1109,6 +1109,9 @@ struct Decoder {
       } else {
         // a partial record larger than the gap (ultralong read): fall
         // back to one explicit stitch copy
+        if (getenv("CUTESV_DECODE_TIMING"))
+          fprintf(stderr, "bamdecode: stitch fallback (leftover %zu)\n",
+                  leftover);
         RawBuf C2;
         C2.ensure(leftover + (B.len - B.start));
         memcpy(C2.data(), A.data() + p, leftover);

@@ -187,6 +187,46 @@ def test_native_matches_python(tmp_path, seed):
     assert got_all == allreads
 
 
+def test_ultralong_records_cross_chunks(tmp_path):
+    """Records larger than the decoder's 1MB leftover gap (ultralong ONT
+    reads) take the stitch-copy fallback when they straddle an inflate
+    chunk; signatures must still match the Python oracle."""
+    rng = random.Random(123)
+    bam = tmp_path / "long.bam"
+    recs = []
+    pos = 1000
+    for i in range(30):  # ~150MB of records: several chunk crossings
+        read_len = 3_000_000 + rng.randrange(0, 1_500_000)
+        d = rng.randrange(80, 400)
+        m1 = read_len // 2
+        cigar = [(0, m1), (2, d), (0, read_len - m1)]
+        seq = "".join(rng.choice("ACGT") for _ in range(1000)) * (
+            read_len // 1000) + "A" * (read_len % 1000)
+        recs.append(("u%03d" % i, 0, pos, cigar, seq))
+        pos += 500
+    with BamWriter(str(bam), REFS) as w:
+        for qname, ref_id, p, cigar, seq in recs:
+            w.write(qname, 0, ref_id, p, 60, cigar, seq)
+
+    cfg = Config(input=str(bam), min_support=3)
+    import cutesv_tpu.extract as extract
+    from cutesv_tpu.io.bam import BamReader
+    candidates = extract.new_candidate_dict()
+    reader = BamReader(str(bam))
+    chrom_names = [x for x, _ in reader.references]
+    for rec in reader:
+        extract.extract_read(rec, candidates, chrom_names[rec.ref_id],
+                             cfg.min_size, cfg.min_mapq,
+                             cfg.max_split_parts, cfg.min_read_len,
+                             cfg.min_siglength, cfg.merge_del_threshold,
+                             cfg.merge_ins_threshold, cfg.max_size)
+    reader.close()
+    nd = native.decode(str(bam), cfg)
+    got = _native_tuples(nd)
+    assert got["DEL"] == candidates["DEL"]
+    assert len(got["DEL"]) == 30
+
+
 def test_name_ranks_lexicographic(tmp_path):
     rng = random.Random(77)
     bam = tmp_path / "r.bam"
