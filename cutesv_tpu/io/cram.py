@@ -754,7 +754,8 @@ class CramReader:
 # external content ids for the writer's fixed series layout
 _W_IDS = dict(BF=1, CF=2, RL=3, AP=4, RG=5, TL=11, FN=12, FC=13, FP=14,
               BS=15, DL=16, RS=17, HC=18, PD=19, MQ=20, BA=21, RN=22,
-              IN=23, SC=24, BB=25, QS=26)
+              IN=23, SC=24, BB=25, QS=26, MF=27, NS=28, NP=29, TS=30,
+              RI=31)
 _W_TAG_ID0 = 40
 
 
@@ -780,7 +781,8 @@ class CramWriter:
     Records must arrive coordinate-sorted."""
 
     def __init__(self, path: str, references, max_slice: int = 1000,
-                 ref_seqs=None, core_series: bool = False):
+                 ref_seqs=None, core_series: bool = False,
+                 detached_mates: bool = False, multi_ref: bool = False):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -788,11 +790,19 @@ class CramWriter:
 
         ``core_series``: encode FN/FC/MQ into the core bit block
         (GAMMA / canonical HUFFMAN / BETA) instead of external streams —
-        the layout htslib emits; exercises the bit-codec decode paths."""
+        the layout htslib emits; exercises the bit-codec decode paths.
+
+        ``detached_mates``: set CF bit 1 and emit the detached-mate
+        series (MF/NS/NP/TS) per record — paired-end real-world layout.
+
+        ``multi_ref``: write multi-reference slices (slice ref_id -2,
+        per-record RI series) instead of flushing on chromosome change."""
         self._fh = open(path, "wb")
         self.references = list(references)
         self._ref_seqs = ref_seqs
         self._core_series = core_series
+        self._detached_mates = detached_mates
+        self._multi_ref = multi_ref
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -810,8 +820,10 @@ class CramWriter:
         self._fh.write(blocks)
 
     def write(self, rec: BamRecord):
-        if self._pending and (rec.ref_id != self._pending[0].ref_id
-                              or len(self._pending) >= self.max_slice):
+        if self._pending and (
+                (not self._multi_ref
+                 and rec.ref_id != self._pending[0].ref_id)
+                or len(self._pending) >= self.max_slice):
             self._flush()
         self._pending.append(rec)
 
@@ -842,8 +854,13 @@ class CramWriter:
                 b"TD" + write_itf8(len(td_blob)) + td_blob]
         series = []
         core_keys = {"FN", "FC", "MQ"} if self._core_series else set()
-        for key in ("BF", "CF", "RL", "AP", "RG", "TL", "FN", "FC", "FP",
-                    "BS", "DL", "RS", "HC", "PD", "MQ", "BA", "QS"):
+        keys = ["BF", "CF", "RL", "AP", "RG", "TL", "FN", "FC", "FP",
+                "BS", "DL", "RS", "HC", "PD", "MQ", "BA", "QS"]
+        if self._detached_mates:
+            keys += ["MF", "NS", "NP", "TS"]
+        if self._multi_ref:
+            keys.append("RI")
+        for key in keys:
             if key not in core_keys:
                 series.append(key.encode() + _enc_external(_W_IDS[key]))
         if self._core_series:
@@ -966,12 +983,19 @@ class CramWriter:
         max_end = 0
         for rec, tl, feats in zip(recs, rec_tag_rows, rec_feats):
             put_int("BF", rec.flag)
-            put_int("CF", 0)
+            put_int("CF", 2 if self._detached_mates else 0)
+            if self._multi_ref:
+                put_int("RI", rec.ref_id)
             put_int("RL", rec.query_length)
             ap = rec.pos + 1
             put_int("AP", ap)
             put_int("RG", 0)
             put_stop("RN", rec.qname.encode())
+            if self._detached_mates:
+                put_int("MF", 0)
+                put_int("NS", -1)
+                put_int("NP", 0)
+                put_int("TS", 0)
             put_int("TL", tl)
             if rec.flag & 4:
                 put_raw("BA", rec.seq.encode())
@@ -1016,9 +1040,12 @@ class CramWriter:
                 min_pos = ap
             max_end = max(max_end, rec.reference_end + 1)
 
-        ref_id = recs[0].ref_id
-        start = min_pos or 0
-        span = max(0, max_end - start)
+        if self._multi_ref:
+            ref_id, start, span = -2, 0, 0
+        else:
+            ref_id = recs[0].ref_id
+            start = min_pos or 0
+            span = max(0, max_end - start)
         # slice header
         ids = sorted([cid for cid, s in streams.items() if len(s)]
                      + [cid for cid, s in tag_streams.items() if len(s)])

@@ -171,6 +171,28 @@ def test_cram_reference_based_roundtrip(tmp_path):
         assert a.seq == b.seq
 
 
+def test_cram_detached_mates_multiref_roundtrip(tmp_path):
+    """Detached-mate records (CF bit 1 + MF/NS/NP/TS series) and
+    multi-reference slices (slice ref_id -2, per-record RI) — both
+    real-world layouts — round-trip through the reader."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    cram = tmp_path / "dm.cram"
+    with CramWriter(str(cram), refs, detached_mates=True,
+                    multi_ref=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramReader(str(cram), reference=str(fa)) as cr:
+        back = list(cr)
+    assert len(back) == len(records)
+    for a, b in zip(records, back):
+        assert (a.qname, a.flag, a.ref_id, a.pos, a.mapq, a.cigar) == (
+            b.qname, b.flag, b.ref_id, b.pos, b.mapq, b.cigar)
+        assert a.seq == b.seq
+
+
 def test_cram_core_series_roundtrip(tmp_path):
     """core_series profile stores FN/FC/MQ in the core bit block (Elias
     gamma / canonical huffman / beta) — the layout htslib emits — and

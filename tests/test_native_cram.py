@@ -29,11 +29,11 @@ def _random_ref(rng, lengths):
     return seqs
 
 
-def _bam_to_cram(bam, cram, ref_seqs=None, core_series=False):
+def _bam_to_cram(bam, cram, ref_seqs=None, **writer_kwargs):
     with BamReader(str(bam)) as r:
         refs = r.references
         with CramWriter(str(cram), refs, ref_seqs=ref_seqs,
-                        core_series=core_series) as w:
+                        **writer_kwargs) as w:
             for rec in r:
                 w.write(rec)
     return refs
@@ -50,11 +50,17 @@ def _assert_same_decode(nd_bam, nd_cram):
     assert nd_cram.ins_seq_blob == nd_bam.ins_seq_blob
 
 
-@pytest.mark.parametrize("seed,ref_based,core",
-                         [(0, False, False), (0, True, False),
-                          (1, False, False), (2, True, False),
-                          (3, True, True), (4, False, True)])
-def test_native_cram_matches_native_bam(tmp_path, seed, ref_based, core):
+@pytest.mark.parametrize("seed,ref_based,kwargs",
+                         [(0, False, {}), (0, True, {}),
+                          (1, False, {}), (2, True, {}),
+                          (3, True, dict(core_series=True)),
+                          (4, False, dict(core_series=True)),
+                          (5, True, dict(detached_mates=True)),
+                          (6, True, dict(multi_ref=True)),
+                          (7, False, dict(core_series=True,
+                                          detached_mates=True,
+                                          multi_ref=True))])
+def test_native_cram_matches_native_bam(tmp_path, seed, ref_based, kwargs):
     rng = random.Random(seed)
     bam = tmp_path / "f.bam"
     cram = tmp_path / "f.cram"
@@ -65,7 +71,7 @@ def test_native_cram_matches_native_bam(tmp_path, seed, ref_based, core):
     ref_seqs = _random_ref(rng, lengths)
     write_fasta(str(fa), ref_seqs)
     _bam_to_cram(bam, cram, ref_seqs=ref_seqs if ref_based else None,
-                 core_series=core)
+                 **kwargs)
     cfg = Config(input=str(bam), min_support=3)
     nd_bam = native.decode(str(bam), cfg)
     nd_cram = native.decode(str(cram), cfg, reference=str(fa))
