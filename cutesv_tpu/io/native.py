@@ -156,8 +156,12 @@ def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
             raise NativeUnsupported(
                 "native decode: unsupported CRAM feature in %s" % path)
         if status != 0:
-            raise IOError("native BAM decode failed (status %d) for %s"
-                          % (status, path))
+            detail = {1: "cannot open file", 2: "not BGZF data",
+                      3: "bad BAM header",
+                      4: "malformed record"}.get(status, "")
+            raise IOError("native BAM decode failed (status %d%s) for %s"
+                          % (status, ": " + detail if detail else "",
+                             path))
         name_blob = _fetch(lib, handle, 0)
         name_off = _fetch(lib, handle, 1)
         names = [name_blob[name_off[i]:name_off[i + 1]].decode("ascii")

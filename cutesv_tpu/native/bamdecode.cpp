@@ -683,6 +683,8 @@ struct Worker {
   }
 
   void process_record(const char* rec, int32_t block_size) {
+    if (block_size < 32)
+      throw std::runtime_error("malformed BAM record (short block)");
     int32_t ref_id = rd_i32(rec);
     int64_t pos = rd_i32(rec + 4);
     uint8_t l_qname = (uint8_t)rec[8];
@@ -695,6 +697,11 @@ struct Worker {
     const char* seq_p = cigar_p + 4ll * n_cigar;
     const char* tag_p = seq_p + (l_seq + 1) / 2 + l_seq;
     const char* rec_end = rec + block_size;
+    // internal lengths must be consistent with the block span, or the
+    // cigar/seq/tag walks below would read out of bounds (fuzz-hardened)
+    if (l_seq < 0 || tag_p > rec_end)
+      throw std::runtime_error("malformed BAM record (lengths exceed "
+                               "block)");
 
     if (ref_id < 0 || (flag & 0x4)) return;
     C.n_records++;
@@ -881,6 +888,7 @@ struct Worker {
           continue;
         }
         case 'B': {
+          if (p + 5 > rec_end) return;  // malformed array tag header
           char sub = *p;
           uint32_t cnt = rd_u32(p + 1);
           size_t esz = (sub == 'c' || sub == 'C') ? 1
