@@ -107,6 +107,31 @@ def test_native_cram_unsupported_falls_back(tmp_path):
     assert references == lengths
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_corrupt_cram_raises_not_crash(tmp_path, seed):
+    """Byte-flipped CRAMs must produce a clean error (bounds-checked
+    varint/stream readers), never out-of-bounds access."""
+    rng = random.Random(seed)
+    bam = tmp_path / "c.bam"
+    cram = tmp_path / "c.cram"
+    fa = tmp_path / "c.fa"
+    _make_random_bam(str(bam), rng, n_reads=40)
+    with BamReader(str(bam)) as r:
+        lengths = r.references
+    write_fasta(str(fa), _random_ref(rng, lengths))
+    _bam_to_cram(bam, cram)
+    raw = bytearray(cram.read_bytes())
+    for _ in range(rng.randrange(1, 40)):
+        raw[rng.randrange(len(raw))] = rng.randrange(256)
+    cram.write_bytes(bytes(raw))
+    try:
+        nd = native.decode(str(cram), Config(input=str(cram)),
+                           reference=str(fa))
+        assert nd.n_records >= 0  # flips may land in ignored bytes
+    except IOError:
+        pass  # clean rejection (unsupported/corrupt -> status 10)
+
+
 def test_pipeline_native_cram_requires_reference(tmp_path):
     """Without a FASTA the native CRAM decode reports unsupported (the
     python reader then raises the user-facing error)."""
