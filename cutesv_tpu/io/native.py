@@ -157,8 +157,8 @@ def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
                 "native decode: unsupported CRAM feature in %s" % path)
         if status != 0:
             detail = {1: "cannot open file", 2: "not BGZF data",
-                      3: "bad BAM header",
-                      4: "malformed record"}.get(status, "")
+                      3: "bad BAM header", 4: "malformed record",
+                      5: "truncated file"}.get(status, "")
             raise IOError("native BAM decode failed (status %d%s) for %s"
                           % (status, ": " + detail if detail else "",
                              path))

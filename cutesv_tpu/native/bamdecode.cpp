@@ -513,6 +513,7 @@ struct BgzfChunkReader {
   FILE* f;
   int n_threads;
   bool eof = false;
+  bool truncated = false;  // stream ended mid-block (corrupt/cut file)
   double t_read = 0, t_inflate = 0;
 
   struct Blk {
@@ -535,10 +536,11 @@ struct BgzfChunkReader {
       size_t got = fread(hdr, 1, 12, f);
       if (got == 0) { eof = true; break; }
       if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b)
-        { eof = true; break; }
+        { eof = true; truncated = true; break; }
       uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
       std::string extra(xlen, '\0');
-      if (fread(&extra[0], 1, xlen, f) != xlen) { eof = true; break; }
+      if (fread(&extra[0], 1, xlen, f) != xlen)
+        { eof = true; truncated = true; break; }
       int bsize = -1;
       for (int off = 0; off + 4 <= xlen;) {
         uint8_t si1 = extra[off], si2 = extra[off + 1];
@@ -548,14 +550,15 @@ struct BgzfChunkReader {
           bsize = (uint8_t)extra[off + 4] | ((uint8_t)extra[off + 5] << 8);
         off += 4 + slen;
       }
-      if (bsize < 0) { eof = true; break; }
+      if (bsize < 0) { eof = true; truncated = true; break; }
       size_t cdata_len = (size_t)bsize + 1 - 12 - xlen - 8;
       Blk b;
       b.cdata.resize(cdata_len);
       if (fread(&b.cdata[0], 1, cdata_len, f) != cdata_len)
-        { eof = true; break; }
+        { eof = true; truncated = true; break; }
       unsigned char tail[8];
-      if (fread(tail, 1, 8, f) != 8) { eof = true; break; }
+      if (fread(tail, 1, 8, f) != 8)
+        { eof = true; truncated = true; break; }
       b.isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
                 ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
       b.out_off = total;
@@ -1109,7 +1112,11 @@ struct Decoder {
         return 4;
       }
       prefetch.join();
-      if (!have_next) break;
+      if (!have_next) {
+        // a partial record at end-of-stream means the file was cut
+        if (A.len - p != 0) { fclose(f); return 5; }
+        break;
+      }
       size_t leftover = A.len - p;
       if (leftover <= GAP) {
         memcpy(B.data() + GAP - leftover, A.data() + p, leftover);
@@ -1135,6 +1142,7 @@ struct Decoder {
     }
     t_records = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t_rec0).count();
+    if (rd.truncated) { fclose(f); return 5; }
     fclose(f);
     if (getenv("CUTESV_DECODE_TIMING"))
       fprintf(stderr,

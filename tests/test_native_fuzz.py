@@ -41,6 +41,25 @@ def _fuzz_bam(path, rng):
     w.close()
 
 
+def test_truncated_bam_is_an_error(tmp_path):
+    """A BAM cut mid-stream must fail loudly (status 5), not silently
+    call on a prefix of the data — matching the python reader's
+    'truncated BGZF block' ValueError."""
+    from tests.simdata import make_reference, plain_read, write_bam
+
+    rng = random.Random(7)
+    seqs = make_reference(rng, {"chr1": 30_000})
+    plans = [plain_read(seqs["chr1"], 0, s, 2000, "p%03d" % i)
+             for i, s in enumerate(range(0, 26_000, 500))]
+    bam = tmp_path / "t.bam"
+    write_bam(str(bam), [("chr1", 30_000)], plans)
+    raw = bam.read_bytes()
+    cut = tmp_path / "cut.bam"
+    cut.write_bytes(raw[:len(raw) * 2 // 3])
+    with pytest.raises(IOError, match="truncated|malformed"):
+        native.decode(str(cut), Config(input=str(cut)))
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_malformed_records_raise_not_crash(tmp_path, seed):
     rng = random.Random(seed)
