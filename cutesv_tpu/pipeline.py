@@ -547,6 +547,8 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
         results = _gather_results(results)
         if results is None:  # non-emitter host: done after the gather
             stats["resolve_s"] = time.time() - t1
+            stats["n_calls"] = 0
+            stats["emit_s"] = 0.0
             stats["total_s"] = time.time() - t0
             return stats
     stats["resolve_s"] = time.time() - t1

@@ -179,30 +179,74 @@ def test_filter_store_and_gather_roundtrip():
     assert merged == results
 
 
+def _distributed_fixture(tmp_path):
+    from tests import simdata
+    import random
+    rng = random.Random(5)
+    seqs = simdata.make_reference(rng, {"chr1": 40_000, "chr2": 30_000})
+    plans = [simdata.plain_read(seqs["chr1"], 0, s, 3000, "p%03d" % i)
+             for i, s in enumerate(range(0, 36_000, 400))]
+    plans += [simdata.plain_read(seqs["chr2"], 1, s, 3000, "q%03d" % i)
+              for i, s in enumerate(range(0, 26_000, 400))]
+    for i, s in enumerate(range(17_000, 19_300, 230)):
+        plans.append(simdata.read_with_del(seqs["chr1"], 0, s, 20_000, 120,
+                                           2000, "d%02d" % i))
+    for i, s in enumerate(range(12_000, 14_300, 230)):
+        plans.append(simdata.read_with_del(seqs["chr2"], 1, s, 15_000, 150,
+                                           2000, "e%02d" % i))
+    simdata.write_bam(str(tmp_path / "in.bam"),
+                      [("chr1", 40_000), ("chr2", 30_000)], plans)
+    simdata.write_ref_fasta(str(tmp_path / "ref.fa"), seqs)
+    return [str(tmp_path / "in.bam"), str(tmp_path / "ref.fa")]
+
+
+def _vcf_body(p):
+    return [l for l in open(p) if not l.startswith("##")]
+
+
 def test_distributed_single_process_cli(tmp_path):
     """--distributed --num_processes 1 degenerates cleanly: initialize()
     skipped, output identical to the plain run."""
     from cutesv_tpu.cli import main
 
-    from tests import simdata
-    import random
-    rng = random.Random(5)
-    seqs = simdata.make_reference(rng, {"chr1": 40_000})
-    plans = [simdata.plain_read(seqs["chr1"], 0, s, 3000, "p%03d" % i)
-             for i, s in enumerate(range(0, 36_000, 400))]
-    for i, s in enumerate(range(17_000, 19_300, 230)):
-        plans.append(simdata.read_with_del(seqs["chr1"], 0, s, 20_000, 120,
-                                           2000, "d%02d" % i))
-    simdata.write_bam(str(tmp_path / "in.bam"), [("chr1", 40_000)], plans)
-    simdata.write_ref_fasta(str(tmp_path / "ref.fa"), seqs)
-    base = [str(tmp_path / "in.bam"), str(tmp_path / "ref.fa")]
+    base = _distributed_fixture(tmp_path)
     assert main(base + [str(tmp_path / "a.vcf"), str(tmp_path / "wa"),
                         "--engine", "host"]) == 0
     assert main(base + [str(tmp_path / "b.vcf"), str(tmp_path / "wb"),
                         "--engine", "host", "--distributed",
                         "--num_processes", "1"]) == 0
+    assert _vcf_body(tmp_path / "a.vcf") == _vcf_body(tmp_path / "b.vcf")
 
-    def body(p):
-        return [l for l in open(p) if not l.startswith("##")]
 
-    assert body(tmp_path / "a.vcf") == body(tmp_path / "b.vcf")
+def test_distributed_two_process_cli(tmp_path):
+    """A real 2-process jax.distributed run (CPU backend): each process
+    resolves its chromosome bucket, host 0 gathers and writes the VCF —
+    byte-identical to the single-process run."""
+    import os
+    import subprocess
+    import sys
+
+    from cutesv_tpu.cli import main
+
+    base = _distributed_fixture(tmp_path)
+    assert main(base + [str(tmp_path / "ref.vcf"), str(tmp_path / "wr"),
+                        "--engine", "host"]) == 0
+    port = 20000 + (os.getpid() % 10000)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cutesv_tpu.cli"] + base
+            + [str(tmp_path / ("mp%d.vcf" % i)), str(tmp_path / ("wm%d" % i)),
+               "--engine", "host", "--distributed",
+               "--coordinator", "localhost:%d" % port,
+               "--num_processes", "2", "--process_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    assert procs[0].returncode == 0, outs[0].decode()[-2000:]
+    assert procs[1].returncode == 0, outs[1].decode()[-2000:]
+    assert not (tmp_path / "mp1.vcf").exists()  # only host 0 emits
+    assert _vcf_body(tmp_path / "mp0.vcf") == _vcf_body(
+        tmp_path / "ref.vcf")
