@@ -417,7 +417,10 @@ def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
     n = len(k1)
     if n == 0:
         return []
-    devices = jax.devices()
+    # multi-process runs shard over this host's own chips only (global
+    # arrays would need cross-process sharding the stream cut doesn't do)
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
     if len(devices) < n_shards:
         devices = jax.devices("cpu")
     if n_shards <= 1 or len(devices) < n_shards or n < 4 * n_shards:
@@ -720,7 +723,10 @@ def _cluster_stream_sharded(stream, read_count: int, bias: int,
     n = len(stream)
     if n == 0:
         return None
-    devices = jax.devices()
+    # multi-process runs shard over this host's own chips only (global
+    # arrays would need cross-process sharding the stream cut doesn't do)
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
     if len(devices) < n_shards:
         devices = jax.devices("cpu")
     if n_shards <= 1 or len(devices) < n_shards or n < 4 * n_shards:

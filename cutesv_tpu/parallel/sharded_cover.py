@@ -16,7 +16,12 @@ from cutesv_tpu.parallel import mesh as pmesh
 
 @lru_cache(maxsize=4)
 def _fns(n_shards: int):
-    mesh = pmesh.make_mesh(n_shards)
+    import jax
+
+    # multi-process runs shard over this host's own chips only
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
+    mesh = pmesh.make_mesh(n_shards, devices=devices)
     return mesh, pmesh.sharded_cover_counts(mesh)
 
 

@@ -147,7 +147,9 @@ def _cover_fn(cfg: Config):
     if cfg.engine not in ("device", "auto"):
         return None
     import jax
-    if cfg.n_shards > 1 and len(jax.devices()) >= cfg.n_shards:
+    n_local = len(jax.local_devices() if jax.process_count() > 1
+                  else jax.devices())
+    if cfg.n_shards > 1 and n_local >= cfg.n_shards:
         # SV axis sharded over the genome mesh, reads replicated
         from cutesv_tpu.parallel.sharded_cover import make_sharded_cover
         return make_sharded_cover(cfg.n_shards)
