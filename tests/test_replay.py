@@ -1,0 +1,69 @@
+"""Closed-loop replay of the reference's bundled VISOR truth beds
+(simulation/sim_*.bed.gz): synthesize reads carrying the truth records
+inside a genome window, call, and score with tools/eval_sim — recall must
+be 100% at both presence and genotype level on the replayed subset.
+
+Skipped when the reference checkout is not present.
+"""
+import os
+
+import pytest
+
+from cutesv_tpu.config import Config
+from cutesv_tpu.pipeline import run_pipeline
+from cutesv_tpu.tools import eval_sim
+from cutesv_tpu.tools.simulate import replay
+
+SIM = "/root/reference/simulation"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SIM), reason="reference simulation beds not present")
+
+
+def _call(info, tmp_path, tag):
+    out = str(tmp_path / ("calls_%s.vcf" % tag))
+    cfg = Config(input=info["bam"], reference=info["fa"], output=out,
+                 work_dir=str(tmp_path / ("wd_%s" % tag)), genotype=True,
+                 min_support=3, engine="device", decoder="native")
+    run_pipeline(cfg, ["t"])
+    return out
+
+
+def _score(info, vcf_path, mode):
+    ans = eval_sim.load_ans(info["bed"])
+    genotype = eval_sim.load_gt(info["gt"])
+    callset, _ = eval_sim.load_callset(vcf_path, eval_sim.MODES[mode])
+    eval_sim.evaluate(callset, ans, 0.7, 1000, 1, genotype)
+    return {res: eval_sim.statistics(callset, ans, 1, res)
+            for res in (1, 2)}
+
+
+def test_replay_reference_truth_beds(tmp_path):
+    beds = [os.path.join(SIM, "sim_%s.bed.gz" % t)
+            for t in ("del", "ins", "dup", "inv", "tra")]
+    info = replay(str(tmp_path / "rp"), beds, "1:0-3000000", coverage=12,
+                  seed=0)
+    assert info["n_sv"] > 40
+    vcf_path = _call(info, tmp_path, "win0")
+
+    iid = _score(info, vcf_path, "IID")
+    dup = _score(info, vcf_path, "DUP")
+    bnd = _score(info, vcf_path, "BND")
+    for res in (1, 2):
+        for mode, svtype in ((iid, "DEL"), (iid, "INS"), (dup, "DUP"),
+                             (bnd, "BND")):
+            matched, total = mode[res][("ans", svtype)]
+            assert total > 0
+            assert matched == total, (res, svtype, matched, total)
+
+
+def test_replay_inversion_window(tmp_path):
+    info = replay(str(tmp_path / "rpi"),
+                  [os.path.join(SIM, "sim_inv.bed.gz")],
+                  "1:26900000-27100000", coverage=12, seed=0)
+    assert info["n_sv"] == 1
+    vcf_path = _call(info, tmp_path, "inv")
+    iid = _score(info, vcf_path, "IID")
+    for res in (1, 2):
+        matched, total = iid[res][("ans", "INV")]
+        assert (matched, total) == (1, 1)
