@@ -364,14 +364,15 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
 # DUP / INV device resolvers (ops/pair_cluster.py + host emission)
 # ---------------------------------------------------------------------------
 
-def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
-    """Run the pair-cluster kernel; yields slices of kernel-order row
-    indices (stream_idx) per kept cluster."""
+def _pair_cluster_start(k1, k2, aux, keys, read_count, bias, break_on_k2):
+    """Dispatch the pair-cluster kernel (async); fetch with
+    _pair_cluster_finish. Splitting dispatch from fetch lets the DUP and
+    INV kernels run on-device while DEL/INS emission runs on host."""
     from cutesv_tpu.ops.pair_cluster import pair_cluster_structure
 
     n = len(k1)
     if n == 0:
-        return []
+        return None
     _, rid = np.unique(np.asarray(keys), return_inverse=True)
     cap = padded_size(n)
     pad = cap - n
@@ -382,12 +383,19 @@ def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
 
     valid = jnp.asarray(np.concatenate([np.ones(n, bool),
                                         np.zeros(pad, bool)]))
-    import jax
-
-    out = pair_cluster_structure(
+    return pair_cluster_structure(
         padded(k1, np.int32), padded(k2, np.int32),
         padded(aux, np.int32), padded(rid, np.int32), valid,
         jnp.int32(bias), jnp.int32(read_count), cap, bool(break_on_k2))
+
+
+def _pair_cluster_finish(out):
+    """Fetch a dispatched pair-cluster kernel; yields slices of
+    kernel-order row indices (stream_idx) per kept cluster."""
+    if out is None:
+        return []
+    import jax
+
     got = jax.device_get(out)  # one batched transfer
     nk = int(got["n_kept"])
     cid = np.asarray(got["cid"])[:nk]
@@ -401,6 +409,12 @@ def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
         slices.append(sidx[lo:int(hi)])
         lo = int(hi)
     return slices
+
+
+def _pair_cluster_slices(k1, k2, aux, keys, read_count, bias, break_on_k2):
+    """Run the pair-cluster kernel synchronously."""
+    return _pair_cluster_finish(_pair_cluster_start(
+        k1, k2, aux, keys, read_count, bias, break_on_k2))
 
 
 def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
@@ -473,6 +487,53 @@ def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
     return slices
 
 
+def resolve_pair_start(sigs: Sequence, is_inv: bool, read_count: int,
+                       max_cluster_bias: int, n_shards: int = 1):
+    """Dispatch the DUP/INV pair-cluster kernel for one chromosome without
+    fetching. Returns opaque state for resolve_pair_finish. The sharded
+    path (n_shards > 1) runs synchronously — shard_map results come back
+    as one fused call anyway."""
+    if is_inv:
+        aux = np.fromiter((0 if r[0] == "++" else 1 for r in sigs),
+                          np.int64, len(sigs))
+        k1 = [r[1] for r in sigs]
+        k2 = [r[2] for r in sigs]
+        keys = [r[3] for r in sigs]
+    else:
+        aux = np.zeros(len(sigs))
+        k1 = [r[0] for r in sigs]
+        k2 = [r[1] for r in sigs]
+        keys = [r[2] for r in sigs]
+    if n_shards > 1:
+        slices = _pair_cluster_slices_sharded(
+            k1, k2, aux, keys, read_count, max_cluster_bias, is_inv,
+            n_shards)
+        return ("done", slices)
+    return ("pending", _pair_cluster_start(
+        k1, k2, aux, keys, read_count, max_cluster_bias, is_inv))
+
+
+def resolve_pair_finish(state, sigs: Sequence, is_inv: bool, chrom: str,
+                        read_count: int, max_cluster_bias: int,
+                        sv_size: int, max_size: int, action: bool,
+                        names: Optional[Sequence[str]] = None):
+    """Fetch a dispatched pair-cluster kernel and emit candidates;
+    identical outputs to models.host.resolve_dup / resolve_inv."""
+    from cutesv_tpu.models.host import dup_cluster_emit, inv_cluster_emit
+
+    kind, payload = state
+    slices = payload if kind == "done" else _pair_cluster_finish(payload)
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
+    candidates: List[list] = []
+    gt_jobs: List[dict] = []
+    emit = inv_cluster_emit if is_inv else dup_cluster_emit
+    for sl in slices:
+        cluster = [sigs[int(i)] for i in sl]
+        emit(cluster, chrom, read_count, max_cluster_bias, sv_size,
+             max_size, action, render, candidates, gt_jobs)
+    return candidates, gt_jobs
+
+
 def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,
                        max_cluster_bias: int, sv_size: int, max_size: int,
                        action: bool, names: Optional[Sequence[str]] = None,
@@ -480,23 +541,11 @@ def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,
     """Device counterpart of models.host.resolve_dup; identical outputs.
     Kernel rows arrive pre-sorted by pos2 (stable), so the host emission's
     stable re-sort is a no-op."""
-    from cutesv_tpu.models.host import dup_cluster_emit
-
-    render = (lambda k: names[k]) if names is not None else (lambda k: k)
-    candidates: List[list] = []
-    gt_jobs: List[dict] = []
-    k1 = [r[0] for r in sigs]
-    k2 = [r[1] for r in sigs]
-    keys = [r[2] for r in sigs]
-    for sl in _pair_cluster_slices_sharded(k1, k2, np.zeros(len(sigs)),
-                                           keys, read_count,
-                                           max_cluster_bias, False,
-                                           n_shards):
-        cluster = [sigs[int(i)] for i in sl]
-        dup_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
-                         sv_size, max_size, action, render, candidates,
-                         gt_jobs)
-    return candidates, gt_jobs
+    state = resolve_pair_start(sigs, False, read_count, max_cluster_bias,
+                               n_shards)
+    return resolve_pair_finish(state, sigs, False, chrom, read_count,
+                               max_cluster_bias, sv_size, max_size, action,
+                               names)
 
 
 def resolve_inv_device(sigs: Sequence, chrom: str, read_count: int,
@@ -504,24 +553,11 @@ def resolve_inv_device(sigs: Sequence, chrom: str, read_count: int,
                        action: bool, names: Optional[Sequence[str]] = None,
                        n_shards: int = 1):
     """Device counterpart of models.host.resolve_inv; identical outputs."""
-    from cutesv_tpu.models.host import inv_cluster_emit
-
-    render = (lambda k: names[k]) if names is not None else (lambda k: k)
-    candidates: List[list] = []
-    gt_jobs: List[dict] = []
-    strand_code = np.fromiter((0 if r[0] == "++" else 1 for r in sigs),
-                              np.int64, len(sigs))
-    k1 = [r[1] for r in sigs]
-    k2 = [r[2] for r in sigs]
-    keys = [r[3] for r in sigs]
-    for sl in _pair_cluster_slices_sharded(k1, k2, strand_code, keys,
-                                           read_count, max_cluster_bias,
-                                           True, n_shards):
-        cluster = [sigs[int(i)] for i in sl]
-        inv_cluster_emit(cluster, chrom, read_count, max_cluster_bias,
-                         sv_size, max_size, action, render, candidates,
-                         gt_jobs)
-    return candidates, gt_jobs
+    state = resolve_pair_start(sigs, True, read_count, max_cluster_bias,
+                               n_shards)
+    return resolve_pair_finish(state, sigs, True, chrom, read_count,
+                               max_cluster_bias, sv_size, max_size, action,
+                               names)
 
 
 # ---------------------------------------------------------------------------

@@ -279,27 +279,16 @@ def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
     return cands
 
 
-def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
-                         cfg: Config, dr_i: int, gt_i: int, pl_i: int,
-                         gq_i: int, qual_i: int) -> List[list]:
-    """call_gt for DUP/INV: union of covers over both breakpoint windows
+def _two_window_apply(cands, jobs, census, c1, c2, ch, idxs) -> None:
+    """Host half of the DUP/INV genotype: union of the two breakpoint
+    window covers minus support reads covering either window
     (cuteSV_resolveDUP.py:137-160, cuteSV_resolveINV.py:208-230)."""
-    if chrom not in store.census:
-        return []
-    census = store.census[chrom]
+    dr_i, gt_i, pl_i, gq_i, qual_i = idxs
     prim = census["is_primary"] == 1
     p_start = census["start"][prim]
     p_end = census["end"][prim]
     p_names = [census["name"][i] for i in np.nonzero(prim)[0]]
     name_iv = {n: (p_start[k], p_end[k]) for k, n in enumerate(p_names)}
-    from cutesv_tpu.genotype import cover_counts
-    cover = _cover_fn(cfg) or cover_counts
-    w1 = [j["window1"] for j in jobs]
-    w2 = [j["window2"] for j in jobs]
-    hull = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(w1, w2)]
-    allc = cover(w1 + w2 + hull, p_start, p_end)
-    m = len(jobs)
-    c1, c2, ch = allc[:m], allc[m:2 * m], allc[2 * m:]
     table = gl_table()
     for cand, job, n1, n2, nh in zip(cands, jobs, c1, c2, ch):
         union = int(n1) + int(n2) - int(nh)
@@ -320,7 +309,87 @@ def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
         cand[pl_i] = str(pl)
         cand[gq_i] = str(gq)
         cand[qual_i] = str(qual)
+
+
+def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
+                         cfg: Config, dr_i: int, gt_i: int, pl_i: int,
+                         gq_i: int, qual_i: int) -> List[list]:
+    """call_gt for DUP/INV, one chromosome at a time."""
+    if chrom not in store.census:
+        return []
+    census = store.census[chrom]
+    from cutesv_tpu.genotype import cover_counts
+    cover = _cover_fn(cfg) or cover_counts
+    prim = census["is_primary"] == 1
+    w1 = [j["window1"] for j in jobs]
+    w2 = [j["window2"] for j in jobs]
+    hull = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(w1, w2)]
+    allc = cover(w1 + w2 + hull, census["start"][prim],
+                 census["end"][prim])
+    m = len(jobs)
+    _two_window_apply(cands, jobs, census, allc[:m], allc[m:2 * m],
+                      allc[2 * m:], (dr_i, gt_i, pl_i, gq_i, qual_i))
     return cands
+
+
+def _fill_gt_two_windows_batched(per_chrom: Dict[str, tuple], store,
+                                 cfg: Config, idxs) -> None:
+    """Cross-chromosome DUP/INV genotype pass: one cover-kernel sequence
+    for every chromosome's windows (offset into disjoint ranges, exactly
+    like _fill_gt_del_ins_batched); the per-read support intersection
+    stays host-side per chromosome. Mutates per_chrom in place; drops
+    candidates on chromosomes without census rows."""
+    chroms = [c for c in per_chrom if per_chrom[c][1]]
+    offset = 0
+    w1_all, w2_all, hull_all = [], [], []
+    starts_parts, ends_parts = [], []
+    spans = {}
+
+    def flush():
+        if not spans:
+            return
+        from cutesv_tpu.genotype import cover_counts
+        cover = _cover_fn(cfg) or cover_counts
+        m_tot = len(w1_all)
+        allc = cover(w1_all + w2_all + hull_all,
+                     np.concatenate(starts_parts),
+                     np.concatenate(ends_parts))
+        for chrom, (lo, m) in spans.items():
+            cands, jobs = per_chrom[chrom]
+            _two_window_apply(cands, jobs, store.census[chrom],
+                              allc[lo:lo + m],
+                              allc[m_tot + lo:m_tot + lo + m],
+                              allc[2 * m_tot + lo:2 * m_tot + lo + m],
+                              idxs)
+
+    for chrom in chroms:
+        cands, jobs = per_chrom[chrom]
+        census = store.census.get(chrom)
+        if census is None:
+            per_chrom[chrom] = ([], jobs)
+            continue
+        hi = int(max(
+            census["end"].max() if len(census["end"]) else 0,
+            max(max(j["window1"][1], j["window2"][1]) for j in jobs)))
+        span = hi + 2
+        if offset + span > 1_000_000_000:
+            offset = 0  # kernels scale coords x2; keep 2*coord in int32
+            flush()
+            w1_all, w2_all, hull_all = [], [], []
+            starts_parts, ends_parts = [], []
+            spans = {}
+        prim = census["is_primary"] == 1
+        spans[chrom] = (len(w1_all), len(jobs))
+        for j in jobs:
+            a, b = j["window1"], j["window2"]
+            w1_all.append((a[0] + offset, a[1] + offset))
+            w2_all.append((b[0] + offset, b[1] + offset))
+            hull_all.append((min(a[0], b[0]) + offset,
+                             max(a[1], b[1]) + offset))
+        starts_parts.append(census["start"][prim] + offset)
+        ends_parts.append(census["end"][prim] + offset)
+        offset += span
+    flush()
 
 
 def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
@@ -333,13 +402,8 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     if use_device:
         from cutesv_tpu.utils.jaxsetup import setup_jax
         setup_jax()
-        from functools import partial
 
         from cutesv_tpu.models import device as device_models
-        resolve_dup = partial(device_models.resolve_dup_device,
-                              n_shards=cfg.n_shards)
-        resolve_inv = partial(device_models.resolve_inv_device,
-                              n_shards=cfg.n_shards)
     else:
         resolve_del = host_models.resolve_del
         resolve_ins = host_models.resolve_ins
@@ -352,15 +416,26 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
 
     min_sup5 = min(cfg.min_support, 5)
     if use_device:
-        # one cluster-kernel dispatch per int32-safe chromosome batch;
-        # both SV types dispatch (async) before either is fetched, so the
-        # INS kernel runs on-device while DEL emission runs on host
+        # every cluster kernel dispatches (async) before any is fetched:
+        # DEL/INS as one genome-batched call per int32-safe chromosome
+        # batch, DUP/INV per chromosome — device compute overlaps host
+        # emission and dispatch latency is paid once, not per stage
         del_state = device_models.resolve_indel_multi_start(
             list(store.sigs["DEL"].items()), False, cfg.min_support,
             cfg.max_cluster_bias_DEL, n_shards=cfg.n_shards)
         ins_state = device_models.resolve_indel_multi_start(
             list(store.sigs["INS"].items()), True, cfg.min_support,
             cfg.max_cluster_bias_INS, n_shards=cfg.n_shards)
+        inv_states = {
+            chrom: device_models.resolve_pair_start(
+                sigs, True, cfg.min_support, cfg.max_cluster_bias_INV,
+                cfg.n_shards)
+            for chrom, sigs in store.sigs["INV"].items()}
+        dup_states = {
+            chrom: device_models.resolve_pair_start(
+                sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
+                cfg.n_shards)
+            for chrom, sigs in store.sigs["DUP"].items()}
         del_res = device_models.resolve_indel_multi_finish(
             del_state, cfg.diff_ratio_merging_DEL, min_sup5,
             cfg.remain_reads_ratio, action)
@@ -399,20 +474,43 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "INS"))
         add(chrom, cands)
+    inv_res, dup_res = {}, {}
     for chrom, sigs in store.sigs["INV"].items():
-        cands, jobs = resolve_inv(
-            sigs, chrom, cfg.min_support, cfg.max_cluster_bias_INV,
-            cfg.min_size, cfg.max_size, action, names=names)
-        if action:
+        if use_device:
+            inv_res[chrom] = device_models.resolve_pair_finish(
+                inv_states[chrom], sigs, True, chrom, cfg.min_support,
+                cfg.max_cluster_bias_INV, cfg.min_size, cfg.max_size,
+                action, names=names)
+        else:
+            inv_res[chrom] = resolve_inv(
+                sigs, chrom, cfg.min_support, cfg.max_cluster_bias_INV,
+                cfg.min_size, cfg.max_size, action, names=names)
+    for chrom, sigs in store.sigs["DUP"].items():
+        if use_device:
+            dup_res[chrom] = device_models.resolve_pair_finish(
+                dup_states[chrom], sigs, False, chrom, cfg.min_support,
+                cfg.max_cluster_bias_DUP, cfg.min_size, cfg.max_size,
+                action, names=names)
+        else:
+            dup_res[chrom] = resolve_dup(
+                sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
+                cfg.min_size, cfg.max_size, action, names=names)
+    if action and use_device:
+        # one batched cover pass per type across all chromosomes
+        _fill_gt_two_windows_batched(inv_res, store, cfg,
+                                     (5, 6, 8, 9, 10))
+        _fill_gt_two_windows_batched(dup_res, store, cfg,
+                                     (5, 6, 7, 8, 9))
+    for chrom in store.sigs["INV"]:
+        cands, jobs = inv_res[chrom]
+        if action and not use_device:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 8, 9, 10)
         log.info("Finished %s:%s." % (chrom, "INV"))
         add(chrom, cands)
-    for chrom, sigs in store.sigs["DUP"].items():
-        cands, jobs = resolve_dup(
-            sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
-            cfg.min_size, cfg.max_size, action, names=names)
-        if action:
+    for chrom in store.sigs["DUP"]:
+        cands, jobs = dup_res[chrom]
+        if action and not use_device:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 7, 8, 9)
         log.info("Finished %s:%s." % (chrom, "DUP"))

@@ -75,3 +75,29 @@ def test_fasta(tmp_path):
     assert f.fetch("chr1") == "ACGTACGTAA"
     assert f.fetch("chr2") == "GGGCCC"
     assert "chr1" in f and "chrX" not in f
+
+
+def test_fasta_edge_cases(tmp_path):
+    """Header descriptions, CRLF endings, empty contigs, no trailing
+    newline, BGZF compression, lazy lengths."""
+    import pytest
+
+    from cutesv_tpu.io.bgzf import BgzfWriter
+
+    path = tmp_path / "e.fa"
+    path.write_text(">c1 desc here\nACGT\nGG\n>empty\n>c2\r\nTTTT\r\nA")
+    f = FastaFile(str(path))
+    assert f.references == ["c1", "empty", "c2"]
+    assert f.fetch("c1") == "ACGTGG"
+    assert f.fetch("empty") == ""
+    assert f.fetch("c2") == "TTTTA"
+    assert f.lengths() == [("c1", 6), ("empty", 0), ("c2", 5)]
+    with pytest.raises(KeyError):
+        f.fetch("zz")
+
+    gz = tmp_path / "e.fa.gz"
+    w = BgzfWriter(str(gz))
+    w.write(path.read_bytes())
+    w.close()
+    fz = FastaFile(str(gz))
+    assert fz.fetch("c1") == "ACGTGG" and fz.lengths() == f.lengths()
