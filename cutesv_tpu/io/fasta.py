@@ -34,6 +34,8 @@ class FastaFile:
             head = fh.read(2)
         if head == b"\x1f\x8b":
             buf = np.frombuffer(_read_all_bgzf(path), np.uint8)
+        elif len(head) == 0:  # np.memmap rejects empty files
+            buf = np.empty(0, np.uint8)
         else:
             buf = np.memmap(path, np.uint8, mode="r")
         self._buf = buf

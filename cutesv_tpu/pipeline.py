@@ -161,66 +161,82 @@ def _cover_fn(cfg: Config):
     return cover_counts_device
 
 
-def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
-                             cfg: Config) -> None:
-    """Cross-chromosome read-support pass (device/rank path).
+def _batched_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config,
+                        win_groups_fn, apply_fn) -> None:
+    """Cross-chromosome cover-kernel batching shared by every genotype
+    pass: windows and primary read intervals are offset into disjoint
+    coordinate ranges so ONE dominance-count kernel sequence serves all
+    chromosomes. Only the positional cover counting is batched; the
+    support-interval intersection stays per chromosome — read names can
+    carry primary alignments on several chromosomes, and each
+    chromosome's genotype must only see its own (call_gt's per-chrom
+    reads list, cuteSV_resolveINDEL.py:443-448). Candidates on
+    chromosomes without census rows are dropped (the empty-chrom
+    contract).
 
-    Only the positional cover counting is batched (windows and primary
-    read intervals offset into disjoint coordinate ranges, one
-    dominance-count kernel sequence for everything); the support-interval
-    intersection stays per chromosome — read names can carry primary
-    alignments on several chromosomes, and each chromosome's genotype must
-    only see its own (call_gt's per-chrom reads list,
-    cuteSV_resolveINDEL.py:443-448). Candidates on chromosomes without
-    census rows are dropped (the empty-chrom contract)."""
+    ``win_groups_fn(jobs)`` returns one or more window lists (each the
+    length of ``jobs``); ``apply_fn(chrom, cands, jobs, census, counts)``
+    receives the per-group cover-count slices in the same order."""
     chroms = [c for c in per_chrom if per_chrom[c][1]]
     offset = 0
-    all_windows = []
+    groups: List[list] = []
     starts_parts, ends_parts = [], []
-    spans = {}
+    spans: Dict[str, tuple] = {}
+
+    def flush():
+        if not spans:
+            return
+        from cutesv_tpu.genotype import cover_counts
+        cover = _cover_fn(cfg) or cover_counts
+        m_tot = len(groups[0])
+        allc = cover([w for g in groups for w in g],
+                     np.concatenate(starts_parts),
+                     np.concatenate(ends_parts))
+        for chrom, (lo, m) in spans.items():
+            cands, jobs = per_chrom[chrom]
+            counts = [allc[k * m_tot + lo:k * m_tot + lo + m]
+                      for k in range(len(groups))]
+            apply_fn(chrom, cands, jobs, store.census[chrom], counts)
+
     for chrom in chroms:
         cands, jobs = per_chrom[chrom]
         census = store.census.get(chrom)
         if census is None:
             per_chrom[chrom] = ([], jobs)
             continue
+        wg = win_groups_fn(jobs)
         hi = int(max(
             census["end"].max() if len(census["end"]) else 0,
-            max(w for j in jobs for w in j["window"]) if jobs else 0))
+            max(w[1] for g in wg for w in g) if jobs else 0))
         span = hi + 2
         if offset + span > 1_000_000_000:
             offset = 0  # kernels scale coords x2; keep 2*coord in int32
-            _batched_cover_flush(all_windows, starts_parts, ends_parts,
-                                 spans, per_chrom, store, cfg)
-            all_windows = []
+            flush()
+            groups = []
             starts_parts, ends_parts = [], []
             spans = {}
+        if not groups:
+            groups = [[] for _ in wg]
         prim = census["is_primary"] == 1
-        spans[chrom] = (len(all_windows), len(jobs))
-        for j in jobs:
-            all_windows.append((j["window"][0] + offset,
-                                j["window"][1] + offset))
+        spans[chrom] = (len(groups[0]), len(jobs))
+        for g, ws in zip(groups, wg):
+            g.extend((a + offset, b + offset) for a, b in ws)
         starts_parts.append(census["start"][prim] + offset)
         ends_parts.append(census["end"][prim] + offset)
         offset += span
-    _batched_cover_flush(all_windows, starts_parts, ends_parts, spans,
-                         per_chrom, store, cfg)
+    flush()
 
 
-def _batched_cover_flush(windows, starts_parts, ends_parts, spans,
-                         per_chrom, store, cfg) -> None:
-    if not spans:
-        return
-    cover = _cover_fn(cfg)
-    covers = cover(windows, np.concatenate(starts_parts),
-                   np.concatenate(ends_parts))
-    table = gl_table()
-    for chrom, (lo, n) in spans.items():
-        cands, jobs = per_chrom[chrom]
-        census = store.census[chrom]
+def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
+                             cfg: Config) -> None:
+    """call_gt for DEL/INS, all chromosomes in one cover pass."""
+
+    def apply(chrom, cands, jobs, census, counts):
+        covers = counts[0]
         inter = _support_inter_counts(census, jobs)
+        table = gl_table()
         for i, (cand, job) in enumerate(zip(cands, jobs)):
-            dr = int(covers[lo + i]) - int(inter[i])
+            dr = int(covers[i]) - int(inter[i])
             dv = len(set(job["support"]))
             gt, pl, gq, qual = table.lookup(dr, dv)
             cand[7] = str(dr)
@@ -228,6 +244,9 @@ def _batched_cover_flush(windows, starts_parts, ends_parts, spans,
             cand[9] = str(pl)
             cand[10] = str(gq)
             cand[11] = str(qual)
+
+    _batched_cover_pass(per_chrom, store, cfg,
+                        lambda jobs: [[j["window"] for j in jobs]], apply)
 
 
 def _support_inter_counts(census, jobs) -> np.ndarray:
@@ -311,85 +330,31 @@ def _two_window_apply(cands, jobs, census, c1, c2, ch, idxs) -> None:
         cand[qual_i] = str(qual)
 
 
-def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
-                         cfg: Config, dr_i: int, gt_i: int, pl_i: int,
-                         gq_i: int, qual_i: int) -> List[list]:
-    """call_gt for DUP/INV, one chromosome at a time."""
-    if chrom not in store.census:
-        return []
-    census = store.census[chrom]
-    from cutesv_tpu.genotype import cover_counts
-    cover = _cover_fn(cfg) or cover_counts
-    prim = census["is_primary"] == 1
+def _two_window_groups(jobs):
     w1 = [j["window1"] for j in jobs]
     w2 = [j["window2"] for j in jobs]
     hull = [(min(a[0], b[0]), max(a[1], b[1])) for a, b in zip(w1, w2)]
-    allc = cover(w1 + w2 + hull, census["start"][prim],
-                 census["end"][prim])
-    m = len(jobs)
-    _two_window_apply(cands, jobs, census, allc[:m], allc[m:2 * m],
-                      allc[2 * m:], (dr_i, gt_i, pl_i, gq_i, qual_i))
-    return cands
+    return [w1, w2, hull]
 
 
 def _fill_gt_two_windows_batched(per_chrom: Dict[str, tuple], store,
                                  cfg: Config, idxs) -> None:
-    """Cross-chromosome DUP/INV genotype pass: one cover-kernel sequence
-    for every chromosome's windows (offset into disjoint ranges, exactly
-    like _fill_gt_del_ins_batched); the per-read support intersection
-    stays host-side per chromosome. Mutates per_chrom in place; drops
-    candidates on chromosomes without census rows."""
-    chroms = [c for c in per_chrom if per_chrom[c][1]]
-    offset = 0
-    w1_all, w2_all, hull_all = [], [], []
-    starts_parts, ends_parts = [], []
-    spans = {}
+    """call_gt for DUP/INV, all chromosomes in one cover pass."""
+    _batched_cover_pass(
+        per_chrom, store, cfg, _two_window_groups,
+        lambda chrom, cands, jobs, census, counts: _two_window_apply(
+            cands, jobs, census, counts[0], counts[1], counts[2], idxs))
 
-    def flush():
-        if not spans:
-            return
-        from cutesv_tpu.genotype import cover_counts
-        cover = _cover_fn(cfg) or cover_counts
-        m_tot = len(w1_all)
-        allc = cover(w1_all + w2_all + hull_all,
-                     np.concatenate(starts_parts),
-                     np.concatenate(ends_parts))
-        for chrom, (lo, m) in spans.items():
-            cands, jobs = per_chrom[chrom]
-            _two_window_apply(cands, jobs, store.census[chrom],
-                              allc[lo:lo + m],
-                              allc[m_tot + lo:m_tot + lo + m],
-                              allc[2 * m_tot + lo:2 * m_tot + lo + m],
-                              idxs)
 
-    for chrom in chroms:
-        cands, jobs = per_chrom[chrom]
-        census = store.census.get(chrom)
-        if census is None:
-            per_chrom[chrom] = ([], jobs)
-            continue
-        hi = int(max(
-            census["end"].max() if len(census["end"]) else 0,
-            max(max(j["window1"][1], j["window2"][1]) for j in jobs)))
-        span = hi + 2
-        if offset + span > 1_000_000_000:
-            offset = 0  # kernels scale coords x2; keep 2*coord in int32
-            flush()
-            w1_all, w2_all, hull_all = [], [], []
-            starts_parts, ends_parts = [], []
-            spans = {}
-        prim = census["is_primary"] == 1
-        spans[chrom] = (len(w1_all), len(jobs))
-        for j in jobs:
-            a, b = j["window1"], j["window2"]
-            w1_all.append((a[0] + offset, a[1] + offset))
-            w2_all.append((b[0] + offset, b[1] + offset))
-            hull_all.append((min(a[0], b[0]) + offset,
-                             max(a[1], b[1]) + offset))
-        starts_parts.append(census["start"][prim] + offset)
-        ends_parts.append(census["end"][prim] + offset)
-        offset += span
-    flush()
+def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
+                         cfg: Config, dr_i: int, gt_i: int, pl_i: int,
+                         gq_i: int, qual_i: int) -> List[list]:
+    """call_gt for DUP/INV, one chromosome at a time (host-engine path);
+    delegates to the batched pass with a single-chromosome dict."""
+    one = {chrom: (cands, jobs)}
+    _fill_gt_two_windows_batched(one, store, cfg,
+                                 (dr_i, gt_i, pl_i, gq_i, qual_i))
+    return one[chrom][0]
 
 
 def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:

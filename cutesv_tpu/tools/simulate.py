@@ -165,8 +165,10 @@ def replay(out_prefix: str, beds: List[str], window: str,
     rng = np.random.default_rng(seed)
     chrom, span = window.split(":")
     wstart, wend = (int(x) for x in span.replace(",", "").split("-"))
-    if wend - wstart > 64_000_000:
-        raise ValueError("window too large (>64Mb): %s" % window)
+    if wend > 64_000_000:
+        # the synthetic reference is allocated for [0, wend) so original
+        # bed coordinates stay valid — the cap bounds the allocation
+        raise ValueError("window end too large (>64Mb): %s" % window)
     recs = _load_visor_records(beds, chrom, wstart, wend, margin)
 
     # conflict pruning: breakpoints of accepted records keep >= min_gap
@@ -200,13 +202,19 @@ def replay(out_prefix: str, beds: List[str], window: str,
             mate_len[chr2] = max(mate_len.get(chr2, 0),
                                  r2 + d + margin + FLANK)
             rec = rec + [("bnd", pairs, chr2, r2, s1, s2)]
-        else:
+        elif svtype in ("deletion", "insertion", "tandem duplication",
+                        "inversion"):
             pts = [s] if svtype == "insertion" else [s, e]
             if not free(pts):
                 dropped += 1
                 continue
             reserved.extend(pts)
             rec = rec + [(svtype,)]
+        else:
+            # VISOR types without a carrier encoding here (e.g. inverted
+            # tandem duplication, SNP) are dropped, not crashed on
+            dropped += 1
+            continue
         accepted.append(rec)
 
     chroms = [(chrom, wend)] + [(c, mate_len[c]) for c in sorted(mate_len)]

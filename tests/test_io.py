@@ -101,3 +101,7 @@ def test_fasta_edge_cases(tmp_path):
     w.close()
     fz = FastaFile(str(gz))
     assert fz.fetch("c1") == "ACGTGG" and fz.lengths() == f.lengths()
+
+    empty = tmp_path / "empty.fa"
+    empty.write_bytes(b"")
+    assert FastaFile(str(empty)).references == []

@@ -57,6 +57,20 @@ def test_replay_reference_truth_beds(tmp_path):
             assert matched == total, (res, svtype, matched, total)
 
 
+def test_replay_guards(tmp_path):
+    """Unknown VISOR types are dropped (not crashed on); the allocation
+    cap checks the absolute window end."""
+    bed = tmp_path / "t.bed"
+    bed.write_text(
+        "1\t100000\t101000\tinverted tandem duplication\t2\t0\n"
+        "1\t200000\t200001\tinsertion\tACGTACGTACGTACGTACGT\t0\n")
+    info = replay(str(tmp_path / "rp"), [str(bed)], "1:0-400000",
+                  coverage=8)
+    assert info["n_sv"] == 1 and info["n_dropped"] == 1
+    with pytest.raises(ValueError, match="64Mb"):
+        replay(str(tmp_path / "rp2"), [str(bed)], "1:200000000-210000000")
+
+
 def test_replay_inversion_window(tmp_path):
     info = replay(str(tmp_path / "rpi"),
                   [os.path.join(SIM, "sim_inv.bed.gz")],
