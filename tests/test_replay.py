@@ -57,6 +57,46 @@ def test_replay_reference_truth_beds(tmp_path):
             assert matched == total, (res, svtype, matched, total)
 
 
+def test_replay_force_calling_round_trip(tmp_path):
+    """Force-calling the discovery VCF on the replayed dataset reproduces
+    the discovery genotypes for DEL/INS sites.
+
+    DUPs are excluded on purpose: the reference genotypes a force-called
+    DUP over its whole span (cuteSV_forcecalling.py:640-641, window =
+    (sv_start, sv_end)) while discovery uses breakpoint windows, so any
+    DUP longer than the read length legitimately flips het->hom under
+    force calling. Our force caller reproduces that faithfully."""
+    from cutesv_tpu.forcecalling import run_force_calling
+
+    beds = [os.path.join(SIM, "sim_%s.bed.gz" % t)
+            for t in ("del", "ins", "dup")]
+    info = replay(str(tmp_path / "rp"), beds, "1:0-2000000", coverage=12,
+                  seed=0)
+    disc = _call(info, tmp_path, "fcd")
+    fc_out = str(tmp_path / "fc.vcf")
+    cfg = Config(input=info["bam"], reference=info["fa"], output=fc_out,
+                 work_dir=str(tmp_path / "wd_fc"), Ivcf=disc,
+                 genotype=True, min_support=3)
+    run_force_calling(cfg, ["f"])
+
+    def gts(path):
+        out = {}
+        for line in open(path):
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            info_d = dict(kv.split("=", 1) for kv in f[7].split(";")
+                          if "=" in kv)
+            out[(f[0], f[1], info_d["SVTYPE"])] = f[9].split(":")[0]
+        return out
+
+    d, fc = gts(disc), gts(fc_out)
+    keys = [k for k in d if k[2] in ("DEL", "INS")]
+    assert len(keys) > 20
+    agree = sum(1 for k in keys if fc.get(k) == d[k])
+    assert agree / len(keys) >= 0.95, (agree, len(keys))
+
+
 def test_replay_guards(tmp_path):
     """Unknown VISOR types are dropped (not crashed on); the allocation
     cap checks the absolute window end."""
