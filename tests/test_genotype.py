@@ -133,3 +133,48 @@ def test_count_coverage_replay_early_exit():
     rc3 = set()
     status3 = count_coverage_replay(table3, 100, 200, rc3, 1000, 50)
     assert status3 == -1
+
+
+def test_batched_cover_pass_int32_flush():
+    """The shared cross-chromosome cover batcher must flush and restart
+    offsets when cumulative spans would leave int32 (coords are scaled x2
+    inside the kernels); per-chromosome results must equal unbatched."""
+    import numpy as np
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import _batched_cover_pass
+
+    class Store:
+        census = {}
+
+    cfg = Config(input="x", reference="y", output="z", engine="host")
+    rng = np.random.default_rng(3)
+    per_chrom = {}
+    expect = {}
+    from cutesv_tpu.genotype import cover_counts
+    for k in range(3):  # each chrom spans ~600M -> chrom 2 forces a flush
+        chrom = "c%d" % k
+        starts = np.sort(rng.integers(0, 600_000_000, size=50))
+        ends = starts + rng.integers(1_000, 2_000_000, size=50)
+        Store.census[chrom] = {
+            "start": starts, "end": ends,
+            "is_primary": np.ones(50, np.int64),
+            "name": np.arange(50),
+        }
+        jobs = [{"window": (int(s), int(s) + 5_000)}
+                for s in rng.integers(0, 599_000_000, size=7)]
+        cands = [[None] for _ in jobs]
+        per_chrom[chrom] = (cands, jobs)
+        expect[chrom] = cover_counts([j["window"] for j in jobs],
+                                     starts, ends)
+
+    got = {}
+
+    def apply(chrom, cands, jobs, census, counts):
+        got[chrom] = np.asarray(counts[0])
+
+    _batched_cover_pass(per_chrom, Store, cfg,
+                        lambda jobs: [[j["window"] for j in jobs]], apply)
+    assert set(got) == set(expect)
+    for chrom in expect:
+        assert np.array_equal(got[chrom], np.asarray(expect[chrom])), chrom
