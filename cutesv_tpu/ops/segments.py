@@ -4,8 +4,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INT32_MAX = jnp.int32(2**31 - 1)
-
 
 def padded_size(n: int, minimum: int = 256, factor: int = 4) -> int:
     """Round up on a coarse geometric ladder to bound jit recompilations.

@@ -165,10 +165,10 @@ def replay(out_prefix: str, beds: List[str], window: str,
     rng = np.random.default_rng(seed)
     chrom, span = window.split(":")
     wstart, wend = (int(x) for x in span.replace(",", "").split("-"))
-    if wend > 64_000_000:
-        # the synthetic reference is allocated for [0, wend) so original
-        # bed coordinates stay valid — the cap bounds the allocation
-        raise ValueError("window end too large (>64Mb): %s" % window)
+    if wend - wstart > 64_000_000:
+        # only the window span is allocated (bed coordinates stay valid
+        # via offset indexing), so the cap bounds the actual allocation
+        raise ValueError("window too wide (>64Mb): %s" % window)
     recs = _load_visor_records(beds, chrom, wstart, wend, margin)
 
     # conflict pruning: breakpoints of accepted records keep >= min_gap
@@ -217,8 +217,23 @@ def replay(out_prefix: str, beds: List[str], window: str,
             continue
         accepted.append(rec)
 
+    class OffsetRef:
+        """Random sequence for [base, length) of a declared-length contig;
+        slicing uses absolute coordinates. Bases below `base` are filler
+        'A' (never touched by reads: all reads live in the window)."""
+
+        def __init__(self, length, base=0):
+            self.length = length
+            self.base = base
+            self.arr = rng.integers(0, 4, size=length - base,
+                                    dtype=np.uint8)
+
+        def __getitem__(self, sl):
+            return self.arr[sl.start - self.base:sl.stop - self.base]
+
+    win_base = max(0, wstart - margin)
     chroms = [(chrom, wend)] + [(c, mate_len[c]) for c in sorted(mate_len)]
-    seqs = {c: rng.integers(0, 4, size=n, dtype=np.uint8)
+    seqs = {c: OffsetRef(n, win_base if c == chrom else 0)
             for c, n in chroms}
     chrom_id = {c: k for k, (c, _) in enumerate(chroms)}
 
@@ -325,8 +340,14 @@ def replay(out_prefix: str, beds: List[str], window: str,
     with open(fa, "w") as fh:
         for c, n in chroms:
             fh.write(">%s\n" % c)
-            sstr = _codes_to_str(seqs[c])
-            for i in range(0, n, 10_000):
+            base = seqs[c].base
+            filler = "A" * 10_000
+            for i in range(0, base - base % 10_000, 10_000):
+                fh.write(filler + "\n")
+            if base % 10_000:
+                fh.write("A" * (base % 10_000) + "\n")
+            sstr = _codes_to_str(seqs[c].arr)
+            for i in range(0, n - base, 10_000):
                 fh.write(sstr[i:i + 10_000] + "\n")
     with open(bed, "w") as fh:
         for rec in accepted:

@@ -26,13 +26,19 @@ def setup_jax():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # cache is an optimization; never fail the pipeline over it
-    # the pinned platform (e.g. a TPU plugin) can fail to register; fall
-    # back to whatever backend is actually available rather than dying
-    try:
+    # the pinned platform (e.g. a TPU plugin) can fail to register or die
+    # at first dispatch; probe with a real computation so a broken backend
+    # falls back here instead of crashing mid-pipeline
+    def probe():
+        import jax.numpy as jnp
         jax.devices()
+        float(jnp.zeros((), jnp.float32) + 1.0)
+
+    try:
+        probe()
     except RuntimeError:
         try:
             jax.config.update("jax_platforms", "")
-            jax.devices()
+            probe()
         except Exception:
             jax.config.update("jax_platforms", "cpu")

@@ -99,7 +99,7 @@ def test_replay_force_calling_round_trip(tmp_path):
 
 def test_replay_guards(tmp_path):
     """Unknown VISOR types are dropped (not crashed on); the allocation
-    cap checks the absolute window end."""
+    cap checks the window width (offset windows allocate only the span)."""
     bed = tmp_path / "t.bed"
     bed.write_text(
         "1\t100000\t101000\tinverted tandem duplication\t2\t0\n"
@@ -108,7 +108,7 @@ def test_replay_guards(tmp_path):
                   coverage=8)
     assert info["n_sv"] == 1 and info["n_dropped"] == 1
     with pytest.raises(ValueError, match="64Mb"):
-        replay(str(tmp_path / "rp2"), [str(bed)], "1:200000000-210000000")
+        replay(str(tmp_path / "rp2"), [str(bed)], "1:0-100000000")
 
 
 def test_replay_inversion_window(tmp_path):
