@@ -113,6 +113,35 @@ def _cluster_stream_dispatch(stream: IndelStream, read_count: int,
         jnp.int32(bias), jnp.int32(read_count), cap)
 
 
+def prefetch_to_host(*states):
+    """Start async device->host copies for every dispatched kernel output
+    held by the given resolver states (indel multi-states and pair
+    states). The later blocking ``jax.device_get`` calls then find the
+    bytes already on host, so transfers overlap host emission instead of
+    serializing behind it — this matters through the remote-TPU tunnel
+    where each fetch pays real latency."""
+    import jax
+
+    def _start(x):
+        copy = getattr(x, "copy_to_host_async", None)
+        if copy is not None:
+            copy()
+
+    for st in states:
+        if st is None:
+            continue
+        if isinstance(st, dict) and "jobs" in st:
+            handles = [h for _, _, kind, h in st["jobs"]
+                       if kind == "kernel" and h is not None]
+        elif isinstance(st, tuple) and len(st) == 2 and \
+                st[0] == "pending" and st[1] is not None:
+            handles = [st[1]]
+        else:
+            continue
+        for h in handles:
+            jax.tree_util.tree_map(_start, h)
+
+
 def _cluster_stream_fetch(out):
     """Fetch dispatched kernel outputs with one batched device_get."""
     import jax

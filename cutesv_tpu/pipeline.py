@@ -401,6 +401,9 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                 sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.n_shards)
             for chrom, sigs in store.sigs["DUP"].items()}
+        device_models.prefetch_to_host(
+            del_state, ins_state, *inv_states.values(),
+            *dup_states.values())
         del_res = device_models.resolve_indel_multi_finish(
             del_state, cfg.diff_ratio_merging_DEL, min_sup5,
             cfg.remain_reads_ratio, action)
