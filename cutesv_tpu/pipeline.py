@@ -161,92 +161,115 @@ def _cover_fn(cfg: Config):
     return cover_counts_device
 
 
-def _batched_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config,
-                        win_groups_fn, apply_fn) -> None:
-    """Cross-chromosome cover-kernel batching shared by every genotype
-    pass: windows and primary read intervals are offset into disjoint
-    coordinate ranges so ONE dominance-count kernel sequence serves all
-    chromosomes. Only the positional cover counting is batched; the
-    support-interval intersection stays per chromosome — read names can
-    carry primary alignments on several chromosomes, and each
-    chromosome's genotype must only see its own (call_gt's per-chrom
-    reads list, cuteSV_resolveINDEL.py:443-448). Candidates on
-    chromosomes without census rows are dropped (the empty-chrom
-    contract).
+def _batched_cover_multi(specs, store, cfg: Config) -> None:
+    """Cross-chromosome AND cross-SV-type cover-kernel batching shared by
+    every genotype pass: windows and primary read intervals are offset
+    into disjoint coordinate ranges so ONE dominance-count kernel
+    sequence serves all chromosomes of all SV types — the census is
+    uploaded once and the tunnel round-trip is paid once. Only the
+    positional cover counting is batched; the support-interval
+    intersection stays per chromosome — read names can carry primary
+    alignments on several chromosomes, and each chromosome's genotype
+    must only see its own (call_gt's per-chrom reads list,
+    cuteSV_resolveINDEL.py:443-448). Candidates on chromosomes without
+    census rows are dropped (the empty-chrom contract).
 
+    ``specs``: list of (per_chrom, win_groups_fn, apply_fn) passes.
     ``win_groups_fn(jobs)`` returns one or more window lists (each the
     length of ``jobs``); ``apply_fn(chrom, cands, jobs, census, counts)``
     receives the per-group cover-count slices in the same order."""
-    chroms = [c for c in per_chrom if per_chrom[c][1]]
-    offset = 0
-    groups: List[list] = []
-    starts_parts, ends_parts = [], []
-    spans: Dict[str, tuple] = {}
+    state = dict(offset=0, windows=[], starts=[], ends=[], spans=[])
 
     def flush():
-        if not spans:
-            return
-        from cutesv_tpu.genotype import cover_counts
-        cover = _cover_fn(cfg) or cover_counts
-        m_tot = len(groups[0])
-        allc = cover([w for g in groups for w in g],
-                     np.concatenate(starts_parts),
-                     np.concatenate(ends_parts))
-        for chrom, (lo, m) in spans.items():
-            cands, jobs = per_chrom[chrom]
-            counts = [allc[k * m_tot + lo:k * m_tot + lo + m]
-                      for k in range(len(groups))]
-            apply_fn(chrom, cands, jobs, store.census[chrom], counts)
+        if state["spans"]:
+            from cutesv_tpu.genotype import cover_counts
+            cover = _cover_fn(cfg) or cover_counts
+            allc = cover(state["windows"],
+                         np.concatenate(state["starts"]),
+                         np.concatenate(state["ends"]))
+            for si, chrom, ranges in state["spans"]:
+                per_chrom, _, apply_fn = specs[si]
+                cands, jobs = per_chrom[chrom]
+                counts = [allc[lo:lo + m] for lo, m in ranges]
+                apply_fn(chrom, cands, jobs, store.census[chrom], counts)
+        state.update(offset=0, windows=[], starts=[], ends=[], spans=[])
 
-    for chrom in chroms:
-        cands, jobs = per_chrom[chrom]
+    # chromosome union in first-appearance order: each chromosome's
+    # census is appended once, shared by every spec active on it
+    chrom_order: List[str] = []
+    seen = set()
+    for per_chrom, _, _ in specs:
+        for c in per_chrom:
+            if per_chrom[c][1] and c not in seen:
+                seen.add(c)
+                chrom_order.append(c)
+
+    for chrom in chrom_order:
         census = store.census.get(chrom)
+        active = [si for si, (per_chrom, _, _) in enumerate(specs)
+                  if per_chrom.get(chrom, (None, None))[1]]
         if census is None:
-            per_chrom[chrom] = ([], jobs)
+            for si in active:
+                per_chrom = specs[si][0]
+                per_chrom[chrom] = ([], per_chrom[chrom][1])
             continue
-        wg = win_groups_fn(jobs)
-        hi = int(max(
-            census["end"].max() if len(census["end"]) else 0,
-            max(w[1] for g in wg for w in g) if jobs else 0))
+        wgs = {si: specs[si][1](specs[si][0][chrom][1]) for si in active}
+        hi = int(census["end"].max()) if len(census["end"]) else 0
+        for si in active:
+            for g in wgs[si]:
+                if g:
+                    hi = max(hi, int(max(w[1] for w in g)))
         span = hi + 2
-        if offset + span > 1_000_000_000:
-            offset = 0  # kernels scale coords x2; keep 2*coord in int32
+        if state["offset"] + span > 1_000_000_000:
+            # kernels scale coords x2; keep 2*coord in int32
             flush()
-            groups = []
-            starts_parts, ends_parts = [], []
-            spans = {}
-        if not groups:
-            groups = [[] for _ in wg]
+        offset = state["offset"]
         prim = census["is_primary"] == 1
-        spans[chrom] = (len(groups[0]), len(jobs))
-        for g, ws in zip(groups, wg):
-            g.extend((a + offset, b + offset) for a, b in ws)
-        starts_parts.append(census["start"][prim] + offset)
-        ends_parts.append(census["end"][prim] + offset)
-        offset += span
+        for si in active:
+            ranges = []
+            for g in wgs[si]:
+                lo = len(state["windows"])
+                state["windows"].extend((a + offset, b + offset)
+                                        for a, b in g)
+                ranges.append((lo, len(g)))
+            state["spans"].append((si, chrom, ranges))
+        state["starts"].append(census["start"][prim] + offset)
+        state["ends"].append(census["end"][prim] + offset)
+        state["offset"] = offset + span
     flush()
+
+
+def _batched_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config,
+                        win_groups_fn, apply_fn) -> None:
+    """Single-pass form of :func:`_batched_cover_multi`."""
+    _batched_cover_multi([(per_chrom, win_groups_fn, apply_fn)], store,
+                         cfg)
+
+
+def _del_ins_apply(chrom, cands, jobs, census, counts):
+    covers = counts[0]
+    inter = _support_inter_counts(census, jobs)
+    table = gl_table()
+    for i, (cand, job) in enumerate(zip(cands, jobs)):
+        dr = int(covers[i]) - int(inter[i])
+        dv = len(set(job["support"]))
+        gt, pl, gq, qual = table.lookup(dr, dv)
+        cand[7] = str(dr)
+        cand[8] = str(gt)
+        cand[9] = str(pl)
+        cand[10] = str(gq)
+        cand[11] = str(qual)
+
+
+def _del_ins_cover_spec(per_chrom: Dict[str, tuple]):
+    return (per_chrom, lambda jobs: [[j["window"] for j in jobs]],
+            _del_ins_apply)
 
 
 def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
                              cfg: Config) -> None:
     """call_gt for DEL/INS, all chromosomes in one cover pass."""
-
-    def apply(chrom, cands, jobs, census, counts):
-        covers = counts[0]
-        inter = _support_inter_counts(census, jobs)
-        table = gl_table()
-        for i, (cand, job) in enumerate(zip(cands, jobs)):
-            dr = int(covers[i]) - int(inter[i])
-            dv = len(set(job["support"]))
-            gt, pl, gq, qual = table.lookup(dr, dv)
-            cand[7] = str(dr)
-            cand[8] = str(gt)
-            cand[9] = str(pl)
-            cand[10] = str(gq)
-            cand[11] = str(qual)
-
-    _batched_cover_pass(per_chrom, store, cfg,
-                        lambda jobs: [[j["window"] for j in jobs]], apply)
+    _batched_cover_multi([_del_ins_cover_spec(per_chrom)], store, cfg)
 
 
 def _support_inter_counts(census, jobs) -> np.ndarray:
@@ -337,13 +360,18 @@ def _two_window_groups(jobs):
     return [w1, w2, hull]
 
 
+def _two_windows_cover_spec(per_chrom: Dict[str, tuple], idxs):
+    return (per_chrom, _two_window_groups,
+            lambda chrom, cands, jobs, census, counts: _two_window_apply(
+                cands, jobs, census, counts[0], counts[1], counts[2],
+                idxs))
+
+
 def _fill_gt_two_windows_batched(per_chrom: Dict[str, tuple], store,
                                  cfg: Config, idxs) -> None:
     """call_gt for DUP/INV, all chromosomes in one cover pass."""
-    _batched_cover_pass(
-        per_chrom, store, cfg, _two_window_groups,
-        lambda chrom, cands, jobs, census, counts: _two_window_apply(
-            cands, jobs, census, counts[0], counts[1], counts[2], idxs))
+    _batched_cover_multi([_two_windows_cover_spec(per_chrom, idxs)],
+                         store, cfg)
 
 
 def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
@@ -423,25 +451,6 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                                cfg.max_cluster_bias_INS, min_sup5,
                                cfg.remain_reads_ratio, action)
             for chrom, sigs in store.sigs["INS"].items()}
-    if action and use_device and store.names is not None:
-        # one batched read-support pass over all chromosomes per type
-        _fill_gt_del_ins_batched(del_res, store, cfg)
-        _fill_gt_del_ins_batched(ins_res, store, cfg)
-        filled = True
-    else:
-        filled = False
-    for chrom in store.sigs["DEL"]:
-        cands, jobs = del_res[chrom]
-        if action and not filled:
-            cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
-        log.info("Finished %s:%s." % (chrom, "DEL"))
-        add(chrom, cands)
-    for chrom in store.sigs["INS"]:
-        cands, jobs = ins_res[chrom]
-        if action and not filled:
-            cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
-        log.info("Finished %s:%s." % (chrom, "INS"))
-        add(chrom, cands)
     inv_res, dup_res = {}, {}
     for chrom, sigs in store.sigs["INV"].items():
         if use_device:
@@ -463,12 +472,31 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             dup_res[chrom] = resolve_dup(
                 sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.min_size, cfg.max_size, action, names=names)
+    # ONE read-support cover pass for every SV type and chromosome: the
+    # census uploads once and the kernel round-trip is paid once
+    specs = []
+    filled = False
+    if action and use_device and store.names is not None:
+        specs.append(_del_ins_cover_spec(del_res))
+        specs.append(_del_ins_cover_spec(ins_res))
+        filled = True
     if action and use_device:
-        # one batched cover pass per type across all chromosomes
-        _fill_gt_two_windows_batched(inv_res, store, cfg,
-                                     (5, 6, 8, 9, 10))
-        _fill_gt_two_windows_batched(dup_res, store, cfg,
-                                     (5, 6, 7, 8, 9))
+        specs.append(_two_windows_cover_spec(inv_res, (5, 6, 8, 9, 10)))
+        specs.append(_two_windows_cover_spec(dup_res, (5, 6, 7, 8, 9)))
+    if specs:
+        _batched_cover_multi(specs, store, cfg)
+    for chrom in store.sigs["DEL"]:
+        cands, jobs = del_res[chrom]
+        if action and not filled:
+            cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
+        log.info("Finished %s:%s." % (chrom, "DEL"))
+        add(chrom, cands)
+    for chrom in store.sigs["INS"]:
+        cands, jobs = ins_res[chrom]
+        if action and not filled:
+            cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
+        log.info("Finished %s:%s." % (chrom, "INS"))
+        add(chrom, cands)
     for chrom in store.sigs["INV"]:
         cands, jobs = inv_res[chrom]
         if action and not use_device:
