@@ -11,13 +11,24 @@ below the signature threshold — then times:
 
 Prints ONE JSON line: {"metric", "value" (reads/s), "unit", "vs_baseline"}.
 
-Env knobs: BENCH_MB (genome Mb, default 20), BENCH_BASELINE=0 to skip the
+Env knobs: BENCH_MB (genome Mb, default 100), BENCH_BASELINE=0 to skip the
 slow baseline and reuse the last measured rate from the cache.
 """
 import json
 import os
 import sys
 import time
+
+# keep glibc from mmap/munmap-ing every large numpy buffer: this VM
+# intermittently services first-touch of NEW pages at ~25 MB/s (hypervisor
+# memory pressure), while re-writing already-mapped heap pages stays at
+# memory speed. Heap reuse sidesteps the tax; glibc only reads these at
+# startup, so re-exec once if unset.
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
+    env = dict(os.environ,
+               MALLOC_MMAP_THRESHOLD_="1073741824",
+               MALLOC_TRIM_THRESHOLD_="1073741824")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np
 
@@ -144,7 +155,7 @@ def run_once(bam, fa, engine, decoder, outdir):
 
 
 def main():
-    genome_mb = int(os.environ.get("BENCH_MB", "40"))
+    genome_mb = int(os.environ.get("BENCH_MB", "100"))
     bam, fa, info = build_dataset(genome_mb)
     n_reads = info["n_reads"]
     outdir = os.path.join(CACHE, "out")

@@ -277,21 +277,28 @@ def _support_inter_counts(census, jobs) -> np.ndarray:
     the window) per job; identities are integer ranks. Last primary per
     rank wins, matching the dict-build order of the oracle path."""
     n_sv = len(jobs)
-    prim = census["is_primary"] == 1
-    p_rank = census["name"][prim].astype(np.int64)
-    p_start = census["start"][prim]
-    p_end = census["end"][prim]
-    if len(p_rank) == 0 or n_sv == 0:
+    tbl = census.get("_prim_last")
+    if tbl is None:
+        # cached across the per-type applies on this chromosome (the
+        # census is immutable once built)
+        prim = census["is_primary"] == 1
+        p_rank = census["name"][prim].astype(np.int64)
+        if len(p_rank):
+            uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
+            last_idx = len(p_rank) - 1 - idx_rev
+            tbl = (uniq, census["start"][prim][last_idx],
+                   census["end"][prim][last_idx])
+        else:
+            tbl = (p_rank, p_rank, p_rank)
+        census["_prim_last"] = tbl
+    uniq, st_u, en_u = tbl
+    if len(uniq) == 0 or n_sv == 0:
         return np.zeros(n_sv, np.int64)
-    uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
-    last_idx = len(p_rank) - 1 - idx_rev
-    st_u = p_start[last_idx]
-    en_u = p_end[last_idx]
-    supports = [sorted(set(j["support"])) for j in jobs]
+    supports = [set(j["support"]) for j in jobs]
     lens = np.fromiter((len(s) for s in supports), np.int64, n_sv)
-    flat_key = (np.concatenate(
-        [np.asarray(s, np.int64) for s in supports])
-        if lens.sum() else np.empty(0, np.int64))
+    total = int(lens.sum())
+    flat_key = np.fromiter((k for s in supports for k in s), np.int64,
+                           total)
     flat_sv = np.repeat(np.arange(n_sv), lens)
     pos = np.searchsorted(uniq, flat_key)
     pos_c = np.minimum(pos, len(uniq) - 1)
