@@ -178,3 +178,75 @@ def test_batched_cover_pass_int32_flush():
     assert set(got) == set(expect)
     for chrom in expect:
         assert np.array_equal(got[chrom], np.asarray(expect[chrom])), chrom
+
+
+def test_batched_cover_multi_specs_match_single_passes():
+    """One multi-spec pass (several SV types, disjoint chromosome sets,
+    multi-window groups) must reproduce what separate per-type passes
+    compute, including the int32 flush splitting specs mid-stream."""
+    import numpy as np
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.genotype import cover_counts
+    from cutesv_tpu.pipeline import _batched_cover_multi
+
+    class Store:
+        census = {}
+
+    cfg = Config(input="x", reference="y", output="z", engine="host")
+    rng = np.random.default_rng(7)
+    chroms = ["c%d" % k for k in range(4)]
+    for chrom in chroms:
+        starts = np.sort(rng.integers(0, 500_000_000, size=40))
+        ends = starts + rng.integers(1_000, 2_000_000, size=40)
+        Store.census[chrom] = {
+            "start": starts, "end": ends,
+            "is_primary": (np.arange(40) % 3 != 0).astype(np.int64),
+            "name": np.arange(40),
+        }
+
+    def make_jobs(chrom_list, n_groups, seed):
+        r = np.random.default_rng(seed)
+        per_chrom = {}
+        for chrom in chrom_list:
+            jobs = []
+            for s in r.integers(0, 499_000_000, size=5):
+                j = {"window": (int(s), int(s) + 4_000)}
+                for g in range(1, n_groups):
+                    o = int(r.integers(0, 100_000))
+                    j["w%d" % g] = (int(s) + o, int(s) + o + 4_000)
+                jobs.append(j)
+            per_chrom[chrom] = ([[None] for _ in jobs], jobs)
+        return per_chrom
+
+    # spec A: one window group on chroms 0-2; spec B: three groups on
+    # chroms 1-3 (different chromosome set and group count)
+    pcA = make_jobs(chroms[:3], 1, 11)
+    pcB = make_jobs(chroms[1:], 3, 22)
+
+    def groups_a(jobs):
+        return [[j["window"] for j in jobs]]
+
+    def groups_b(jobs):
+        return [[j["window"] for j in jobs],
+                [j["w1"] for j in jobs], [j["w2"] for j in jobs]]
+
+    got = {}
+
+    def apply_for(tag):
+        def apply(chrom, cands, jobs, census, counts):
+            got[(tag, chrom)] = [np.asarray(c) for c in counts]
+        return apply
+
+    _batched_cover_multi([(pcA, groups_a, apply_for("A")),
+                          (pcB, groups_b, apply_for("B"))], Store, cfg)
+
+    for tag, pc, gfn in (("A", pcA, groups_a), ("B", pcB, groups_b)):
+        for chrom, (cands, jobs) in pc.items():
+            census = Store.census[chrom]
+            prim = census["is_primary"] == 1
+            for k, ws in enumerate(gfn(jobs)):
+                exp = cover_counts(ws, census["start"][prim],
+                                   census["end"][prim])
+                assert np.array_equal(got[(tag, chrom)][k],
+                                      np.asarray(exp)), (tag, chrom, k)
