@@ -71,6 +71,22 @@ class IndelStream:
         o = int(self._seq_off[k])
         return self._seq_blob[o:o + int(self.seq_len[k])].decode("ascii")
 
+    def names_of(self, idx) -> list:
+        """Vectorized name_of over an index array (one pass instead of a
+        python call per row)."""
+        if self._rows is not None:
+            rows = self._rows
+            return [rows[int(k)][2] for k in idx]
+        tbl = self._names_table
+        return [tbl[r] for r in self.rid[idx].tolist()]
+
+    def keys_of(self, idx) -> list:
+        """Vectorized key_of over an index array."""
+        if self._rows is not None:
+            rows = self._rows
+            return [rows[int(k)][2] for k in idx]
+        return self.rid[idx].tolist()
+
     @classmethod
     def from_tuples(cls, rows: Sequence, is_ins: bool) -> "IndelStream":
         n = len(rows)
@@ -131,8 +147,14 @@ def prefetch_to_host(*states):
         if st is None:
             continue
         if isinstance(st, dict) and "jobs" in st:
-            handles = [h for _, _, kind, h in st["jobs"]
-                       if kind == "kernel" and h is not None]
+            handles = []
+            for _, _, kind, h in st["jobs"]:
+                if kind != "kernel" or h is None:
+                    continue
+                if isinstance(h, tuple):  # compacted: (n_kept, handle)
+                    h = h[1]
+                if h is not None:
+                    handles.append(h)
         elif isinstance(st, tuple) and len(st) == 2 and \
                 st[0] == "pending" and st[1] is not None:
             handles = [st[1]]
@@ -142,18 +164,47 @@ def prefetch_to_host(*states):
             jax.tree_util.tree_map(_start, h)
 
 
+def _cluster_stream_compact(out):
+    """Fetch n_kept and dispatch the on-device output compaction (async);
+    returns (n_kept, compact_handle). Compacting before the host copy
+    cuts the device->host bytes to the kept rows only — the tunnel runs
+    at ~25 MB/s, so bytes are the cost."""
+    import jax
+
+    from cutesv_tpu.ops.indel_cluster import compact_cluster_outputs
+
+    if out is None:
+        return None
+    nk = int(jax.device_get(out["n_kept"]))
+    if nk == 0:
+        return (0, None)
+    cap_out = min(padded_size(nk), int(out["cid"].shape[0]))
+    return (nk, compact_cluster_outputs(out["cid"], out["pos"],
+                                        out["length"], out["stream_idx"],
+                                        cap_out))
+
+
 def _cluster_stream_fetch(out):
-    """Fetch dispatched kernel outputs with one batched device_get."""
+    """Fetch dispatched kernel outputs; accepts either the raw kernel
+    handle or a (n_kept, compact_handle) pair from
+    :func:`_cluster_stream_compact`."""
     import jax
 
     if out is None:
         return None
-    got = jax.device_get(out)  # all transfers started async, one block
-    nk = int(got["n_kept"])
-    return (np.asarray(got["cid"])[:nk].astype(np.int64),
+    if not isinstance(out, tuple):
+        out = _cluster_stream_compact(out)
+    nk, comp = out
+    if nk == 0:
+        return None
+    got = jax.device_get(comp)
+    packed = np.asarray(got["packed"])[:nk]
+    sidx = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
+    cid = np.cumsum(packed >> np.uint32(31)).astype(np.int64) - 1
+    return (cid,
             np.asarray(got["pos"])[:nk].astype(np.int64),
             np.asarray(got["length"])[:nk].astype(np.int64),
-            np.asarray(got["stream_idx"])[:nk].astype(np.int64))
+            sidx)
 
 
 def _cluster_stream(stream: IndelStream, read_count: int, bias: int):
@@ -282,37 +333,44 @@ def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
                                                        first_row, support)
         cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
         cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
+        bp_i = bp_v.astype(np.int64)  # int() truncation, all positive
+        len_i = len_v.astype(np.int64)
+        thr_i = thr_v.astype(np.int64)
+    all_names = stream.names_of(sidx)
+    all_keys = stream.keys_of(sidx)
+    n_rows = len(cid)
     for a in order:
         sup = int(support[a])
         if sup < minimum_support_reads:
             continue
         lo = int(first_row[a])
-        hi = int(first_row[a + 1]) if a + 1 < len(first_row) else len(cid)
+        hi = int(first_row[a + 1]) if a + 1 < len(first_row) else n_rows
         if fast:
-            al = dict(breakpoint=bp_v[a], signal_len=len_v[a],
-                      search_threshold=int(thr_v[a]),
-                      cipos=cipos_v[a], cilen=cilen_v[a])
+            bp_s = str(bp_i[a])
+            ln_s = str(-len_i[a])
+            anchor = int(thr_i[a])
+            cipos, cilen = cipos_v[a], cilen_v[a]
         else:
             al = finalize_indel_allele([int(p) for p in pos[lo:hi]],
                                        [int(v) for v in length[lo:hi]],
                                        sup, remain_reads_ratio)
-        names = [stream.name_of(int(k)) for k in sidx[lo:hi]]
-        keys = [stream.key_of(int(k)) for k in sidx[lo:hi]]
-        if action:
+            bp_s = str(int(al["breakpoint"]))
+            ln_s = str(int(-al["signal_len"]))
             anchor = int(al["search_threshold"])
+            cipos, cilen = al["cipos"], al["cilen"]
+        names = ",".join(all_names[lo:hi])
+        if action:
             gt_jobs.append(dict(
                 window=(max(anchor - max_cluster_bias, 0),
                         anchor + max_cluster_bias),
-                support=keys))
-            candidates.append([chrom, "DEL", str(int(al["breakpoint"])),
-                               str(int(-al["signal_len"])), str(sup),
-                               al["cipos"], al["cilen"], None, None, None,
-                               None, None, ",".join(names)])
+                support=all_keys[lo:hi]))
+            candidates.append([chrom, "DEL", bp_s, ln_s, str(sup),
+                               cipos, cilen, None, None, None,
+                               None, None, names])
         else:
-            candidates.append([chrom, "DEL", str(int(al["breakpoint"])),
-                               str(int(-al["signal_len"])), str(sup),
-                               al["cipos"], al["cilen"], ".", "./.",
-                               ".,.,.", ".", ".", ",".join(names)])
+            candidates.append([chrom, "DEL", bp_s, ln_s, str(sup),
+                               cipos, cilen, ".", "./.",
+                               ".,.,.", ".", ".", names])
     return candidates, gt_jobs
 
 
@@ -346,46 +404,46 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
                                                        first_row, support)
         cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
         cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
+        len_i = len_v.astype(np.int64)  # int() truncation, all positive
+    all_names = stream.names_of(sidx)
+    all_keys = stream.keys_of(sidx)
     row_seq_len = stream.seq_len[sidx] if len(sidx) else np.empty(0, np.int64)
+    n_rows = len(cid)
     for a in order:
         sup = int(support[a])
         if sup < minimum_support_reads:
             continue
         lo = int(first_row[a])
-        hi = int(first_row[a + 1]) if a + 1 < len(first_row) else len(cid)
+        hi = int(first_row[a + 1]) if a + 1 < len(first_row) else n_rows
         if fast:
-            al = dict(breakpoint=bp_v[a], signal_len=len_v[a],
-                      search_threshold=int(thr_v[a]),
-                      cipos=cipos_v[a], cilen=cilen_v[a])
+            isl = int(len_i[a])
+            cipos, cilen = cipos_v[a], cilen_v[a]
         else:
             al = finalize_indel_allele([int(p) for p in pos[lo:hi]],
                                        [int(v) for v in length[lo:hi]],
                                        sup, remain_reads_ratio)
-        breakpoint = al["breakpoint"]
-        signal_len = al["signal_len"]
-        isl = int(signal_len)
+            isl = int(al["signal_len"])
+            cipos, cilen = al["cipos"], al["cilen"]
         ok = np.nonzero(row_seq_len[lo:hi] >= isl)[0]
         if len(ok) == 0:
             continue
         k = lo + int(ok[0])
         breakpoint = int(pos[k])
         ideal_seq = stream.seq_of(int(sidx[k]))[:isl]
-        names = [stream.name_of(int(k)) for k in sidx[lo:hi]]
-        keys = [stream.key_of(int(k)) for k in sidx[lo:hi]]
+        names = ",".join(all_names[lo:hi])
         if action:
-            anchor = int(breakpoint)
-            gt_jobs.append(dict(window=(max(anchor - 1000, 0),
-                                        anchor + 1000),
-                                support=keys))
-            candidates.append([chrom, "INS", str(int(breakpoint)),
-                               str(int(signal_len)), str(sup), al["cipos"],
-                               al["cilen"], None, None, None, None, None,
-                               ",".join(names), ideal_seq])
+            gt_jobs.append(dict(window=(max(breakpoint - 1000, 0),
+                                        breakpoint + 1000),
+                                support=all_keys[lo:hi]))
+            candidates.append([chrom, "INS", str(breakpoint),
+                               str(isl), str(sup), cipos,
+                               cilen, None, None, None, None, None,
+                               names, ideal_seq])
         else:
-            candidates.append([chrom, "INS", str(int(breakpoint)),
-                               str(int(signal_len)), str(sup), al["cipos"],
-                               al["cilen"], ".", "./.", ".,.,.", ".", ".",
-                               ",".join(names), ideal_seq])
+            candidates.append([chrom, "INS", str(breakpoint),
+                               str(isl), str(sup), cipos,
+                               cilen, ".", "./.", ".,.,.", ".", ".",
+                               names, ideal_seq])
     return candidates, gt_jobs
 
 
@@ -683,6 +741,16 @@ def resolve_indel_multi_start(streams, is_ins: bool, read_count: int,
                                                   max_cluster_bias)))
     return dict(out=out, jobs=jobs, is_ins=is_ins, read_count=read_count,
                 max_cluster_bias=max_cluster_bias, n_shards=n_shards)
+
+
+def resolve_indel_multi_compact(state) -> None:
+    """Phase 1.5: fetch each dispatched kernel's n_kept and dispatch the
+    on-device output compaction (async). Run for every state BEFORE
+    prefetch_to_host so the host copies move compacted rows only."""
+    state["jobs"] = [
+        (members, facade, kind,
+         _cluster_stream_compact(handle) if kind == "kernel" else handle)
+        for members, facade, kind, handle in state["jobs"]]
 
 
 def resolve_indel_multi_finish(state, threshold_gloab: float,

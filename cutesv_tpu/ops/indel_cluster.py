@@ -86,6 +86,25 @@ def indel_cluster_structure(pos, length, rid, valid, max_cluster_bias,
     )
 
 
+@partial(jax.jit, static_argnames=("cap_out",))
+def compact_cluster_outputs(cid, pos, length, stream_idx, cap_out: int):
+    """Shrink cluster-kernel outputs to the leading ``cap_out`` rows
+    (kept rows sort to the front) with the new-cluster boundary flag
+    packed into stream_idx's top bit — the device->host link pays for
+    n_kept rows x 12 bytes instead of num_rows x 16. The host rebuilds
+    dense cluster ids as cumsum(boundary) - 1, an order-preserving
+    relabeling of ``cid``."""
+    boundary = jnp.concatenate([
+        jnp.ones((1,), jnp.uint32),
+        (cid[1:] != cid[:-1]).astype(jnp.uint32)])
+    packed = stream_idx.astype(jnp.uint32) | (boundary << 31)
+
+    def sl(x):
+        return jax.lax.slice(x, (0,), (cap_out,))
+
+    return dict(pos=sl(pos), length=sl(length), packed=sl(packed))
+
+
 def sharded_cluster_structure(mesh, max_cluster_bias, read_count,
                               shard_rows: int):
     """shard_map wrapper: each device runs the cluster kernel on its own

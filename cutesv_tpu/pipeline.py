@@ -248,11 +248,12 @@ def _batched_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config,
 
 def _del_ins_apply(chrom, cands, jobs, census, counts):
     covers = counts[0]
-    inter = _support_inter_counts(census, jobs)
+    supports = [set(j["support"]) for j in jobs]
+    inter = _support_inter_counts(census, jobs, supports)
     table = gl_table()
     for i, (cand, job) in enumerate(zip(cands, jobs)):
         dr = int(covers[i]) - int(inter[i])
-        dv = len(set(job["support"]))
+        dv = len(supports[i])
         gt, pl, gq, qual = table.lookup(dr, dv)
         cand[7] = str(dr)
         cand[8] = str(gt)
@@ -272,10 +273,12 @@ def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
     _batched_cover_multi([_del_ins_cover_spec(per_chrom)], store, cfg)
 
 
-def _support_inter_counts(census, jobs) -> np.ndarray:
+def _support_inter_counts(census, jobs, supports=None) -> np.ndarray:
     """#(support reads whose primary alignment on THIS chromosome covers
     the window) per job; identities are integer ranks. Last primary per
-    rank wins, matching the dict-build order of the oracle path."""
+    rank wins, matching the dict-build order of the oracle path.
+    ``supports``: optional precomputed [set(j["support"])] to share with
+    the caller's DV counting."""
     n_sv = len(jobs)
     tbl = census.get("_prim_last")
     if tbl is None:
@@ -294,7 +297,8 @@ def _support_inter_counts(census, jobs) -> np.ndarray:
     uniq, st_u, en_u = tbl
     if len(uniq) == 0 or n_sv == 0:
         return np.zeros(n_sv, np.int64)
-    supports = [set(j["support"]) for j in jobs]
+    if supports is None:
+        supports = [set(j["support"]) for j in jobs]
     lens = np.fromiter((len(s) for s in supports), np.int64, n_sv)
     total = int(lens.sum())
     flat_key = np.fromiter((k for s in supports for k in s), np.int64,
@@ -436,6 +440,8 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                 sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.n_shards)
             for chrom, sigs in store.sigs["DUP"].items()}
+        device_models.resolve_indel_multi_compact(del_state)
+        device_models.resolve_indel_multi_compact(ins_state)
         device_models.prefetch_to_host(
             del_state, ins_state, *inv_states.values(),
             *dup_states.values())
