@@ -36,11 +36,25 @@ def get_lib():
             or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
         _build()
     lib = ctypes.CDLL(_SO_PATH)
-    lib.bamdecode_run.restype = ctypes.c_void_p
-    lib.bamdecode_run.argtypes = [
+    run_argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.bamdecode_run.restype = ctypes.c_void_p
+    lib.bamdecode_run.argtypes = run_argtypes
+    lib.bamdecode_start.restype = ctypes.c_void_p
+    lib.bamdecode_start.argtypes = run_argtypes
+    lib.bamdecode_poll.restype = ctypes.c_int32
+    lib.bamdecode_poll.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_join.restype = ctypes.c_int
+    lib.bamdecode_join.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_snapshot.restype = ctypes.c_int64
+    lib.bamdecode_snapshot.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int32]
+    lib.bamdecode_snapshot_get.restype = ctypes.c_int
+    lib.bamdecode_snapshot_get.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64)]
     lib.bamdecode_status.restype = ctypes.c_int
     lib.bamdecode_status.argtypes = [ctypes.c_void_p]
     lib.bamdecode_n_records.restype = ctypes.c_int64
@@ -125,19 +139,17 @@ class NativeUnsupported(IOError):
     e.g. a bzip2/lzma CRAM block); callers fall back to the Python path."""
 
 
-def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
-    """Run the native decoder (BAM, or CRAM when ``reference`` names the
-    FASTA). ``bed_ids``: optional (chr_id, start, end) int arrays in
-    header chrom-id space (already ±1000-padded)."""
-    lib = get_lib()
+def _call_args(cfg, bed_ids, reference):
     params = (ctypes.c_int64 * 9)(
         cfg.min_size, cfg.min_mapq, cfg.max_split_parts, cfg.min_read_len,
         cfg.min_siglength, cfg.merge_del_threshold, cfg.merge_ins_threshold,
         cfg.max_size, getattr(cfg, "threads", 2))
+    keepalive = []
     if bed_ids is not None and len(bed_ids[0]):
         bc = np.ascontiguousarray(bed_ids[0], np.int32)
         bs = np.ascontiguousarray(bed_ids[1], np.int64)
         be = np.ascontiguousarray(bed_ids[2], np.int64)
+        keepalive = [bc, bs, be]
         n_bed = len(bc)
         bc_p = bc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         bs_p = bs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
@@ -148,35 +160,122 @@ def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
         bs_p = ctypes.POINTER(ctypes.c_int64)()
         be_p = ctypes.POINTER(ctypes.c_int64)()
     ref_arg = reference.encode() if reference else None
+    return params, ref_arg, bc_p, bs_p, be_p, n_bed, keepalive
+
+
+def _check_status(status: int, path: str):
+    if status == 10:
+        raise NativeUnsupported(
+            "native decode: unsupported CRAM feature in %s" % path)
+    if status != 0:
+        detail = {1: "cannot open file", 2: "not BGZF data",
+                  3: "bad BAM header", 4: "malformed record",
+                  5: "truncated file"}.get(status, "")
+        raise IOError("native BAM decode failed (status %d%s) for %s"
+                      % (status, ": " + detail if detail else "", path))
+
+
+def _extract(lib, handle, path: str) -> NativeDecode:
+    name_blob = _fetch(lib, handle, 0)
+    name_off = _fetch(lib, handle, 1)
+    names = [name_blob[name_off[i]:name_off[i + 1]].decode("ascii")
+             for i in range(len(name_off) - 1)]
+    name_rank = _fetch(lib, handle, 2)
+    chrom_blob = _fetch(lib, handle, 3)
+    chrom_off = _fetch(lib, handle, 4)
+    chroms = [chrom_blob[chrom_off[i]:chrom_off[i + 1]].decode("ascii")
+              for i in range(len(chrom_off) - 1)]
+    ref_lengths = _fetch(lib, handle, 5)
+    arrays = {k: _fetch(lib, handle, f) for k, f in _FIELDS.items()}
+    ins_seq_blob = _fetch(lib, handle, 26)
+    return NativeDecode(names=names, name_rank=name_rank, chroms=chroms,
+                        ref_lengths=ref_lengths,
+                        n_records=lib.bamdecode_n_records(handle),
+                        arrays=arrays, ins_seq_blob=ins_seq_blob)
+
+
+def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
+    """Run the native decoder (BAM, or CRAM when ``reference`` names the
+    FASTA). ``bed_ids``: optional (chr_id, start, end) int arrays in
+    header chrom-id space (already ±1000-padded)."""
+    lib = get_lib()
+    params, ref_arg, bc_p, bs_p, be_p, n_bed, _ka = _call_args(
+        cfg, bed_ids, reference)
     handle = lib.bamdecode_run(path.encode(), ref_arg, params, bc_p, bs_p,
                                be_p, n_bed)
     try:
-        status = lib.bamdecode_status(handle)
-        if status == 10:
-            raise NativeUnsupported(
-                "native decode: unsupported CRAM feature in %s" % path)
-        if status != 0:
-            detail = {1: "cannot open file", 2: "not BGZF data",
-                      3: "bad BAM header", 4: "malformed record",
-                      5: "truncated file"}.get(status, "")
-            raise IOError("native BAM decode failed (status %d%s) for %s"
-                          % (status, ": " + detail if detail else "",
-                             path))
-        name_blob = _fetch(lib, handle, 0)
-        name_off = _fetch(lib, handle, 1)
-        names = [name_blob[name_off[i]:name_off[i + 1]].decode("ascii")
-                 for i in range(len(name_off) - 1)]
-        name_rank = _fetch(lib, handle, 2)
-        chrom_blob = _fetch(lib, handle, 3)
-        chrom_off = _fetch(lib, handle, 4)
-        chroms = [chrom_blob[chrom_off[i]:chrom_off[i + 1]].decode("ascii")
-                  for i in range(len(chrom_off) - 1)]
-        ref_lengths = _fetch(lib, handle, 5)
-        arrays = {k: _fetch(lib, handle, f) for k, f in _FIELDS.items()}
-        ins_seq_blob = _fetch(lib, handle, 26)
-        return NativeDecode(names=names, name_rank=name_rank, chroms=chroms,
-                            ref_lengths=ref_lengths,
-                            n_records=lib.bamdecode_n_records(handle),
-                            arrays=arrays, ins_seq_blob=ins_seq_blob)
+        _check_status(lib.bamdecode_status(handle), path)
+        return _extract(lib, handle, path)
     finally:
         lib.bamdecode_free(handle)
+
+
+_SNAP_FIELDS = ("pos", "length", "name_id", "name_lrank", "seq_len",
+                "seq_lrank")
+
+
+class StreamingDecode:
+    """Decode on a native thread; poll per-chromosome completion and
+    snapshot completed chromosomes' DEL/INS rows mid-run, then join for
+    the full NativeDecode. Snapshot name/seq ranks are LOCAL to the
+    snapshot (order-isomorphic to the final global ranks restricted to
+    the same rows); callers must validate a snapshot against the final
+    store before trusting work derived from it (a later read's SA tag
+    can add rows to an already-passed chromosome)."""
+
+    DONE = 2 ** 31 - 1  # INT32_MAX progress sentinel
+
+    def __init__(self, path: str, cfg, bed_ids=None, reference=None):
+        self._lib = get_lib()
+        self._path = path
+        params, ref_arg, bc_p, bs_p, be_p, n_bed, ka = _call_args(
+            cfg, bed_ids, reference)
+        self._keepalive = ka
+        self._handle = self._lib.bamdecode_start(
+            path.encode(), ref_arg, params, bc_p, bs_p, be_p, n_bed)
+
+    def poll(self) -> int:
+        """refID currently being decoded (chroms below it are complete
+        modulo late SA rows); DONE when the run has finished."""
+        return int(self._lib.bamdecode_poll(self._handle))
+
+    def snapshot(self, sv_type: str, chrom_id: int) -> Dict[str,
+                                                            np.ndarray]:
+        """Copy one chromosome's rows seen so far. sv_type: DEL or INS.
+        Returns {pos (INS: pos*2), length, name_id, name_lrank[, seq_len,
+        seq_lrank]} int64 arrays."""
+        t = 0 if sv_type == "DEL" else 1
+        n = self._lib.bamdecode_snapshot(self._handle, t, chrom_id)
+        out = {}
+        fields = _SNAP_FIELDS if t == 1 else _SNAP_FIELDS[:4]
+        for i, name in enumerate(fields):
+            data = ctypes.c_void_p()
+            ln = ctypes.c_int64()
+            rc = self._lib.bamdecode_snapshot_get(
+                self._handle, i, ctypes.byref(data), ctypes.byref(ln))
+            if rc != 0:
+                raise RuntimeError("bamdecode_snapshot_get(%d)" % i)
+            if ln.value == 0:
+                out[name] = np.empty(0, np.int64)
+            else:
+                buf = ctypes.string_at(data, ln.value * 8)
+                out[name] = np.frombuffer(buf, np.int64).copy()
+        assert all(len(v) == n for v in out.values())
+        return out
+
+    def join(self) -> NativeDecode:
+        """Wait for the decode thread, check status, extract everything."""
+        status = self._lib.bamdecode_join(self._handle)
+        _check_status(status, self._path)
+        return _extract(self._lib, self._handle, self._path)
+
+    def free(self):
+        if self._handle is not None:
+            self._lib.bamdecode_free(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.free()

@@ -175,6 +175,8 @@ def _cluster_stream_compact(out):
 
     if out is None:
         return None
+    if isinstance(out, tuple):
+        return out  # already compacted
     nk = int(jax.device_get(out["n_kept"]))
     if nk == 0:
         return (0, None)
@@ -715,15 +717,28 @@ class _Facade:
 
 
 def resolve_indel_multi_start(streams, is_ins: bool, read_count: int,
-                              max_cluster_bias: int, n_shards: int = 1):
+                              max_cluster_bias: int, n_shards: int = 1,
+                              early=None):
     """Phase 1 of the genome-batched DEL/INS resolver: dispatch the
     (async) cluster kernels for every int32-safe batch. Returns opaque
     state for :func:`resolve_indel_multi_finish`. Dispatching both SV
     types before fetching either overlaps device compute with host
-    emission."""
+    emission. ``early``: {chrom: kernel handle} dispatched during the
+    streaming decode (validated by build_store_native) — those
+    chromosomes become singleton jobs reusing the in-flight kernels."""
     out = {}
     jobs = []
     streams = [(c, _as_stream(s, is_ins)) for c, s in streams]
+    if early and n_shards <= 1:
+        rest = []
+        for c, s in streams:
+            h = early.get(c)
+            if h is not None and len(s):
+                members = [(c, s, 0)]
+                jobs.append((members, _Facade(members), "kernel", h))
+            else:
+                rest.append((c, s))
+        streams = rest
     for batch in _chrom_batches(streams, max_cluster_bias):
         members = [(c, s, off) for c, s, off in batch if len(s)]
         for c, s, off in batch:

@@ -25,6 +25,7 @@
 #include <string>
 #include <string_view>
 #include <thread>
+#include <mutex>
 #include <memory>
 #include <unordered_map>
 #include <vector>
@@ -994,6 +995,12 @@ struct Decoder {
   std::vector<int64_t> ref_lens;
   std::vector<std::string> header_chroms;
   double t_seq = 0, t_records = 0, t_hdr = 0, t_cig = 0, t_sa = 0;
+  // streaming: merges into C and snapshot reads share this lock; progress
+  // holds the refID currently being decoded (records are coordinate-
+  // sorted, so every chromosome with a smaller id has all of its
+  // record-order rows merged). INT32_MAX once the run is complete.
+  std::mutex snap_mu;
+  std::atomic<int32_t> progress{-1};
 
   // shared parallel record processing (BAM chunks and CRAM-synthesized
   // chunks go through the same path): thread-local collectors are merged
@@ -1012,7 +1019,10 @@ struct Decoder {
         for (auto& r : recs)
           w.process_record(base + r.first, r.second);
       } catch (...) { failed = true; }
-      C.merge_from(w.C);
+      {
+        std::lock_guard<std::mutex> g(snap_mu);
+        C.merge_from(w.C);
+      }
       t_seq += w.t_seq;
       t_hdr += w.t_hdr; t_cig += w.t_cig; t_sa += w.t_sa;
     } else {
@@ -1034,8 +1044,18 @@ struct Decoder {
       }
       for (auto& t : ts) t.join();
       failed = err;
-      for (auto& w : ws) { C.merge_from(w->C); t_seq += w->t_seq;
+      {
+        std::lock_guard<std::mutex> g(snap_mu);
+        for (auto& w : ws) C.merge_from(w->C);
+      }
+      for (auto& w : ws) { t_seq += w->t_seq;
         t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa; }
+    }
+    if (!failed && !recs.empty()) {
+      // refID of the last merged record: chromosomes below it are final
+      int32_t refid = rd_i32(base + recs.back().first);
+      int32_t cur = progress.load(std::memory_order_relaxed);
+      if (refid > cur) progress.store(refid, std::memory_order_release);
     }
     return !failed;
   }
@@ -1215,6 +1235,10 @@ struct CBuf {
   int64_t len;
 };
 
+struct Snapshot {
+  std::vector<int64_t> pos, len, nameid, lrank, seqlen, sqrank;
+};
+
 struct CResult {
   Decoder* dec;  // owner
   std::vector<int64_t>* nrank;
@@ -1225,12 +1249,16 @@ struct CResult {
   int32_t n_header_refs;
   int64_t n_records;
   int status;
+  std::thread* th = nullptr;     // streaming run
+  bool finalized = false;
+  Snapshot snap;                 // last bamdecode_snapshot result
 };
 
-CResult* bamdecode_run(const char* path, const char* ref_path,
-                       const int64_t* params, const int32_t* bed_chr,
-                       const int64_t* bed_start, const int64_t* bed_end,
-                       int64_t n_bed) {
+static CResult* bamdecode_setup(const char* path, const int64_t* params,
+                                const int32_t* bed_chr,
+                                const int64_t* bed_start,
+                                const int64_t* bed_end, int64_t n_bed,
+                                bool* is_cram_out) {
   auto* r = new CResult();
   auto* d = new Decoder();
   r->dec = d;
@@ -1274,7 +1302,13 @@ CResult* bamdecode_run(const char* path, const char* ref_path,
               && memcmp(magic, "CRAM", 4) == 0;
     fclose(probe);
   }
-  r->status = is_cram ? cram_run(*d, path, ref_path) : d->run(path);
+  *is_cram_out = is_cram;
+  return r;
+}
+
+static void bamdecode_finalize(CResult* r) {
+  if (r->finalized) return;
+  Decoder* d = r->dec;
   r->n_records = d->C.n_records;
   r->nrank = new std::vector<int64_t>(name_ranks(d->C));
   r->srank = new std::vector<int64_t>(seq_ranks(d->C));
@@ -1286,7 +1320,160 @@ CResult* bamdecode_run(const char* path, const char* ref_path,
   }
   r->ref_lens = new std::vector<int64_t>(d->ref_lens);
   r->n_header_refs = (int32_t)d->ref_lens.size();
+  r->finalized = true;
+}
+
+CResult* bamdecode_run(const char* path, const char* ref_path,
+                       const int64_t* params, const int32_t* bed_chr,
+                       const int64_t* bed_start, const int64_t* bed_end,
+                       int64_t n_bed) {
+  bool is_cram = false;
+  CResult* r = bamdecode_setup(path, params, bed_chr, bed_start, bed_end,
+                               n_bed, &is_cram);
+  Decoder* d = r->dec;
+  r->status = is_cram ? cram_run(*d, path, ref_path) : d->run(path);
+  d->progress.store(INT32_MAX, std::memory_order_release);
+  bamdecode_finalize(r);
   return r;
+}
+
+// Streaming variant: decode on a private thread; the caller polls
+// progress, snapshots completed chromosomes, then joins.
+CResult* bamdecode_start(const char* path, const char* ref_path,
+                         const int64_t* params, const int32_t* bed_chr,
+                         const int64_t* bed_start, const int64_t* bed_end,
+                         int64_t n_bed) {
+  bool is_cram = false;
+  CResult* r = bamdecode_setup(path, params, bed_chr, bed_start, bed_end,
+                               n_bed, &is_cram);
+  Decoder* d = r->dec;
+  std::string p(path), rp(ref_path ? ref_path : "");
+  bool has_ref = ref_path != nullptr;
+  r->th = new std::thread([r, d, p, rp, has_ref, is_cram]() {
+    r->status = is_cram ? cram_run(*d, p.c_str(),
+                                   has_ref ? rp.c_str() : nullptr)
+                        : d->run(p.c_str());
+    d->progress.store(INT32_MAX, std::memory_order_release);
+  });
+  return r;
+}
+
+// refID currently being decoded: every chromosome with a smaller header id
+// has all of its record-order rows merged (modulo SA-tag rows emitted by
+// later reads — the Python side validates before reusing a snapshot).
+// INT32_MAX once decoding is finished.
+int32_t bamdecode_poll(CResult* r) {
+  return r->dec->progress.load(std::memory_order_acquire);
+}
+
+int bamdecode_join(CResult* r) {
+  if (r->th) {
+    r->th->join();
+    delete r->th;
+    r->th = nullptr;
+  }
+  bamdecode_finalize(r);
+  return r->status;
+}
+
+// Copy one chromosome's DEL (type 0) or INS (type 1) rows observed so far,
+// with name ranks (and INS sequence-content ranks) computed LOCALLY over
+// the snapshot — order-isomorphic to the final global ranks restricted to
+// these rows, which is all the sort keys need. Returns the row count;
+// arrays are fetched with bamdecode_snapshot_get until the next call.
+int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
+  Decoder* d = r->dec;
+  Snapshot& s = r->snap;
+  s.pos.clear(); s.len.clear(); s.nameid.clear();
+  s.lrank.clear(); s.seqlen.clear(); s.sqrank.clear();
+  std::vector<std::pair<int64_t, int64_t>> seq_spans;  // (off, len)
+  {
+    std::lock_guard<std::mutex> g(d->snap_mu);
+    Collector& C = d->C;
+    if (type == 0) {
+      size_t n = C.del_chr.v.size();
+      for (size_t i = 0; i < n; i++) {
+        if (C.del_chr.v[i] != chrom) continue;
+        s.pos.push_back(C.del_pos.v[i]);
+        s.len.push_back(C.del_len.v[i]);
+        s.nameid.push_back(C.del_name.v[i]);
+      }
+    } else {
+      size_t n = C.ins_chr.v.size();
+      for (size_t i = 0; i < n; i++) {
+        if (C.ins_chr.v[i] != chrom) continue;
+        s.pos.push_back(C.ins_posx2.v[i]);
+        s.len.push_back(C.ins_len.v[i]);
+        s.nameid.push_back(C.ins_name.v[i]);
+        s.seqlen.push_back(C.ins_seq_len.v[i]);
+        seq_spans.push_back({C.ins_seq_off.v[i], C.ins_seq_len.v[i]});
+      }
+    }
+    // local name ranks: sort the snapshot's distinct name ids by string
+    // (the interned blob only appends, but read it under the lock anyway)
+    std::vector<int64_t> ids(s.nameid);
+    std::sort(ids.begin(), ids.end());
+    ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+    std::vector<int64_t> order(ids);
+    auto nview = [&](int64_t id) {
+      return std::string_view(C.name_blob.data() + C.name_off[id],
+                              C.name_off[id + 1] - C.name_off[id]);
+    };
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      return nview(a) < nview(b);
+    });
+    std::unordered_map<int64_t, int64_t> rank_of;
+    rank_of.reserve(order.size() * 2);
+    for (size_t k = 0; k < order.size(); k++) rank_of[order[k]] = (int64_t)k;
+    s.lrank.resize(s.nameid.size());
+    for (size_t i = 0; i < s.nameid.size(); i++)
+      s.lrank[i] = rank_of[s.nameid[i]];
+    if (type == 1) {
+      // local sequence-content ranks (equal content -> equal rank)
+      size_t m = seq_spans.size();
+      std::vector<int64_t> idx(m);
+      for (size_t i = 0; i < m; i++) idx[i] = (int64_t)i;
+      auto sview = [&](int64_t i) {
+        return std::string_view(C.ins_seq_blob.data() + seq_spans[i].first,
+                                seq_spans[i].second);
+      };
+      std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+        auto va = sview(a), vb = sview(b);
+        if (va != vb) return va < vb;
+        return a < b;
+      });
+      s.sqrank.resize(m);
+      int64_t rr = -1;
+      std::string_view prev;
+      for (size_t k = 0; k < m; k++) {
+        auto v = sview(idx[k]);
+        if (k == 0 || v != prev) { rr++; prev = v; }
+        s.sqrank[idx[k]] = rr;
+      }
+    }
+  }
+  return (int64_t)s.pos.size();
+}
+
+// fields: 0 pos (DEL pos / INS pos*2), 1 len, 2 name id, 3 local name
+// rank, 4 INS seq len, 5 INS local seq rank
+int bamdecode_snapshot_get(CResult* r, int field, const void** data,
+                           int64_t* len) {
+  Snapshot& s = r->snap;
+  auto set = [&](const std::vector<int64_t>& v) {
+    *data = v.data();
+    *len = (int64_t)v.size();
+    return 0;
+  };
+  switch (field) {
+    case 0: return set(s.pos);
+    case 1: return set(s.len);
+    case 2: return set(s.nameid);
+    case 3: return set(s.lrank);
+    case 4: return set(s.seqlen);
+    case 5: return set(s.sqrank);
+    default: return 1;
+  }
 }
 
 int bamdecode_status(CResult* r) { return r->status; }
@@ -1354,6 +1541,10 @@ int bamdecode_get(CResult* r, int field, const void** data, int64_t* len) {
 }
 
 void bamdecode_free(CResult* r) {
+  if (r->th) {
+    r->th->join();
+    delete r->th;
+  }
   delete r->nrank;
   delete r->srank;
   delete r->chrom_blob;

@@ -140,7 +140,40 @@ def _dedup_mask(*keys) -> np.ndarray:
     return keep
 
 
-def build_store_native(nd, cfg) -> SigStore:
+def prepare_snapshot(snap: dict, is_ins: bool):
+    """Sort + dedup one chromosome's streaming-decode snapshot with the
+    exact per-chromosome sort keys of build_store_native. The snapshot's
+    LOCAL name/seq ranks are order-isomorphic to the final global ranks
+    restricted to the same rows, so the resulting permutation equals the
+    final store's — as long as no later read added rows to this
+    chromosome (validated by fingerprint in build_store_native).
+
+    Returns (fingerprint, dispatch): fingerprint = {pos (raw; INS pos*2),
+    length, name_id} post-sort+dedup for validation; dispatch = {pos
+    (INS: int(pos)), length, rid (local ranks)} for the cluster kernel.
+    """
+    lrank = snap["name_lrank"]
+    if is_ins:
+        px2, ln, sq = snap["pos"], snap["length"], snap["seq_lrank"]
+        order = np.lexsort((sq, lrank, ln, px2 >> 1))
+        px2, ln, lrank, sq = (px2[order], ln[order], lrank[order],
+                              sq[order])
+        nid = snap["name_id"][order]
+        keep = _dedup_mask(px2, ln, lrank, sq)
+        px2, ln, lrank, nid = px2[keep], ln[keep], lrank[keep], nid[keep]
+        return (dict(pos=px2, length=ln, name_id=nid),
+                dict(pos=px2 >> 1, length=ln, rid=lrank))
+    pos, ln = snap["pos"], snap["length"]
+    order = np.lexsort((lrank, ln, pos))
+    pos, ln, lrank = pos[order], ln[order], lrank[order]
+    nid = snap["name_id"][order]
+    keep = _dedup_mask(pos, ln, lrank)
+    pos, ln, lrank, nid = pos[keep], ln[keep], lrank[keep], nid[keep]
+    return (dict(pos=pos, length=ln, name_id=nid),
+            dict(pos=pos, length=ln, rid=lrank))
+
+
+def build_store_native(nd, cfg, early=None) -> SigStore:
     """Merge the native decoder's signature arrays into a SigStore.
 
     Reproduces the stage-2 sort keys (cuteSV:763-810) with numpy lexsorts
@@ -148,6 +181,12 @@ def build_store_native(nd, cfg) -> SigStore:
     sequences are compared via precomputed lexicographic ranks, which makes
     integer sorting equal string sorting. Exact-duplicate removal compares
     full rows (INS compares pos*2 exactly and sequences by content rank).
+
+    ``early``: optional {("DEL"|"INS", chrom_name): fingerprint} from
+    prepare_snapshot; chromosomes whose final sorted/deduped rows match
+    their snapshot fingerprint are recorded in ``store.early_valid`` (a
+    late read's SA tag can add rows to an earlier chromosome, in which
+    case the early work is discarded).
     """
     from cutesv_tpu.models.device import IndelStream
 
@@ -178,14 +217,34 @@ def build_store_native(nd, cfg) -> SigStore:
             yield chrom_by_rank[int(ck_sorted[lo])], lo, int(hi)
             lo = int(hi)
 
+    store.early_valid = set()
+
+    def validate_early(svtype, ck_arr, fp_cols):
+        """Mark early snapshots whose fingerprint equals the final
+        sorted/deduped per-chrom columns."""
+        if not early:
+            return
+        for chrom, lo, hi in per_chrom_slices(ck_arr):
+            fp = early.get((svtype, chrom))
+            if fp is None:
+                continue
+            cols = ("pos", "length", "name_id")
+            if all(hi - lo == len(fp[c]) and
+                   np.array_equal(col[lo:hi], fp[c])
+                   for c, col in zip(cols, fp_cols)):
+                store.early_valid.add((svtype, chrom))
+
     # ---- DEL: key (chr, pos, len, name) --------------------------------
     rid = rank[A["del_name"]]
     ck = chrom_rank[A["del_chr"]]
     order = np.lexsort((rid, A["del_len"], A["del_pos"], ck))
     ck, pos, ln, rid = (ck[order], A["del_pos"][order], A["del_len"][order],
                         rid[order])
+    ids = A["del_name"][order] if early else None
     keep = _dedup_mask(ck, pos, ln, rid)
     ck, pos, ln, rid = ck[keep], pos[keep], ln[keep], rid[keep]
+    if early:
+        validate_early("DEL", ck, (pos, ln, ids[keep]))
     store.sigs["DEL"] = {
         chrom: IndelStream.from_arrays(pos[lo:hi], ln[lo:hi], rid[lo:hi],
                                        names_by_rank)
@@ -200,9 +259,12 @@ def build_store_native(nd, cfg) -> SigStore:
     ck, px2, ln, rid, sq = (ck[order], A["ins_posx2"][order],
                             A["ins_len"][order], rid[order], sq[order])
     soff, slen = A["ins_seq_off"][order], A["ins_seq_len"][order]
+    ids = A["ins_name"][order] if early else None
     keep = _dedup_mask(ck, px2, ln, rid, sq)
     ck, px2, ln, rid = ck[keep], px2[keep], ln[keep], rid[keep]
     soff, slen = soff[keep], slen[keep]
+    if early:
+        validate_early("INS", ck, (px2, ln, ids[keep]))
     ipos = px2 >> 1  # resolution-time int(pos) truncation
     store.sigs["INS"] = {
         chrom: IndelStream.from_arrays(ipos[lo:hi], ln[lo:hi], rid[lo:hi],
@@ -293,10 +355,16 @@ def build_store_native(nd, cfg) -> SigStore:
 
 def save_store(store: SigStore, work_dir: str):
     """Checkpoint the store (signature tensors = natural resume point
-    between extract and cluster, SURVEY §5)."""
+    between extract and cluster, SURVEY §5). Transient device handles
+    from the streaming decode never enter the checkpoint."""
     path = os.path.join(work_dir, "sigstore.pickle")
-    with open(path, "wb") as fh:
-        pickle.dump(store, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    kernels = store.__dict__.pop("early_kernels", None)
+    try:
+        with open(path, "wb") as fh:
+            pickle.dump(store, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    finally:
+        if kernels is not None:
+            store.early_kernels = kernels
     return path
 
 

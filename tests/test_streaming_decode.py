@@ -1,0 +1,120 @@
+"""Streaming decode -> early cluster-kernel dispatch.
+
+Timing-dependent mid-decode snapshots need multi-chunk inputs, so these
+tests exercise the machinery deterministically: snapshots taken once the
+native thread finishes are byte-equal to partial ones for chromosomes
+without late SA-tag rows, which is exactly the case the fingerprint
+validation certifies.
+"""
+import random
+
+import numpy as np
+
+from cutesv_tpu import sigstore
+from cutesv_tpu.config import Config
+from cutesv_tpu.pipeline import run_pipeline
+from tests import simdata
+
+
+def _two_chrom_fixture(tmp_path, seed=11):
+    rng = random.Random(seed)
+    ref = simdata.make_reference(rng, {"chrA": 90_000, "chrB": 90_000})
+    plans = []
+    rid = 0
+    for cid, cname in ((0, "chrA"), (1, "chrB")):
+        chrom = ref[cname]
+        for start in range(0, 87_000, 300):
+            rid += 1
+            q = "s%05d" % rid
+            if 27_350 <= start <= 29_500:
+                plans.append(simdata.read_with_del(
+                    chrom, cid, start, 30_000, 150,
+                    start + 3000 - 30_150, q))
+            elif 57_000 <= start <= 59_500 and rid % 2 == 0:
+                plans.append(simdata.read_with_ins(
+                    chrom, cid, start, 60_000,
+                    simdata.random_seq(rng, 90), 3000 - (60_000 - start),
+                    q))
+            else:
+                plans.append(simdata.plain_read(chrom, cid, start, 3000, q))
+    bam = tmp_path / "st.bam"
+    fa = tmp_path / "st.fa"
+    simdata.write_bam(str(bam), [("chrA", 90_000), ("chrB", 90_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+    return str(bam), str(fa)
+
+
+def test_streaming_pipeline_identical(tmp_path, monkeypatch):
+    """Forced-on streaming path gives a byte-identical VCF to the plain
+    native path (on small inputs the poll loop usually sees DONE at once;
+    this still drives the full orchestration incl. validation)."""
+    bam, fa = _two_chrom_fixture(tmp_path)
+    outs = {}
+    for label, flag in (("stream", "1"), ("plain", "0")):
+        monkeypatch.setenv("CUTESV_STREAM_DISPATCH", flag)
+        out = tmp_path / ("o_%s.vcf" % label)
+        wd = tmp_path / ("w_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=bam, reference=fa, output=str(out),
+                     work_dir=str(wd), genotype=True, min_support=3,
+                     engine="device", decoder="native")
+        run_pipeline(cfg, ["x"])
+        outs[label] = [ln for ln in out.read_text().splitlines()
+                       if not ln.startswith("##")]
+    assert outs["stream"] == outs["plain"]
+    assert sum(1 for ln in outs["stream"] if not ln.startswith("#")) >= 4
+
+
+def test_snapshot_prepare_validation_and_early_resolve(tmp_path):
+    """Snapshots prepared with local ranks must validate against the
+    final store and drive the early-kernel resolve path to identical
+    candidates; a tampered (stale) snapshot must be rejected."""
+    from cutesv_tpu.io import native as nio
+    from cutesv_tpu.models import device as dm
+    from cutesv_tpu.pipeline import resolve_all
+
+    bam, fa = _two_chrom_fixture(tmp_path)
+    cfg = Config(input=bam, reference=fa, output="x.vcf",
+                 work_dir=str(tmp_path), genotype=True, min_support=3,
+                 engine="device", decoder="native")
+    sd = nio.StreamingDecode(bam, cfg)
+    while sd.poll() != sd.DONE:
+        pass
+    snaps = {}
+    for c in (0, 1):
+        for t, is_ins in (("DEL", False), ("INS", True)):
+            snap = sd.snapshot(t, c)
+            if len(snap["pos"]):
+                snaps[(t, c)] = snap
+    nd = sd.join()
+    assert snaps, "fixture must produce DEL/INS signatures"
+
+    prepared = {k: sigstore.prepare_snapshot(v, k[0] == "INS")
+                for k, v in snaps.items()}
+    early_fp = {(t, nd.chroms[c]): fp
+                for (t, c), (fp, _) in prepared.items()}
+    store = sigstore.build_store_native(nd, cfg, early=early_fp)
+    # full-file snapshots must all validate
+    assert store.early_valid == set(early_fp)
+
+    # the early dispatch path must reproduce the normal resolve exactly
+    bias = {"DEL": cfg.max_cluster_bias_DEL, "INS": cfg.max_cluster_bias_INS}
+    store.early_kernels = {
+        (t, nd.chroms[c]): dm._cluster_stream_dispatch(
+            dm.IndelStream(disp["pos"], disp["length"], disp["rid"]),
+            cfg.min_support, bias[t])
+        for (t, c), (_, disp) in prepared.items()}
+    with_early = resolve_all(store, cfg)
+    store.early_kernels = {}
+    without = resolve_all(store, cfg)
+    assert with_early == without
+
+    # a stale snapshot (one row short, as if a later read's SA tag added a
+    # signature after the early dispatch) must NOT validate
+    (t0, c0), snap0 = next(iter(snaps.items()))
+    stale = {k: v[:-1] for k, v in snap0.items()}
+    fp_stale, _ = sigstore.prepare_snapshot(stale, t0 == "INS")
+    store2 = sigstore.build_store_native(
+        nd, cfg, early={(t0, nd.chroms[c0]): fp_stale})
+    assert (t0, nd.chroms[c0]) not in store2.early_valid
+    sd.free()
