@@ -157,7 +157,10 @@ def prefetch_to_host(*states):
                     handles.append(h)
         elif isinstance(st, tuple) and len(st) == 2 and \
                 st[0] == "pending" and st[1] is not None:
-            handles = [st[1]]
+            h = st[1]
+            if isinstance(h, tuple):  # compacted: (n_kept, handle)
+                h = h[1]
+            handles = [h] if h is not None else []
         else:
             continue
         for h in handles:
@@ -478,20 +481,40 @@ def _pair_cluster_start(k1, k2, aux, keys, read_count, bias, break_on_k2):
         jnp.int32(bias), jnp.int32(read_count), cap, bool(break_on_k2))
 
 
+def _pair_cluster_compact(out):
+    """Fetch n_kept and dispatch the pair-output compaction (async);
+    returns (n_kept, packed_handle)."""
+    import jax
+
+    from cutesv_tpu.ops.pair_cluster import compact_pair_outputs
+
+    if out is None or isinstance(out, tuple):
+        return out
+    nk = int(jax.device_get(out["n_kept"]))
+    if nk == 0:
+        return (0, None)
+    cap_out = min(padded_size(nk), int(out["cid"].shape[0]))
+    return (nk, compact_pair_outputs(out["cid"], out["stream_idx"],
+                                     cap_out))
+
+
 def _pair_cluster_finish(out):
     """Fetch a dispatched pair-cluster kernel; yields slices of
-    kernel-order row indices (stream_idx) per kept cluster."""
+    kernel-order row indices (stream_idx) per kept cluster. Accepts the
+    raw kernel handle or the (n_kept, packed) pair from
+    :func:`_pair_cluster_compact`."""
     if out is None:
         return []
     import jax
 
-    got = jax.device_get(out)  # one batched transfer
-    nk = int(got["n_kept"])
-    cid = np.asarray(got["cid"])[:nk]
-    sidx = np.asarray(got["stream_idx"])[:nk]
+    if not isinstance(out, tuple):
+        out = _pair_cluster_compact(out)
+    nk, comp = out
     if nk == 0:
         return []
-    bounds = np.flatnonzero(np.diff(cid)) + 1
+    packed = np.asarray(jax.device_get(comp))[:nk]
+    sidx = (packed & np.uint32(0x7FFFFFFF)).astype(np.int64)
+    bounds = np.flatnonzero(packed[1:] >> np.uint32(31)) + 1
     slices = []
     lo = 0
     for hi in list(bounds) + [nk]:
@@ -600,6 +623,15 @@ def resolve_pair_start(sigs: Sequence, is_inv: bool, read_count: int,
         return ("done", slices)
     return ("pending", _pair_cluster_start(
         k1, k2, aux, keys, read_count, max_cluster_bias, is_inv))
+
+
+def resolve_pair_compact(state):
+    """Fetch n_kept + dispatch the output compaction for a pending pair
+    state (run before prefetch_to_host so host copies move packed rows)."""
+    kind, payload = state
+    if kind != "pending":
+        return state
+    return ("pending", _pair_cluster_compact(payload))
 
 
 def resolve_pair_finish(state, sigs: Sequence, is_inv: bool, chrom: str,

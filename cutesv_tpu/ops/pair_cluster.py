@@ -91,3 +91,15 @@ def sharded_pair_cluster(mesh, max_cluster_bias, read_count,
         in_specs=(P("genome", None),) * 5,
         out_specs=(P("genome", None),) * 2 + (P("genome"),),
     ))
+
+@partial(jax.jit, static_argnames=("cap_out",))
+def compact_pair_outputs(cid, stream_idx, cap_out: int):
+    """Shrink pair-kernel outputs to the leading ``cap_out`` rows (kept
+    rows sort to the front): the host consumer only needs cluster
+    boundaries + row indices, so one uint32 per kept row (boundary flag
+    in the top bit) replaces five full-width padded arrays."""
+    boundary = jnp.concatenate([
+        jnp.ones((1,), jnp.uint32),
+        (cid[1:] != cid[:-1]).astype(jnp.uint32)])
+    packed = stream_idx.astype(jnp.uint32) | (boundary << 31)
+    return jax.lax.slice(packed, (0,), (cap_out,))

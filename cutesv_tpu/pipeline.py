@@ -535,6 +535,10 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             for chrom, sigs in store.sigs["DUP"].items()}
         device_models.resolve_indel_multi_compact(del_state)
         device_models.resolve_indel_multi_compact(ins_state)
+        inv_states = {c: device_models.resolve_pair_compact(s)
+                      for c, s in inv_states.items()}
+        dup_states = {c: device_models.resolve_pair_compact(s)
+                      for c, s in dup_states.items()}
         device_models.prefetch_to_host(
             del_state, ins_state, *inv_states.values(),
             *dup_states.values())
