@@ -75,7 +75,10 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
     sort/pad/upload work competes with the decoder's inflate threads, so
     it only pays when spare cores exist — measured on a 2-core host the
     resolve gain (0.83s -> 0.62s at 100Mb) exactly cancels against the
-    slower decode. CUTESV_STREAM_DISPATCH=1/0 forces it on/off."""
+    slower decode. CUTESV_STREAM_DISPATCH=0 forces it off;
+    CUTESV_STREAM_DISPATCH=1 bypasses only the core-count heuristic —
+    the structural gate (BAM input, device engine, single shard,
+    non-distributed) always applies."""
     forced = os.environ.get("CUTESV_STREAM_DISPATCH")
     if forced is not None:
         if forced != "1":
@@ -181,7 +184,15 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
         bed_ids = (np.array(bc, np.int32), np.array(bs, np.int64),
                    np.array(be, np.int64))
     if _stream_dispatch_ok(cfg, is_cram):
-        return _decode_bam_native_streaming(cfg, bed_ids)
+        try:
+            return _decode_bam_native_streaming(cfg, bed_ids)
+        except Exception:
+            # a device/JAX failure during early dispatch is a streaming
+            # problem, not a decoder problem: fall back to the plain
+            # native decode instead of surfacing it to decode_bam's
+            # python-reader fallback
+            log.warning("streaming decode dispatch failed; decoding "
+                        "without overlap", exc_info=True)
     nd = native_io.decode(cfg.input, cfg, bed_ids,
                           reference=cfg.reference if is_cram else None)
     store = sigstore.build_store_native(nd, cfg)
@@ -355,12 +366,6 @@ def _del_ins_apply(chrom, cands, jobs, census, counts):
 def _del_ins_cover_spec(per_chrom: Dict[str, tuple]):
     return (per_chrom, lambda jobs: [[j["window"] for j in jobs]],
             _del_ins_apply)
-
-
-def _fill_gt_del_ins_batched(per_chrom: Dict[str, tuple], store,
-                             cfg: Config) -> None:
-    """call_gt for DEL/INS, all chromosomes in one cover pass."""
-    _batched_cover_multi([_del_ins_cover_spec(per_chrom)], store, cfg)
 
 
 def _support_inter_counts(census, jobs, supports=None) -> np.ndarray:
