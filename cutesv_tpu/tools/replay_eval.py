@@ -75,6 +75,41 @@ def eval_window(vcf_path: str, truth_bed: str, zygosity_bed: str,
     return out
 
 
+def _gt_map(path: str) -> Dict[tuple, tuple]:
+    """(chrom, id) -> (svtype, GT) for every record of a VCF."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            svtype = f[2].split(".")[1] if "." in f[2] else "?"
+            out[(f[0], f[2])] = (svtype, f[9].split(":")[0])
+    return out
+
+
+def force_call_window(prefix: str, wd: str, cfg_args: dict,
+                      agg: Dict[str, list]) -> None:
+    """Regenotype the window's discovery VCF (-Ivcf round trip) and
+    accumulate per-type GT concordance into ``agg``."""
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.forcecalling import run_force_calling
+
+    fc_wd = wd + "_fc"
+    os.makedirs(fc_wd, exist_ok=True)
+    cfg = Config(output=prefix + ".fc.vcf", work_dir=fc_wd,
+                 Ivcf=prefix + ".vcf", **cfg_args)
+    run_force_calling(cfg, ["replay_eval", "fc"])
+    disc = _gt_map(prefix + ".vcf")
+    regt = _gt_map(prefix + ".fc.vcf")
+    for key, (svtype, gt) in disc.items():
+        a = agg.setdefault(svtype, [0, 0])
+        a[1] += 1
+        if key in regt and regt[key][1] == gt:
+            a[0] += 1
+    shutil.rmtree(fc_wd, ignore_errors=True)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="replay_eval",
@@ -99,6 +134,9 @@ def main(argv=None) -> int:
     p.add_argument("--decoder", default="auto")
     p.add_argument("--keep", action="store_true",
                    help="Keep per-window bam/fa/vcf artifacts.")
+    p.add_argument("--force_call", action="store_true",
+                   help="Also regenotype each window's discovery VCF "
+                        "(-Ivcf round trip) and report GT concordance.")
     args = p.parse_args(argv)
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -114,6 +152,7 @@ def main(argv=None) -> int:
     w = args.window_mb * 1_000_000
     os.makedirs(args.out, exist_ok=True)
     agg: Dict[str, list] = {}
+    fc_agg: Dict[str, list] = {}
     n_windows = 0
     dropped_total = 0
     t0 = time.time()
@@ -145,6 +184,13 @@ def main(argv=None) -> int:
                          max_size=args.max_size, engine=args.engine,
                          decoder=args.decoder)
             run_pipeline(cfg, ["replay_eval", tag])
+            if args.force_call:
+                force_call_window(
+                    prefix, wd,
+                    dict(input=prefix + ".bam", reference=prefix + ".fa",
+                         genotype=True, min_support=args.min_support,
+                         max_size=args.max_size, engine=args.engine,
+                         decoder=args.decoder), fc_agg)
             res = eval_window(prefix + ".vcf", prefix + ".truth.bed",
                               prefix + ".zygosity.bed", args.bias,
                               args.offset)
@@ -158,7 +204,7 @@ def main(argv=None) -> int:
                               for s, v in sorted(res.items())))
             if not args.keep:
                 shutil.rmtree(wd, ignore_errors=True)
-                for suffix in (".bam", ".fa", ".fa.fai", ".vcf",
+                for suffix in (".bam", ".fa", ".fa.fai", ".vcf", ".fc.vcf",
                                ".truth.bed", ".zygosity.bed"):
                     try:
                         os.remove(prefix + suffix)
@@ -172,6 +218,12 @@ def main(argv=None) -> int:
         print("%s\t%d\t%d (%.1f%%)\t%d (%.1f%%)"
               % (svtype, tot, m1, 100.0 * m1 / max(tot, 1),
                  m2, 100.0 * m2 / max(tot, 1)))
+    if args.force_call and fc_agg:
+        print("force-calling GT concordance (regenotyped vs discovery):")
+        for svtype in sorted(fc_agg):
+            m, tot = fc_agg[svtype]
+            print("%s\t%d/%d (%.1f%%)"
+                  % (svtype, m, tot, 100.0 * m / max(tot, 1)))
     print("windows=%d replayer_dropped=%d elapsed=%.1fs"
           % (n_windows, dropped_total, time.time() - t0))
     return 0
