@@ -121,11 +121,9 @@ def _cluster_stream_dispatch(stream: IndelStream, read_count: int,
         return jnp.asarray(np.concatenate(
             [a.astype(dtype), np.zeros(pad, dtype)]))
 
-    valid = jnp.asarray(
-        np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]))
     return indel_cluster_structure(
         padded(stream.pos, np.int32), padded(stream.length, np.int32),
-        padded(stream.rid, np.int32), valid,
+        padded(stream.rid, np.int32), jnp.int32(n),
         jnp.int32(bias), jnp.int32(read_count), cap)
 
 
@@ -473,11 +471,9 @@ def _pair_cluster_start(k1, k2, aux, keys, read_count, bias, break_on_k2):
         return jnp.asarray(np.concatenate(
             [np.asarray(a).astype(dtype), np.zeros(pad, dtype)]))
 
-    valid = jnp.asarray(np.concatenate([np.ones(n, bool),
-                                        np.zeros(pad, bool)]))
     return pair_cluster_structure(
         padded(k1, np.int32), padded(k2, np.int32),
-        padded(aux, np.int32), padded(rid, np.int32), valid,
+        padded(aux, np.int32), padded(rid, np.int32), jnp.int32(n),
         jnp.int32(bias), jnp.int32(read_count), cap, bool(break_on_k2))
 
 
@@ -564,7 +560,7 @@ def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
     a_k2 = np.zeros((n_shards, shard_rows), np.int32)
     a_aux = np.zeros((n_shards, shard_rows), np.int32)
     a_rid = np.zeros((n_shards, shard_rows), np.int32)
-    a_val = np.zeros((n_shards, shard_rows), bool)
+    a_nv = np.zeros((n_shards, 1), np.int32)
     k1a = np.asarray(k1, np.int32)
     k2a = np.asarray(k2, np.int32)
     auxa = np.asarray(aux, np.int32)
@@ -575,13 +571,13 @@ def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
         a_k2[k, :m] = k2a[lo:hi]
         a_aux[k, :m] = auxa[lo:hi]
         a_rid[k, :m] = rid[lo:hi]
-        a_val[k, :m] = True
+        a_nv[k, 0] = m
     mesh = pmesh.make_mesh(n_shards, devices=devices)
     fn = sharded_pair_cluster(mesh, bias, read_count, shard_rows,
                               bool(break_on_k2))
     cid_s, sidx_s, nk_s = jax.device_get(fn(
         jnp.asarray(a_k1), jnp.asarray(a_k2), jnp.asarray(a_aux),
-        jnp.asarray(a_rid), jnp.asarray(a_val)))
+        jnp.asarray(a_rid), jnp.asarray(a_nv)))
     # shards are stream-order contiguous, so concatenating per-shard
     # cluster slices in shard order reproduces the global kernel order
     slices = []
@@ -920,20 +916,20 @@ def _cluster_stream_sharded(stream, read_count: int, bias: int,
     pos = np.zeros((n_shards, shard_rows), np.int32)
     length = np.zeros((n_shards, shard_rows), np.int32)
     rid = np.zeros((n_shards, shard_rows), np.int32)
-    valid = np.zeros((n_shards, shard_rows), bool)
+    nv = np.zeros((n_shards, 1), np.int32)
     for k in range(n_shards):
         lo, hi = bounds[k], bounds[k + 1]
         m = hi - lo
         pos[k, :m] = stream.pos[lo:hi]
         length[k, :m] = stream.length[lo:hi]
         rid[k, :m] = stream.rid[lo:hi]
-        valid[k, :m] = True
+        nv[k, 0] = m
     mesh = pmesh.make_mesh(n_shards, devices=devices)
     fn = sharded_cluster_structure(mesh, bias, read_count, shard_rows)
     import jax.numpy as jnp
     cid_s, pos_s, len_s, sidx_s, nk_s = jax.device_get(fn(
         jnp.asarray(pos), jnp.asarray(length), jnp.asarray(rid),
-        jnp.asarray(valid)))
+        jnp.asarray(nv)))
     cids, poss, lens, sidxs = [], [], [], []
     for k in range(n_shards):
         nk = int(nk_s[k])

@@ -28,12 +28,15 @@ from cutesv_tpu.ops import segments as seg
 
 
 @partial(jax.jit, static_argnames=("num_rows",))
-def indel_cluster_structure(pos, length, rid, valid, max_cluster_bias,
+def indel_cluster_structure(pos, length, rid, n_valid, max_cluster_bias,
                             read_count, num_rows: int):
-    """All arrays are length ``num_rows`` (padded). Returns a dict of
-    arrays in 'allele stream' order plus per-cluster integer stats."""
+    """All arrays are length ``num_rows`` (padded; the first ``n_valid``
+    rows are real — the mask is derived on device so one byte per padded
+    row never crosses the host->device link). Returns a dict of arrays
+    in 'allele stream' order plus per-cluster integer stats."""
     n = num_rows
     idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
     big = jnp.int32(n + 1)
 
     # --- 1. gap clusters over the (already sorted) stream ---------------
@@ -121,8 +124,8 @@ def sharded_cluster_structure(mesh, max_cluster_bias, read_count,
     bias = jnp.int32(max_cluster_bias)
     rc = jnp.int32(read_count)
 
-    def per_shard(pos, length, rid, valid):
-        out = indel_cluster_structure(pos[0], length[0], rid[0], valid[0],
+    def per_shard(pos, length, rid, nv):
+        out = indel_cluster_structure(pos[0], length[0], rid[0], nv[0, 0],
                                       bias, rc, shard_rows)
         return (out["cid"][None], out["pos"][None], out["length"][None],
                 out["stream_idx"][None], out["n_kept"][None])

@@ -19,12 +19,14 @@ from cutesv_tpu.ops import segments as seg
 
 
 @partial(jax.jit, static_argnames=("num_rows", "break_on_k2"))
-def pair_cluster_structure(k1, k2, aux, rid, valid, bias, read_count,
+def pair_cluster_structure(k1, k2, aux, rid, n_valid, bias, read_count,
                            num_rows: int, break_on_k2: bool):
-    """Arrays are length ``num_rows`` (padded). Returns kept rows sorted by
-    (cluster, k2, stream order) plus n_kept."""
+    """Arrays are length ``num_rows`` (padded; the first ``n_valid`` rows
+    are real — the mask is derived on device). Returns kept rows sorted
+    by (cluster, k2, stream order) plus n_kept."""
     n = num_rows
     idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
     big = jnp.int32(n + 1)
 
     prev_k1 = jnp.concatenate([k1[:1], k1[:-1]])
@@ -80,9 +82,10 @@ def sharded_pair_cluster(mesh, max_cluster_bias, read_count,
     bias = jnp.int32(max_cluster_bias)
     rc = jnp.int32(read_count)
 
-    def per_shard(k1, k2, aux, rid, valid):
-        out = pair_cluster_structure(k1[0], k2[0], aux[0], rid[0], valid[0],
-                                     bias, rc, shard_rows, break_on_k2)
+    def per_shard(k1, k2, aux, rid, nv):
+        out = pair_cluster_structure(k1[0], k2[0], aux[0], rid[0],
+                                     nv[0, 0], bias, rc, shard_rows,
+                                     break_on_k2)
         return (out["cid"][None], out["stream_idx"][None],
                 out["n_kept"][None])
 
