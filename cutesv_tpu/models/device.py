@@ -321,9 +321,10 @@ def resolve_del_device(sigs, chrom: str, read_count: int,
 
 def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
               max_cluster_bias, minimum_support_reads, remain_reads_ratio,
-              action):
+              action, need_names=True):
     """Allele finalize + candidate build over kept DEL rows (allele-stream
-    order) of one chromosome."""
+    order) of one chromosome. ``need_names=False`` skips rendering the
+    RNAMES column (only consumed under --report_readid)."""
     if remain_reads_ratio > 1:
         remain_reads_ratio = 1
     candidates: List[list] = []
@@ -339,7 +340,7 @@ def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
         bp_i = bp_v.astype(np.int64)  # int() truncation, all positive
         len_i = len_v.astype(np.int64)
         thr_i = thr_v.astype(np.int64)
-    all_names = stream.names_of(sidx)
+    all_names = stream.names_of(sidx) if need_names else None
     all_keys = stream.keys_of(sidx)
     n_rows = len(cid)
     for a in order:
@@ -361,7 +362,7 @@ def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
             ln_s = str(int(-al["signal_len"]))
             anchor = int(al["search_threshold"])
             cipos, cilen = al["cipos"], al["cilen"]
-        names = ",".join(all_names[lo:hi])
+        names = ",".join(all_names[lo:hi]) if need_names else ""
         if action:
             gt_jobs.append(dict(
                 window=(max(anchor - max_cluster_bias, 0),
@@ -394,7 +395,7 @@ def resolve_ins_device(sigs, chrom: str, read_count: int,
 
 def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
               max_cluster_bias, minimum_support_reads, remain_reads_ratio,
-              action):
+              action, need_names=True):
     if remain_reads_ratio > 1:
         remain_reads_ratio = 1
     candidates: List[list] = []
@@ -408,7 +409,7 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
         cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
         cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
         len_i = len_v.astype(np.int64)  # int() truncation, all positive
-    all_names = stream.names_of(sidx)
+    all_names = stream.names_of(sidx) if need_names else None
     all_keys = stream.keys_of(sidx)
     row_seq_len = stream.seq_len[sidx] if len(sidx) else np.empty(0, np.int64)
     n_rows = len(cid)
@@ -433,7 +434,7 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
         k = lo + int(ok[0])
         breakpoint = int(pos[k])
         ideal_seq = stream.seq_of(int(sidx[k]))[:isl]
-        names = ",".join(all_names[lo:hi])
+        names = ",".join(all_names[lo:hi]) if need_names else ""
         if action:
             gt_jobs.append(dict(window=(max(breakpoint - 1000, 0),
                                         breakpoint + 1000),
@@ -798,7 +799,8 @@ def resolve_indel_multi_compact(state) -> None:
 
 def resolve_indel_multi_finish(state, threshold_gloab: float,
                                minimum_support_reads: int,
-                               remain_reads_ratio: float, action: bool):
+                               remain_reads_ratio: float, action: bool,
+                               need_names: bool = True):
     """Phase 2: fetch kernel outputs and run the per-chromosome host
     emission; returns {chrom: (candidates, gt_jobs)}."""
     emit = _emit_ins if state["is_ins"] else _emit_del
@@ -832,7 +834,8 @@ def resolve_indel_multi_finish(state, threshold_gloab: float,
             out[chrom] = emit(cid[lo:hi], pos[lo:hi], length[lo:hi],
                               local_sidx, stream, chrom, threshold_gloab,
                               max_cluster_bias, minimum_support_reads,
-                              remain_reads_ratio, action)
+                              remain_reads_ratio, action,
+                              need_names=need_names)
             lo = hi
         for c, _, _ in members:
             out.setdefault(c, ([], []))

@@ -549,10 +549,12 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             *dup_states.values())
         del_res = device_models.resolve_indel_multi_finish(
             del_state, cfg.diff_ratio_merging_DEL, min_sup5,
-            cfg.remain_reads_ratio, action)
+            cfg.remain_reads_ratio, action,
+            need_names=cfg.report_readid)
         ins_res = device_models.resolve_indel_multi_finish(
             ins_state, cfg.diff_ratio_merging_INS, min_sup5,
-            cfg.remain_reads_ratio, action)
+            cfg.remain_reads_ratio, action,
+            need_names=cfg.report_readid)
     else:
         del_res = {
             chrom: resolve_del(sigs, chrom, cfg.min_support,
