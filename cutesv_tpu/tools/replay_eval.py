@@ -88,17 +88,19 @@ def _gt_map(path: str) -> Dict[tuple, tuple]:
     return out
 
 
-def force_call_window(prefix: str, wd: str, cfg_args: dict,
+def force_call_window(prefix: str, wd: str, disc_cfg,
                       agg: Dict[str, list]) -> None:
-    """Regenotype the window's discovery VCF (-Ivcf round trip) and
-    accumulate per-type GT concordance into ``agg``."""
-    from cutesv_tpu.config import Config
+    """Regenotype the window's discovery VCF (-Ivcf round trip) with the
+    discovery run's exact settings; accumulate per-type GT concordance
+    into ``agg``."""
+    import dataclasses
+
     from cutesv_tpu.forcecalling import run_force_calling
 
     fc_wd = wd + "_fc"
     os.makedirs(fc_wd, exist_ok=True)
-    cfg = Config(output=prefix + ".fc.vcf", work_dir=fc_wd,
-                 Ivcf=prefix + ".vcf", **cfg_args)
+    cfg = dataclasses.replace(disc_cfg, output=prefix + ".fc.vcf",
+                              work_dir=fc_wd, Ivcf=prefix + ".vcf")
     run_force_calling(cfg, ["replay_eval", "fc"])
     disc = _gt_map(prefix + ".vcf")
     regt = _gt_map(prefix + ".fc.vcf")
@@ -185,12 +187,7 @@ def main(argv=None) -> int:
                          decoder=args.decoder)
             run_pipeline(cfg, ["replay_eval", tag])
             if args.force_call:
-                force_call_window(
-                    prefix, wd,
-                    dict(input=prefix + ".bam", reference=prefix + ".fa",
-                         genotype=True, min_support=args.min_support,
-                         max_size=args.max_size, engine=args.engine,
-                         decoder=args.decoder), fc_agg)
+                force_call_window(prefix, wd, cfg, fc_agg)
             res = eval_window(prefix + ".vcf", prefix + ".truth.bed",
                               prefix + ".zygosity.bed", args.bias,
                               args.offset)
