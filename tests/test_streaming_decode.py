@@ -65,6 +65,47 @@ def test_streaming_pipeline_identical(tmp_path, monkeypatch):
     assert sum(1 for ln in outs["stream"] if not ln.startswith("#")) >= 4
 
 
+def test_streaming_identical_on_unsorted_bam(tmp_path, monkeypatch):
+    """On a coordinate-UNSORTED BAM the progress counter over-reports
+    completion; the fingerprint validation must reject stale snapshots so
+    the streaming path still matches the plain path byte-for-byte."""
+    import random as _random
+
+    rng = _random.Random(3)
+    ref = simdata.make_reference(rng, {"chrA": 90_000, "chrB": 90_000})
+    plans = []
+    rid = 0
+    for cid, cname in ((0, "chrA"), (1, "chrB")):
+        chrom = ref[cname]
+        for start in range(0, 87_000, 400):
+            rid += 1
+            q = "u%05d" % rid
+            if 27_350 <= start <= 29_500:
+                plans.append(simdata.read_with_del(
+                    chrom, cid, start, 30_000, 150,
+                    start + 3000 - 30_150, q))
+            else:
+                plans.append(simdata.plain_read(chrom, cid, start, 3000, q))
+    rng.shuffle(plans)
+    bam = tmp_path / "un.bam"
+    fa = tmp_path / "un.fa"
+    simdata.write_bam(str(bam), [("chrA", 90_000), ("chrB", 90_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+    outs = {}
+    for label, flag in (("stream", "1"), ("plain", "0")):
+        monkeypatch.setenv("CUTESV_STREAM_DISPATCH", flag)
+        out = tmp_path / ("u_%s.vcf" % label)
+        wd = tmp_path / ("uw_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(wd), genotype=True, min_support=3,
+                     engine="device", decoder="native")
+        run_pipeline(cfg, ["x"])
+        outs[label] = [ln for ln in out.read_text().splitlines()
+                       if not ln.startswith("##")]
+    assert outs["stream"] == outs["plain"]
+
+
 def test_snapshot_prepare_validation_and_early_resolve(tmp_path):
     """Snapshots prepared with local ranks must validate against the
     final store and drive the early-kernel resolve path to identical
