@@ -90,6 +90,7 @@ def cover_counts_pallas(sv_windows, read_starts, read_ends,
     st[:n_reads] = 2 * np.asarray(read_starts, np.int64)
     en[:n_reads] = 2 * np.asarray(read_ends, np.int64)
     out = np.zeros(sp, np.int64)
+    pending = []  # dispatch every chunk before fetching any
     for r0 in range(0, rp, READ_CHUNK):
         st_j = jnp.asarray(st[r0:r0 + READ_CHUNK].reshape(-1, READ_TILE),
                            jnp.int32)
@@ -100,5 +101,10 @@ def cover_counts_pallas(sv_windows, read_starts, read_ends,
                 jnp.asarray(sv_s[s0:s0 + SV_CHUNK], jnp.int32),
                 jnp.asarray(sv_e[s0:s0 + SV_CHUNK], jnp.int32),
                 st_j, en_j, interpret=interpret)
-            out[s0:s0 + SV_CHUNK] += np.asarray(acc).reshape(-1)
+            copy = getattr(acc, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+            pending.append((s0, acc))
+    for s0, acc in pending:
+        out[s0:s0 + SV_CHUNK] += np.asarray(acc).reshape(-1)
     return out[:n_sv]
