@@ -337,22 +337,27 @@ def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
                                                        first_row, support)
         cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
         cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
-        bp_i = bp_v.astype(np.int64)  # int() truncation, all positive
-        len_i = len_v.astype(np.int64)
-        thr_i = thr_v.astype(np.int64)
+        # int() truncation (all positive); python ints via tolist()
+        # because str()/int() on numpy scalars is several times slower
+        bp_i = bp_v.astype(np.int64).tolist()
+        len_i = len_v.astype(np.int64).tolist()
+        thr_i = thr_v.astype(np.int64).tolist()
+    sup_l = support.tolist()
+    fr_l = first_row.tolist()
     all_names = stream.names_of(sidx) if need_names else None
     all_keys = stream.keys_of(sidx)
     n_rows = len(cid)
-    for a in order:
-        sup = int(support[a])
+    n_alleles = len(fr_l)
+    for a in order.tolist():
+        sup = sup_l[a]
         if sup < minimum_support_reads:
             continue
-        lo = int(first_row[a])
-        hi = int(first_row[a + 1]) if a + 1 < len(first_row) else n_rows
+        lo = fr_l[a]
+        hi = fr_l[a + 1] if a + 1 < n_alleles else n_rows
         if fast:
             bp_s = str(bp_i[a])
             ln_s = str(-len_i[a])
-            anchor = int(thr_i[a])
+            anchor = thr_i[a]
             cipos, cilen = cipos_v[a], cilen_v[a]
         else:
             al = finalize_indel_allele([int(p) for p in pos[lo:hi]],
@@ -408,7 +413,10 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
                                                        first_row, support)
         cipos_v = _cipos_vectorized(pos, first_row, support, aid, bp_v)
         cilen_v = _cipos_vectorized(length, first_row, support, aid, len_v)
-        len_i = len_v.astype(np.int64)  # int() truncation, all positive
+        # int() truncation, all positive; python ints via tolist()
+        len_i = len_v.astype(np.int64).tolist()
+    sup_l = support.tolist()
+    fr_l = first_row.tolist()
     all_names = stream.names_of(sidx) if need_names else None
     all_keys = stream.keys_of(sidx)
     row_seq_len = stream.seq_len[sidx] if len(sidx) else np.empty(0, np.int64)
