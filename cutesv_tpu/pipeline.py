@@ -351,9 +351,11 @@ def _del_ins_apply(chrom, cands, jobs, census, counts):
     covers = counts[0]
     supports = [set(j["support"]) for j in jobs]
     inter = _support_inter_counts(census, jobs, supports)
+    drs = (np.asarray(covers, np.int64)
+           - np.asarray(inter, np.int64)).tolist()
     table = gl_table()
     for i, (cand, job) in enumerate(zip(cands, jobs)):
-        dr = int(covers[i]) - int(inter[i])
+        dr = drs[i]
         dv = len(supports[i])
         gt, pl, gq, qual = table.lookup(dr, dv)
         cand[7] = str(dr)
@@ -438,8 +440,9 @@ def _two_window_apply(cands, jobs, census, c1, c2, ch, idxs) -> None:
     p_names = [census["name"][i] for i in np.nonzero(prim)[0]]
     name_iv = {n: (p_start[k], p_end[k]) for k, n in enumerate(p_names)}
     table = gl_table()
-    for cand, job, n1, n2, nh in zip(cands, jobs, c1, c2, ch):
-        union = int(n1) + int(n2) - int(nh)
+    unions = (np.asarray(c1, np.int64) + np.asarray(c2, np.int64)
+              - np.asarray(ch, np.int64)).tolist()
+    for cand, job, union in zip(cands, jobs, unions):
         support = job["support"]
         inter = 0
         for name in support:
