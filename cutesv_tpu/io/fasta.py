@@ -80,8 +80,75 @@ class FastaFile:
         arr = np.asarray(self._buf[s:e])
         return arr[arr > 32].tobytes().decode("ascii")
 
+    def fetch_lazy(self, name: str):
+        """A string-like view decoding only the bases that are indexed —
+        the VCF emitter touches a handful of REF positions per call, so
+        whole-chromosome decodes (O(genome) bytes) are wasted work. Falls
+        back to the eager string when the contig's line layout is not
+        the uniform-width faidx shape."""
+        if name not in self._regions:
+            raise KeyError(name)
+        s, e = self._regions[name]
+        arr = np.asarray(self._buf[s:e])
+        nl = np.flatnonzero(arr == 10)
+        if len(nl) == 0:
+            return self.fetch(name)
+        w = int(nl[0])
+        if w <= 0:
+            return self.fetch(name)
+        # every full line must be width w; only the final line (newline-
+        # terminated or a trailing piece) may be shorter
+        widths = np.diff(nl) - 1
+        tail = int(e - s) - (int(nl[-1]) + 1)
+        if tail > 0:
+            full = widths
+        else:
+            full = widths[:-1]
+            if len(widths) and int(widths[-1]) > w:
+                return self.fetch(name)
+        if len(full) and bool(np.any(full != w)):
+            return self.fetch(name)
+        if tail > w:
+            return self.fetch(name)
+        # the eager path strips every byte <= 32 (\r, spaces); the view's
+        # offset formula only accounts for the newlines
+        if int(np.count_nonzero(arr <= 32)) != len(nl):
+            return self.fetch(name)
+        return _ChromView(arr, w, int(e - s) - len(nl))
+
     def __contains__(self, name: str) -> bool:
         return name in self._regions
+
+
+class _ChromView:
+    """Lazy contig: base index p of a uniform-width-w FASTA body lives at
+    byte p + p//w. Slicing decodes only the touched bytes and returns
+    plain str, so it drops into the emitter wherever a full chromosome
+    string is expected."""
+
+    def __init__(self, arr, w: int, n_bases: int):
+        self._arr = arr
+        self._w = w
+        self._n = n_bases
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, k):
+        w = self._w
+        if isinstance(k, slice):
+            a, b, step = k.indices(self._n)
+            if step != 1 or b <= a:
+                return ""
+            lo = a + a // w
+            hi = (b - 1) + (b - 1) // w + 1
+            chunk = self._arr[lo:hi]
+            return chunk[chunk > 32].tobytes().decode("ascii")
+        if k < 0:
+            k += self._n
+        if not 0 <= k < self._n:
+            raise IndexError(k)
+        return chr(self._arr[k + k // w])
 
 
 def write_fasta(path: str, seqs: Dict[str, str], width: int = 60):

@@ -778,7 +778,7 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
             raise KeyError(
                 "No corresponding contig in reference with %s." % chrom)
         per_chrom[chrom] = vcf.format_chrom_records(
-            cfg, rows, fasta.fetch(chrom), chrom)
+            cfg, rows, fasta.fetch_lazy(chrom), chrom)
     vcf.write_vcf(cfg.output, cfg, per_chrom, references, argv)
     stats["emit_s"] = time.time() - t2
     stats["total_s"] = time.time() - t0

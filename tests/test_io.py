@@ -105,3 +105,61 @@ def test_fasta_edge_cases(tmp_path):
     empty = tmp_path / "empty.fa"
     empty.write_bytes(b"")
     assert FastaFile(str(empty)).references == []
+
+
+def test_fasta_lazy_view_matches_eager(tmp_path):
+    """fetch_lazy must agree with fetch() byte-for-byte on every access
+    pattern the emitter uses, across line widths, short/unterminated last
+    lines, and fall back on layouts the offset formula cannot serve."""
+    import random
+
+    import numpy as np
+
+    from cutesv_tpu.io.fasta import FastaFile, _ChromView
+
+    rng = random.Random(5)
+    cases = {
+        "w60": ("".join(rng.choice("ACGTN") for _ in range(605)), 60),
+        "w10_exact": ("".join(rng.choice("ACGT") for _ in range(100)), 10),
+        "oneline": ("ACGTACGTAA", None),
+        "iupac": ("RYKMACGT" * 40, 33),
+    }
+    path = tmp_path / "lz.fa"
+    with open(path, "w") as fh:
+        for name, (seq, w) in cases.items():
+            fh.write(">%s\n" % name)
+            if w is None:
+                fh.write(seq)  # unterminated single line
+                fh.write("\n")
+            else:
+                for i in range(0, len(seq), w):
+                    fh.write(seq[i:i + w] + "\n")
+    fa = FastaFile(str(path))
+    for name, (seq, _) in cases.items():
+        eager = fa.fetch(name)
+        assert eager == seq
+        view = fa.fetch_lazy(name)
+        assert len(view) == len(seq)
+        for _ in range(200):
+            k = rng.randrange(len(seq))
+            assert view[k] == seq[k], (name, k)
+            a = rng.randrange(len(seq))
+            b = rng.randrange(a, min(len(seq) + 5, a + 150))
+            assert view[a:b] == seq[a:b], (name, a, b)
+        assert view[max(len(seq) - 1, 0)] == seq[-1]
+        try:
+            view[len(seq)]
+            raise AssertionError("expected IndexError")
+        except IndexError:
+            pass
+
+    # ragged and whitespace layouts must fall back to the eager string
+    odd = tmp_path / "odd.fa"
+    with open(odd, "w") as fh:
+        fh.write(">ragged\nACGTACGT\nACG\nACGTACGT\n")
+        fh.write(">crlf\nACGTAC\r\nGTACGT\r\n")
+    fa2 = FastaFile(str(odd))
+    for name in ("ragged", "crlf"):
+        lazy = fa2.fetch_lazy(name)
+        assert not isinstance(lazy, _ChromView)
+        assert lazy == fa2.fetch(name)
