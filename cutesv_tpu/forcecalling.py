@@ -611,7 +611,7 @@ def run_force_calling(cfg, argv):
                 raise KeyError(
                     "No corresponding contig in reference with %s." % chrom)
             for line in generate_pvcf_lines(cfg, out["result"][chrom],
-                                            fasta.fetch(chrom)):
+                                            fasta.fetch_lazy(chrom)):
                 fh.write(line)
     log.info("Force calling finished: %d sites"
              % sum(len(v) for v in out["result"].values()))

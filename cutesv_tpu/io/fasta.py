@@ -138,7 +138,14 @@ class _ChromView:
         w = self._w
         if isinstance(k, slice):
             a, b, step = k.indices(self._n)
-            if step != 1 or b <= a:
+            if step != 1:
+                # decode the covering range, then apply the stride on the
+                # str so semantics match an eagerly fetched string
+                lo, hi = min(a, b), max(a, b)
+                if step < 0:
+                    lo, hi = lo + 1, hi + 1
+                return self[lo:hi][::step] if hi > lo else ""
+            if b <= a:
                 return ""
             lo = a + a // w
             hi = (b - 1) + (b - 1) // w + 1

@@ -421,14 +421,15 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
     all_keys = stream.keys_of(sidx)
     row_seq_len = stream.seq_len[sidx] if len(sidx) else np.empty(0, np.int64)
     n_rows = len(cid)
-    for a in order:
-        sup = int(support[a])
+    n_alleles = len(fr_l)
+    for a in order.tolist():
+        sup = sup_l[a]
         if sup < minimum_support_reads:
             continue
-        lo = int(first_row[a])
-        hi = int(first_row[a + 1]) if a + 1 < len(first_row) else n_rows
+        lo = fr_l[a]
+        hi = fr_l[a + 1] if a + 1 < n_alleles else n_rows
         if fast:
-            isl = int(len_i[a])
+            isl = len_i[a]
             cipos, cilen = cipos_v[a], cilen_v[a]
         else:
             al = finalize_indel_allele([int(p) for p in pos[lo:hi]],

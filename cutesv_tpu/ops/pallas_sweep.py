@@ -90,7 +90,18 @@ def cover_counts_pallas(sv_windows, read_starts, read_ends,
     st[:n_reads] = 2 * np.asarray(read_starts, np.int64)
     en[:n_reads] = 2 * np.asarray(read_ends, np.int64)
     out = np.zeros(sp, np.int64)
-    pending = []  # dispatch every chunk before fetching any
+    # bounded-depth pipeline: keep a few chunks in flight (hides the
+    # dispatch/fetch round-trip) without holding every output buffer on
+    # device at once — a genome-scale flush can dispatch thousands of
+    # chunks, and an unbounded pending list would raise the HBM
+    # high-water mark from O(1 chunk) to O(all chunks)
+    pending: list = []
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            s0, acc = pending.pop(0)
+            out[s0:s0 + SV_CHUNK] += np.asarray(acc).reshape(-1)
+
     for r0 in range(0, rp, READ_CHUNK):
         st_j = jnp.asarray(st[r0:r0 + READ_CHUNK].reshape(-1, READ_TILE),
                            jnp.int32)
@@ -105,6 +116,6 @@ def cover_counts_pallas(sv_windows, read_starts, read_ends,
             if copy is not None:
                 copy()
             pending.append((s0, acc))
-    for s0, acc in pending:
-        out[s0:s0 + SV_CHUNK] += np.asarray(acc).reshape(-1)
+            drain(8)
+    drain(0)
     return out[:n_sv]

@@ -62,8 +62,9 @@ def read_with_ins(ref: str, chrom_id: int, pos: int, ins_pos: int,
 
 
 def write_bam(path: str, references: List[Tuple[str, int]],
-              plans: List[ReadPlan]):
-    plans = sorted(plans, key=lambda p: (p.chrom_id, p.pos))
+              plans: List[ReadPlan], sort: bool = True):
+    if sort:
+        plans = sorted(plans, key=lambda p: (p.chrom_id, p.pos))
     with BamWriter(path, references) as w:
         for p in plans:
             w.write(p.qname, p.flag, p.chrom_id, p.pos, p.mapq, p.cigar,

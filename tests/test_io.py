@@ -147,6 +147,9 @@ def test_fasta_lazy_view_matches_eager(tmp_path):
             b = rng.randrange(a, min(len(seq) + 5, a + 150))
             assert view[a:b] == seq[a:b], (name, a, b)
         assert view[max(len(seq) - 1, 0)] == seq[-1]
+        assert view[::-1] == seq[::-1]
+        assert view[3:77:2] == seq[3:77:2]
+        assert view[50:10:-3] == seq[50:10:-3]
         try:
             view[len(seq)]
             raise AssertionError("expected IndexError")

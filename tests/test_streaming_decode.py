@@ -89,7 +89,11 @@ def test_streaming_identical_on_unsorted_bam(tmp_path, monkeypatch):
     rng.shuffle(plans)
     bam = tmp_path / "un.bam"
     fa = tmp_path / "un.fa"
-    simdata.write_bam(str(bam), [("chrA", 90_000), ("chrB", 90_000)], plans)
+    # sort=False preserves the shuffle: the BAM on disk is genuinely
+    # coordinate-unsorted, so the decoder's progress counter over-reports
+    # completed chromosomes
+    simdata.write_bam(str(bam), [("chrA", 90_000), ("chrB", 90_000)],
+                      plans, sort=False)
     simdata.write_ref_fasta(str(fa), ref)
     outs = {}
     for label, flag in (("stream", "1"), ("plain", "0")):
