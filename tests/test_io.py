@@ -166,3 +166,29 @@ def test_fasta_lazy_view_matches_eager(tmp_path):
         lazy = fa2.fetch_lazy(name)
         assert not isinstance(lazy, _ChromView)
         assert lazy == fa2.fetch(name)
+
+
+def test_fasta_lazy_view_on_bgzf(tmp_path):
+    """fetch_lazy over a BGZF-compressed FASTA (in-memory buffer, not a
+    memmap) must match the eager decode."""
+    import random
+
+    from cutesv_tpu.io.bgzf import BgzfWriter
+    from cutesv_tpu.io.fasta import FastaFile
+
+    rng = random.Random(11)
+    seq = "".join(rng.choice("ACGT") for _ in range(1234))
+    path = tmp_path / "z.fa.gz"
+    with BgzfWriter(str(path)) as w:
+        w.write(b">c1\n")
+        for i in range(0, len(seq), 50):
+            w.write((seq[i:i + 50] + "\n").encode())
+    fa = FastaFile(str(path))
+    assert fa.fetch("c1") == seq
+    view = fa.fetch_lazy("c1")
+    assert len(view) == len(seq)
+    for _ in range(100):
+        a = rng.randrange(len(seq))
+        b = rng.randrange(a, min(len(seq), a + 90))
+        assert view[a:b] == seq[a:b]
+        assert view[a] == seq[a]
