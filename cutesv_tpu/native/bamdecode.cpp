@@ -518,20 +518,33 @@ struct BgzfChunkReader {
   double t_read = 0, t_inflate = 0;
 
   struct Blk {
-    std::string cdata;
+    size_t off;  // into the chunk's flat compressed buffer
+    uint32_t clen;
     uint32_t isize;
     size_t out_off;
   };
-  std::vector<Blk> blocks;  // reused across chunks
+  // compressed payloads live in one flat reused buffer per chunk (two
+  // chunks alive at once: the one being inflated and the read-ahead)
+  struct Chunk {
+    RawBuf cbuf;
+    std::vector<Blk> blocks;
+    size_t total = 0;
+  };
+  Chunk cur, ra;
+  std::thread rat;        // read-ahead thread filling ``ra``
+  bool ra_active = false;
 
   explicit BgzfChunkReader(FILE* fh, int threads)
       : f(fh), n_threads(std::max(1, threads)) {}
+  ~BgzfChunkReader() { if (rat.joinable()) rat.join(); }
 
-  // Read up to max_blocks BGZF block payloads; returns total inflated size.
-  size_t read_blocks(int max_blocks) {
+  // Read up to max_blocks BGZF block payloads into ``c``.
+  void read_chunk(Chunk& c, int max_blocks) {
     auto t0 = std::chrono::steady_clock::now();
-    blocks.clear();
-    size_t total = 0;
+    c.blocks.clear();
+    c.total = 0;
+    c.cbuf.len = 0;
+    size_t used = 0;
     for (int i = 0; i < max_blocks; i++) {
       unsigned char hdr[12];
       size_t got = fread(hdr, 1, 12, f);
@@ -539,54 +552,53 @@ struct BgzfChunkReader {
       if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b)
         { eof = true; truncated = true; break; }
       uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
-      std::string extra(xlen, '\0');
-      if (fread(&extra[0], 1, xlen, f) != xlen)
+      unsigned char extra[65536];
+      if (fread(extra, 1, xlen, f) != xlen)
         { eof = true; truncated = true; break; }
       int bsize = -1;
       for (int off = 0; off + 4 <= xlen;) {
         uint8_t si1 = extra[off], si2 = extra[off + 1];
-        uint16_t slen =
-            (uint8_t)extra[off + 2] | ((uint8_t)extra[off + 3] << 8);
+        uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
         if (si1 == 66 && si2 == 67 && slen == 2)
-          bsize = (uint8_t)extra[off + 4] | ((uint8_t)extra[off + 5] << 8);
+          bsize = extra[off + 4] | (extra[off + 5] << 8);
         off += 4 + slen;
       }
       if (bsize < 0) { eof = true; truncated = true; break; }
       size_t cdata_len = (size_t)bsize + 1 - 12 - xlen - 8;
-      Blk b;
-      b.cdata.resize(cdata_len);
-      if (fread(&b.cdata[0], 1, cdata_len, f) != cdata_len)
+      c.cbuf.len = used;  // growth must preserve the payloads so far
+      c.cbuf.ensure(used + cdata_len);
+      if (fread(c.cbuf.data() + used, 1, cdata_len, f) != cdata_len)
         { eof = true; truncated = true; break; }
       unsigned char tail[8];
       if (fread(tail, 1, 8, f) != 8)
         { eof = true; truncated = true; break; }
-      b.isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
-                ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
-      b.out_off = total;
-      total += b.isize;
-      blocks.push_back(std::move(b));
+      uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
+                       ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
+      c.blocks.push_back({used, (uint32_t)cdata_len, isize, c.total});
+      used += cdata_len;
+      c.total += isize;
     }
+    c.cbuf.len = used;
     t_read += std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t0).count();
-    return total;
   }
 
-  void inflate_blocks(char* dst) {
+  void inflate_blocks(const Chunk& c, char* dst) {
     auto t1 = std::chrono::steady_clock::now();
     std::atomic<size_t> next{0};
     auto worker = [&]() {
       libdeflate_decompressor* d = libdeflate_alloc_decompressor();
       for (;;) {
         size_t i = next.fetch_add(1);
-        if (i >= blocks.size()) break;
-        const Blk& b = blocks[i];
+        if (i >= c.blocks.size()) break;
+        const Blk& b = c.blocks[i];
         size_t actual = 0;
-        libdeflate_deflate_decompress(d, b.cdata.data(), b.cdata.size(),
+        libdeflate_deflate_decompress(d, c.cbuf.data() + b.off, b.clen,
                                       dst + b.out_off, b.isize, &actual);
       }
       libdeflate_free_decompressor(d);
     };
-    if (n_threads <= 1 || blocks.size() < 4) {
+    if (n_threads <= 1 || c.blocks.size() < 4) {
       worker();
     } else {
       std::vector<std::thread> ts;
@@ -597,26 +609,42 @@ struct BgzfChunkReader {
         std::chrono::steady_clock::now() - t1).count();
   }
 
+  // Pull the next chunk: join the read-ahead (or read synchronously), then
+  // kick off the next read so fread overlaps the inflate + parse below.
+  // Callers consume chunks strictly sequentially from one thread at a time.
+  bool advance(int max_blocks) {
+    if (ra_active) {
+      rat.join();
+      ra_active = false;
+      std::swap(cur, ra);
+    } else {
+      read_chunk(cur, max_blocks);
+    }
+    if (!eof) {
+      rat = std::thread([this, max_blocks]() { read_chunk(ra, max_blocks); });
+      ra_active = true;
+    }
+    return !cur.blocks.empty();
+  }
+
   // string variant (header phase, FASTA load): simple, zero-fills
   bool next_chunk(std::string& out, int max_blocks = 4096) {
-    size_t total = read_blocks(max_blocks);
-    if (blocks.empty()) return false;
+    if (!advance(max_blocks)) return false;
     out.clear();
-    out.resize(total);
-    inflate_blocks(&out[0]);
+    out.resize(cur.total);
+    inflate_blocks(cur, &out[0]);
     return true;
   }
 
   // raw variant: inflates at ``prefix`` into a reused buffer, leaving
   // [0, prefix) untouched for the caller's leftover bytes
   bool next_chunk_raw(RawBuf& out, size_t prefix, int max_blocks = 1024) {
-    size_t total = read_blocks(max_blocks);
-    if (blocks.empty()) return false;
+    if (!advance(max_blocks)) return false;
     out.len = 0;  // nothing to preserve on growth
-    out.ensure(prefix + total);
-    inflate_blocks(out.data() + prefix);
+    out.ensure(prefix + cur.total);
+    inflate_blocks(cur, out.data() + prefix);
     out.start = prefix;
-    out.len = prefix + total;
+    out.len = prefix + cur.total;
     return true;
   }
 };
