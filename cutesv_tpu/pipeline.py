@@ -541,6 +541,9 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                 sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.n_shards)
             for chrom, sigs in store.sigs["DUP"].items()}
+        device_models.prefetch_counts(
+            del_state, ins_state, *inv_states.values(),
+            *dup_states.values())
         device_models.resolve_indel_multi_compact(del_state)
         device_models.resolve_indel_multi_compact(ins_state)
         inv_states = {c: device_models.resolve_pair_compact(s)
