@@ -175,6 +175,13 @@ class BamReader:
         seq = chars.tobytes()[:l_seq].decode("ascii")
         off += nbytes + l_seq  # skip qual
         tags = _parse_tags(buf[off:])
+        # long-CIGAR convention (SAM spec 4.2.2): records whose real CIGAR
+        # has >65535 ops carry the sentinel ``<l_seq>S<ref_len>N`` in the
+        # CIGAR field and the true ops in a CG:B,I tag (htslib writes and
+        # transparently rewrites these; ultralong ONT reads hit it)
+        if (len(cigar) == 2 and cigar[0] == (4, l_seq) and cigar[1][0] == 3
+                and isinstance(tags.get("CG"), list) and tags["CG"]):
+            cigar = [(v & 0xF, v >> 4) for v in tags["CG"]]
         return BamRecord(qname=qname, flag=flag, ref_id=ref_id, pos=pos,
                          mapq=mapq, cigar=cigar, seq=seq, tags=tags)
 
@@ -239,11 +246,18 @@ class BamWriter:
         for op, ln in cigar:
             if CONSUMES_REF[op]:
                 end += ln
+        stored = list(cigar)
+        if len(stored) > 65535:
+            # long-CIGAR convention (SAM spec 4.2.2): sentinel
+            # ``<l_seq>S<ref_len>N`` in the CIGAR field, real ops in CG:B,I
+            tags = dict(tags or {})
+            tags["CG"] = [(ln << 4) | op for op, ln in cigar]
+            stored = [(4, len(seq)), (3, end - pos)]
         rec += struct.pack("<iiBBHHHiiii", ref_id, pos, len(qb), mapq,
-                           _reg2bin(pos, max(end, pos + 1)), len(cigar), flag,
-                           len(seq), -1, -1, 0)
+                           _reg2bin(pos, max(end, pos + 1)), len(stored),
+                           flag, len(seq), -1, -1, 0)
         rec += qb
-        for op, ln in cigar:
+        for op, ln in stored:
             rec += struct.pack("<I", (ln << 4) | op)
         codes = _CHAR_TO_CODE[np.frombuffer(seq.encode("ascii"), np.uint8)]
         if len(codes) & 1:
@@ -259,6 +273,9 @@ class BamWriter:
                 rec += tb + b"i" + struct.pack("<i", val)
             elif isinstance(val, float):
                 rec += tb + b"f" + struct.pack("<f", val)
+            elif isinstance(val, (list, tuple)):  # B,I array (e.g. CG)
+                rec += tb + b"BI" + struct.pack("<I", len(val))
+                rec += np.asarray(val, "<u4").tobytes()
             else:
                 raise TypeError("unsupported tag value %r" % (val,))
         self._bgzf.write(struct.pack("<i", len(rec)) + bytes(rec))

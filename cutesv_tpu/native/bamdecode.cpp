@@ -657,6 +657,41 @@ inline int32_t rd_i32(const char* p) { int32_t v; memcpy(&v, p, 4); return v; }
 inline uint32_t rd_u32(const char* p) { uint32_t v; memcpy(&v, p, 4); return v; }
 inline uint16_t rd_u16(const char* p) { uint16_t v; memcpy(&v, p, 2); return v; }
 
+// Walk the BAM tag block; returns the value pointer (just past the type
+// byte) of tag ``t0 t1`` with value type ``vt_want``, or nullptr.
+inline const char* find_bam_tag(const char* p, const char* end, char t0,
+                                char t1, char vt_want) {
+  while (p + 3 <= end) {
+    char a = p[0], b = p[1], vt = p[2];
+    const char* val = p + 3;
+    size_t sz = 0;
+    switch (vt) {
+      case 'c': case 'C': case 'A': sz = 1; break;
+      case 's': case 'S': sz = 2; break;
+      case 'i': case 'I': case 'f': sz = 4; break;
+      case 'Z': case 'H': {
+        const char* q = val;
+        while (q < end && *q) q++;
+        sz = (size_t)(q - val) + 1;
+        break;
+      }
+      case 'B': {
+        if (val + 5 > end) return nullptr;
+        char sub = val[0];
+        uint32_t cnt = rd_u32(val + 1);
+        size_t esz = (sub == 'c' || sub == 'C') ? 1
+                     : (sub == 's' || sub == 'S') ? 2 : 4;
+        sz = 5 + (size_t)cnt * esz;
+        break;
+      }
+      default: return nullptr;  // unknown type: cannot skip safely
+    }
+    if (a == t0 && b == t1 && vt == vt_want) return val;
+    p = val + sz;
+  }
+  return nullptr;
+}
+
 // ---------------------------------------------------------------------------
 // decoder main
 // ---------------------------------------------------------------------------
@@ -740,10 +775,30 @@ struct Worker {
     std::chrono::steady_clock::time_point _s0;
     if (timing) _s0 = std::chrono::steady_clock::now();
 
+    // long-CIGAR convention (SAM spec 4.2.2): records whose real CIGAR
+    // has >65535 ops store the sentinel ``<l_seq>S<ref_len>N`` in the
+    // CIGAR field and the true ops in a CG:B,I tag (ultralong reads)
+    const char* ops_p = cigar_p;
+    int64_t n_ops = n_cigar;
+    if (n_cigar == 2) {
+      uint32_t v0 = rd_u32(cigar_p), v1 = rd_u32(cigar_p + 4);
+      if ((v0 & 0xF) == 4 && (int64_t)(v0 >> 4) == l_seq &&
+          (v1 & 0xF) == 3) {
+        const char* cg = find_bam_tag(tag_p, rec_end, 'C', 'G', 'B');
+        if (cg && cg[0] == 'I') {
+          uint32_t cnt = rd_u32(cg + 1);
+          if (cnt > 0 && cg + 5 + 4ll * cnt <= rec_end) {
+            ops_p = cg + 5;
+            n_ops = cnt;
+          }
+        }
+      }
+    }
+
     // reference end from CIGAR
     int64_t ref_end = pos;
-    for (int i = 0; i < n_cigar; i++) {
-      uint32_t v = rd_u32(cigar_p + 4ll * i);
+    for (int64_t i = 0; i < n_ops; i++) {
+      uint32_t v = rd_u32(ops_p + 4ll * i);
       uint32_t op = v & 0xF, ln = v >> 4;
       if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_end += ln;
     }
@@ -821,14 +876,14 @@ struct Worker {
     struct DS { int64_t pos, len; };
     std::vector<IS> ins_sigs;
     std::vector<DS> del_sigs;
-    if (mapq >= P.min_mapq && n_cigar > 0) {
-      uint32_t v0 = rd_u32(cigar_p);
+    if (mapq >= P.min_mapq && n_ops > 0) {
+      uint32_t v0 = rd_u32(ops_p);
       if ((v0 & 0xF) == 4) softclip_left = v0 >> 4;
       else if ((v0 & 0xF) == 5) hardclip_left = v0 >> 4;
       int64_t sig_start = pos;
       int64_t shift = -hardclip_left;
-      for (int i = 0; i < n_cigar; i++) {
-        uint32_t v = rd_u32(cigar_p + 4ll * i);
+      for (int64_t i = 0; i < n_ops; i++) {
+        uint32_t v = rd_u32(ops_p + 4ll * i);
         uint32_t op = v & 0xF;
         int64_t ln = v >> 4;
         if (op != 2) shift += ln;
@@ -848,7 +903,7 @@ struct Worker {
           sig_start += ln;
         }
       }
-      uint32_t vl = rd_u32(cigar_p + 4ll * (n_cigar - 1));
+      uint32_t vl = rd_u32(ops_p + 4ll * (n_ops - 1));
       if ((vl & 0xF) == 4) softclip_right = vl >> 4;
       else if ((vl & 0xF) == 5) hardclip_right = vl >> 4;
       if (hardclip_left != 0) softclip_left = hardclip_left;

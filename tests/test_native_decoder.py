@@ -234,3 +234,47 @@ def test_name_ranks_lexicographic(tmp_path):
     nd = native.decode(str(bam), Config(input=str(bam)))
     ranked = sorted(range(len(nd.names)), key=lambda i: nd.name_rank[i])
     assert [nd.names[i] for i in ranked] == sorted(nd.names)
+
+
+def test_long_cigar_cg_tag(tmp_path):
+    """>65535-op CIGARs ride the CG:B,I convention (SAM spec 4.2.2):
+    BamWriter stores the sentinel + tag, and BOTH decoders recover the
+    real ops — signatures, census ref_end, and the round-tripped cigar
+    must look exactly as if the CIGAR were inline."""
+    from cutesv_tpu.io.bam import BamReader
+
+    n_pairs = 33_000  # 2*33000 + 3 ops > 65535
+    cigar = [(0, 120)]
+    for _ in range(n_pairs):
+        cigar += [(1, 12), (0, 5)]
+    cigar += [(2, 60), (0, 120)]  # one DEL >= min_siglength, then tail
+    qlen = _qlen(cigar)
+    rng = random.Random(9)
+    seq = "".join(rng.choice("ACGT") for _ in range(qlen))
+    bam = tmp_path / "cg.bam"
+    with BamWriter(str(bam), REFS) as w:
+        w.write("cgread", 0, 0, 1000, 60, cigar, seq)
+        w.write("plain", 0, 0, 2000, 60, [(0, 600), (2, 60), (0, 600)],
+                "A" * 1200)
+
+    # reader round-trips the true ops and a CG tag
+    with BamReader(str(bam)) as r:
+        recs = list(r)
+    assert recs[0].cigar == cigar
+    assert len(recs[0].tags["CG"]) == len(cigar)
+    ref_len = sum(ln for op, ln in cigar if op in (0, 2, 3, 7, 8))
+    assert recs[0].reference_end == 1000 + ref_len
+
+    cfg = Config(input=str(bam), min_support=1)
+    nd = native.decode(str(bam), cfg)
+    got = _native_tuples(nd)
+    # the DEL signature sits after 120 + 33000*5 reference bases
+    del_pos = 1000 + 120 + n_pairs * 5
+    assert (del_pos, 60, "cgread", "DEL", "chr1") in got["DEL"]
+    assert (2600, 60, "plain", "DEL", "chr1") in got["DEL"]
+    # census ref_end matches the python reader's
+    assert int(nd.arrays["cen_end"][0]) == recs[0].reference_end
+    # merged INS chain: 12-bp insertions 5 apart merge under the default
+    # 100-bp threshold into one signature of summed length
+    assert any(r[0] == 1120 and r[1] == n_pairs * 12 and r[2] == "cgread"
+               for r in got["INS"])
