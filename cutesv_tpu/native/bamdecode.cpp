@@ -535,7 +535,12 @@ struct BgzfChunkReader {
   bool ra_active = false;
 
   explicit BgzfChunkReader(FILE* fh, int threads)
-      : f(fh), n_threads(std::max(1, threads)) {}
+      : f(fh), n_threads(std::max(1, threads)) {
+    // more inflate workers than cores only adds contention (the reader
+    // thread mostly waits in fread); hw+1 measures fastest
+    int hw = (int)std::thread::hardware_concurrency();
+    if (hw > 0) n_threads = std::min(n_threads, hw + 1);
+  }
   ~BgzfChunkReader() { if (rat.joinable()) rat.join(); }
 
   // Read up to max_blocks BGZF block payloads into ``c``.
