@@ -71,19 +71,19 @@ def decode_bam(cfg: Config):
 def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
     """Streaming decode->dispatch overlap for plain single-process
     device-engine BAM runs: cluster kernels for completed chromosomes
-    launch while later chromosomes still decode. The host-side snapshot
-    sort/pad/upload work competes with the decoder's inflate threads, so
-    it only pays when spare cores exist — measured on a 2-core host the
-    resolve gain (0.83s -> 0.62s at 100Mb) exactly cancels against the
-    slower decode. CUTESV_STREAM_DISPATCH=0 forces it off;
-    CUTESV_STREAM_DISPATCH=1 bypasses only the core-count heuristic —
-    the structural gate (BAM input, device engine, single shard,
-    non-distributed) always applies."""
+    launch while later chromosomes still decode. Much of the resolve
+    stage is tunnel round-trip *waiting*, not CPU, so the overlap pays
+    even on a 2-core host (measured 3.3s -> 3.0s at 100Mb once decode
+    reached the inflate floor); the snapshot sort/pad/upload work only
+    contends when there is a single core. CUTESV_STREAM_DISPATCH=0
+    forces it off; CUTESV_STREAM_DISPATCH=1 bypasses only the
+    core-count heuristic — the structural gate (BAM input, device
+    engine, single shard, non-distributed) always applies."""
     forced = os.environ.get("CUTESV_STREAM_DISPATCH")
     if forced is not None:
         if forced != "1":
             return False
-    elif (os.cpu_count() or 1) < 4:
+    elif (os.cpu_count() or 1) < 2:
         return False
     return (not is_cram and cfg.engine in ("device", "auto")
             and cfg.n_shards <= 1 and not cfg.distributed)
