@@ -373,6 +373,22 @@ def load_store(work_dir: str) -> SigStore:
         return pickle.load(fh)
 
 
+def _write_reads_sigs(store: SigStore, work_dir: str):
+    """Legacy reads.sigs (cuteSV:811-816): the mapq/bed-passing census,
+    stable-sorted by chromosome name only (within a chromosome the file
+    order is preserved; the reference's sort key is just ``x[-1]``)."""
+    names = store.names
+    with open(os.path.join(work_dir, "reads.sigs"), "w") as fh:
+        for chrom in sorted(store.census):
+            cen = store.census[chrom]
+            starts, ends, prim = cen["start"], cen["end"], cen["is_primary"]
+            nm = cen["name"]
+            for k in range(len(starts)):
+                q = nm[k] if names is None else names[int(nm[k])]
+                fh.write("%s\t%d\t%d\t%d\t%s\n" % (
+                    chrom, starts[k], ends[k], prim[k], q))
+
+
 def write_old_sigs_native(store: SigStore, work_dir: str):
     """Legacy .sigs text from a native (columnar) store. Streams are
     already in the reference's merged sort order; chrom groups concatenate
@@ -406,6 +422,7 @@ def write_old_sigs_native(store: SigStore, work_dir: str):
             for ty, p1, chr2, p2, rid in rows:
                 fh.write("TRA\t%s\t%s\t%d\t%s\t%d\t%s\n" % (
                     chrom, ty, p1, chr2, p2, names[rid]))
+    _write_reads_sigs(store, work_dir)
 
 
 def write_old_sigs(store: SigStore, work_dir: str,
@@ -430,3 +447,4 @@ def write_old_sigs(store: SigStore, work_dir: str,
         with open(os.path.join(work_dir, "%s.sigs" % svtype), "w") as fh:
             for e in rows:
                 fh.write(fmt % proj(e))
+    _write_reads_sigs(store, work_dir)

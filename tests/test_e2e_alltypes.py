@@ -61,6 +61,40 @@ def _build(tmp_path):
     return bam, fa
 
 
+def test_write_old_sigs_parity_across_decoders(tmp_path):
+    """--write_old_sigs emits the reference's six legacy text files
+    (DEL/INS/DUP/INV/TRA/reads, cuteSV:766-816) byte-identically from
+    both decoder stacks."""
+    bam, fa = _build(tmp_path)
+    dirs = {}
+    for label, engine, decoder in (("py", "host", "python"),
+                                   ("nat", "device", "native")):
+        wd = tmp_path / ("wd_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=str(bam), reference=str(fa),
+                     output=str(tmp_path / ("s_%s.vcf" % label)),
+                     work_dir=str(wd), genotype=True, min_support=3,
+                     engine=engine, decoder=decoder, write_old_sigs=True)
+        run_pipeline(cfg, ["t"])
+        dirs[label] = wd
+    for name in ("DEL", "INS", "DUP", "INV", "TRA", "reads"):
+        a = (dirs["py"] / ("%s.sigs" % name)).read_text()
+        b = (dirs["nat"] / ("%s.sigs" % name)).read_text()
+        assert a == b, "%s.sigs differs between decoders" % name
+    reads = (dirs["py"] / "reads.sigs").read_text().splitlines()
+    assert len(reads) > 50
+    chroms = []
+    for line in reads:
+        chrom, start, end, prim, qname = line.split("\t")
+        assert int(start) >= 0 and int(end) > int(start)
+        assert prim in ("0", "1") and qname
+        chroms.append(chrom)
+    # stable chrom-name sort (the reference's only sort key for reads)
+    assert chroms == sorted(chroms)
+    dels = (dirs["py"] / "DEL.sigs").read_text().splitlines()
+    assert dels and all(l.split("\t")[0] == "DEL" for l in dels)
+
+
 def test_all_types_called_and_engines_agree(tmp_path):
     bam, fa = _build(tmp_path)
     outputs = {}
