@@ -1,0 +1,299 @@
+"""Differential parity against the ACTUAL reference implementation.
+
+The reference tree (read-only at /root/reference) is pure Python; its
+resolver/genotype modules import cleanly once ``pysam`` is stubbed (only
+TRA genotyping touches pysam at runtime, via an AlignmentFile we fake
+over the same read tables our engine replays). These tests build one
+randomized signature store, feed it to BOTH implementations — the
+reference's resolution_*/call_gt executing unmodified, and our
+resolve_all — and require exactly equal candidate rows.
+
+This is the strongest parity oracle available in this environment: no
+re-derived behavior, the reference code itself runs. Skipped when the
+reference tree is absent.
+"""
+import os
+import pickle
+import random
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from cutesv_tpu import pipeline
+from cutesv_tpu.config import Config
+from cutesv_tpu.genotype import ReadTable
+from cutesv_tpu.sigstore import SigStore
+
+from test_device_parity import (_random_del_stream, _random_dup_stream,
+                                _random_ins_stream, _random_inv_stream)
+
+REF_SRC = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_SRC, "cuteSV")),
+    reason="reference tree not mounted")
+
+
+class _FakeRead(types.SimpleNamespace):
+    pass
+
+
+class _FakeAlignmentFile:
+    """pysam.AlignmentFile stand-in over our ReadTable dict: fetch yields
+    records overlapping [s, e) in coordinate order — what htslib produces
+    on a coordinate-sorted indexed BAM."""
+
+    registry = {}
+
+    def __init__(self, path):
+        self.tables, self.lengths = self.registry[path]
+
+    def get_reference_length(self, chrom):
+        return self.lengths[chrom]
+
+    def fetch(self, chrom, s, e):
+        t = self.tables.get(chrom)
+        if t is None:
+            return
+        for i in t.fetch_idx(s, e):
+            yield _FakeRead(flag=0 if int(t.prim[i]) == 1 else 256,
+                            reference_start=int(t.start[i]),
+                            reference_end=int(t.end[i]),
+                            query_name=t.names[i])
+
+    def close(self):
+        pass
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if "pysam" not in sys.modules:
+        stub = types.ModuleType("pysam")
+        stub.AlignmentFile = _FakeAlignmentFile
+        stub.FastaFile = None
+        sys.modules["pysam"] = stub
+    else:
+        sys.modules["pysam"].AlignmentFile = _FakeAlignmentFile
+    sys.path.insert(0, REF_SRC)
+    try:
+        import cuteSV.cuteSV_resolveDUP as rdup
+        import cuteSV.cuteSV_resolveINDEL as rindel
+        import cuteSV.cuteSV_resolveINV as rinv
+        import cuteSV.cuteSV_resolveTRA as rtra
+        ns = types.SimpleNamespace(indel=rindel, dup=rdup, inv=rinv,
+                                   tra=rtra)
+        yield ns
+    finally:
+        sys.path.remove(REF_SRC)
+
+
+def _write_ref_store(tmp, sigs, reads_by_chrom):
+    """Write the reference's stage-2 output: one pickle per type with
+    per-chromosome byte offsets (cuteSV:817-857)."""
+    index = {}
+    for t in ("DEL", "INS", "DUP", "INV", "TRA"):
+        idx = {}
+        with open(os.path.join(tmp, "%s.pickle" % t), "wb") as fh:
+            off = 0
+            for chrom, rows in sigs.get(t, {}).items():
+                blob = pickle.dumps(rows)
+                fh.write(blob)
+                idx[chrom] = off
+                off += len(blob)
+        index[t] = idx
+    idx = {}
+    counts = {}
+    with open(os.path.join(tmp, "reads.pickle"), "wb") as fh:
+        off = 0
+        for chrom, rows in reads_by_chrom.items():
+            blob = pickle.dumps(rows)
+            fh.write(blob)
+            idx[chrom] = off
+            counts[chrom] = len(rows)
+            off += len(blob)
+    index["reads"] = idx
+    index["reads_count"] = counts
+    return index
+
+
+def _random_tra_stream(rng, chr2_names, n_sites=15):
+    rows = []
+    pos = 0
+    for _ in range(n_sites):
+        pos += rng.randrange(2000, 9000)
+        chr2 = rng.choice(chr2_names)
+        ty = rng.choice("ABCD")
+        p2 = rng.randrange(1000, 80_000)
+        for _ in range(rng.randrange(1, 10)):
+            rows.append((ty, pos + rng.randrange(-60, 60), chr2,
+                         p2 + rng.randrange(-60, 60),
+                         "r%04d" % rng.randrange(600)))
+    rows.sort(key=lambda r: (r[2], r[0], r[1], r[3], r[4]))
+    out = []
+    for r in rows:
+        if not out or out[-1] != r:
+            out.append(r)
+    return out
+
+
+def _random_reads(rng, lo, hi, n):
+    """Census/read-table rows covering [lo, hi): mix of primaries and
+    supplementaries, coordinate-sorted. At most ONE primary row per name
+    (a well-formed BAM has one flag-0/16 record per template; the
+    reference's set-based overlap_cover and our interval counts only
+    agree under that invariant), repeated names allowed for
+    supplementaries."""
+    rows = []
+    prim_seen = set()
+    for _ in range(n):
+        s = rng.randrange(lo, hi)
+        e = s + rng.randrange(500, 20_000)
+        name = "r%04d" % rng.randrange(600)
+        prim = 1 if rng.random() < 0.8 and name not in prim_seen else 0
+        if prim:
+            prim_seen.add(name)
+        rows.append((s, e, prim, name))
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def _build_case(seed):
+    """One randomized two-chromosome store in both representations."""
+    rng = random.Random(seed)
+    chroms = ["chr1", "chr2"]
+    sigs = {
+        "DEL": {"chr1": _random_del_stream(rng),
+                "chr2": _random_del_stream(rng, n_sites=10)},
+        "INS": {"chr1": _random_ins_stream(rng)},
+        "DUP": {"chr1": _random_dup_stream(rng)},
+        "INV": {"chr1": _random_inv_stream(rng)},
+        "TRA": {"chr1": _random_tra_stream(rng, ["chr2"]),
+                "chr2": _random_tra_stream(rng, ["chr1"], n_sites=6)},
+    }
+    reads, census, tables = {}, {}, {}
+    lengths = {}
+    for chrom in chroms:
+        rows = _random_reads(rng, 0, 120_000, 400)
+        reads[chrom] = [r + (chrom,) for r in rows]
+        census[chrom] = dict(
+            start=np.array([r[0] for r in rows], np.int64),
+            end=np.array([r[1] for r in rows], np.int64),
+            is_primary=np.array([r[2] for r in rows], np.int8),
+            name=[r[3] for r in rows])
+        tables[chrom] = ReadTable([r[0] for r in rows],
+                                  [r[1] for r in rows],
+                                  [r[2] for r in rows],
+                                  [r[3] for r in rows])
+        lengths[chrom] = 1_000_000
+    return sigs, reads, census, tables, lengths
+
+
+def _run_reference(ref, tmp, sigs, index, lengths, tables, action, cfg):
+    """Drive the reference per (type, chrom) exactly as main_ctrl does
+    (cuteSV:1113-1189), merging per chromosome in submission order."""
+    prefix = tmp + os.sep
+    bam_token = os.path.join(tmp, "fake.bam")
+    _FakeAlignmentFile.registry[bam_token] = (tables, lengths)
+    out = {}
+
+    def add(chrom, rows):
+        out.setdefault(chrom, []).extend(rows)
+
+    for chrom in index["DEL"]:
+        _, rows = ref.indel.resolution_DEL(
+            prefix, chrom, "DEL", cfg.min_support,
+            cfg.diff_ratio_merging_DEL, cfg.max_cluster_bias_DEL,
+            min(cfg.min_support, 5), bam_token, action, cfg.gt_round,
+            cfg.remain_reads_ratio, index)
+        add(chrom, rows)
+    for chrom in index["INS"]:
+        _, rows = ref.indel.resolution_INS(
+            prefix, chrom, "INS", cfg.min_support,
+            cfg.diff_ratio_merging_INS, cfg.max_cluster_bias_INS,
+            min(cfg.min_support, 5), bam_token, action, cfg.gt_round,
+            cfg.remain_reads_ratio, index)
+        add(chrom, rows)
+    for chrom in index["INV"]:
+        _, rows = ref.inv.resolution_INV(
+            prefix, chrom, "INV", cfg.min_support,
+            cfg.max_cluster_bias_INV, cfg.min_size, bam_token, action,
+            cfg.max_size, cfg.gt_round, index)
+        add(chrom, rows)
+    for chrom in index["DUP"]:
+        _, rows = ref.dup.resolution_DUP(
+            prefix, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
+            cfg.min_size, bam_token, action, cfg.max_size, cfg.gt_round,
+            index)
+        add(chrom, rows)
+    for chrom in index["TRA"]:
+        _, rows = ref.tra.resolution_TRA(
+            prefix, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
+            cfg.max_cluster_bias_TRA, bam_token, action, cfg.gt_round,
+            index)
+        add(chrom, rows)
+    return out
+
+
+def _canon(results):
+    """Sort the RNAMES csv of DUP/INV/TRA rows on both sides before
+    comparing: the reference accumulates those support ids in a Python
+    ``set`` (cuteSV_resolveDUP.py:96, resolveINV, resolveTRA), so its own
+    emission order is PYTHONHASHSEED-dependent — not a parity surface.
+    DEL/INS keep their (deterministic) list order and are compared
+    exactly."""
+    out = {}
+    for chrom, rows in results.items():
+        canon_rows = []
+        for r in rows:
+            r = list(r)
+            if r[1] not in ("DEL", "INS"):
+                r[-1] = ",".join(sorted(str(r[-1]).split(",")))
+            canon_rows.append(r)
+        out[chrom] = canon_rows
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("action", [False, True])
+def test_resolvers_match_reference(ref, tmp_path, seed, action):
+    sigs, reads, census, tables, lengths = _build_case(seed)
+    index = _write_ref_store(str(tmp_path), sigs, reads)
+    cfg = Config(input="x.bam", reference="x.fa", output="o.vcf",
+                 work_dir=str(tmp_path), genotype=action, engine="host",
+                 decoder="python", min_support=4)
+    expected = _run_reference(ref, str(tmp_path), sigs, index, lengths,
+                              tables, action, cfg)
+
+    store = SigStore(sigs=sigs, census=census, read_tables=tables,
+                     chrom_lengths=lengths, names=None)
+    got = pipeline.resolve_all(store, cfg)
+
+    # normalize: drop empty chromosomes on both sides
+    expected = _canon({c: r for c, r in expected.items() if r})
+    got = _canon({c: r for c, r in got.items() if r})
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [3, 7])
+def test_resolvers_match_reference_nondefault_params(ref, tmp_path, seed):
+    """Non-default clustering/genotype knobs through both stacks."""
+    sigs, reads, census, tables, lengths = _build_case(100 + seed)
+    index = _write_ref_store(str(tmp_path), sigs, reads)
+    cfg = Config(input="x.bam", reference="x.fa", output="o.vcf",
+                 work_dir=str(tmp_path), genotype=True, engine="host",
+                 decoder="python", min_support=3, remain_reads_ratio=0.6,
+                 diff_ratio_merging_DEL=0.4, diff_ratio_merging_INS=0.25,
+                 max_cluster_bias_DEL=150, max_cluster_bias_INS=80,
+                 max_cluster_bias_INV=400, max_cluster_bias_DUP=300,
+                 max_cluster_bias_TRA=30, diff_ratio_filtering_TRA=0.5,
+                 min_size=25, max_size=80_000, gt_round=40)
+    expected = _run_reference(ref, str(tmp_path), sigs, index, lengths,
+                              tables, True, cfg)
+    store = SigStore(sigs=sigs, census=census, read_tables=tables,
+                     chrom_lengths=lengths, names=None)
+    got = pipeline.resolve_all(store, cfg)
+    expected = _canon({c: r for c, r in expected.items() if r})
+    got = _canon({c: r for c, r in got.items() if r})
+    assert got == expected
