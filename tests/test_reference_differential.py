@@ -297,3 +297,99 @@ def test_resolvers_match_reference_nondefault_params(ref, tmp_path, seed):
     expected = _canon({c: r for c, r in expected.items() if r})
     got = _canon({c: r for c, r in got.items() if r})
     assert got == expected
+
+
+class _FakeFastaFile:
+    """pysam.FastaFile stand-in: fetch(chrom) returns the full contig."""
+
+    registry = {}
+
+    def __init__(self, path):
+        self.seqs = self.registry[path]
+
+    def fetch(self, chrom):
+        return self.seqs[chrom]
+
+    def close(self):
+        pass
+
+
+def _random_genome(rng, chroms, n):
+    """Uppercase genome with IUPAC ambiguity codes sprinkled in (the
+    emitters must agree on the RYSWKMBDHV->ACCAGACAAA translation)."""
+    alphabet = "ACGT" * 10 + "RYSWKMBDHV"
+    return {c: "".join(rng.choice(alphabet) for _ in range(n))
+            for c in chroms}
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+@pytest.mark.parametrize("report_readid,ignore_sequence",
+                         [(False, False), (True, False), (False, True)])
+def test_vcf_emission_matches_reference(ref, tmp_path, seed, report_readid,
+                                        ignore_sequence):
+    """generate_output + the stage-5 SVID merge (cuteSV_genotype.py:242-468,
+    cuteSV:1225-1237) vs our vcf emitter, on rows produced by the REFERENCE
+    resolvers — full VCF body equality."""
+    import cuteSV.cuteSV_genotype as rgen
+
+    from cutesv_tpu import vcf as ourvcf
+    from cutesv_tpu.io.fasta import FastaFile
+
+    sigs, reads, census, tables, lengths = _build_case(300 + seed)
+    index = _write_ref_store(str(tmp_path), sigs, reads)
+    cfg = Config(input="x.bam", reference="x.fa", output="o.vcf",
+                 work_dir=str(tmp_path), genotype=True, engine="host",
+                 decoder="python", min_support=4,
+                 report_readid=report_readid,
+                 ignore_sequence=ignore_sequence)
+    rows = _run_reference(ref, str(tmp_path), sigs, index, lengths,
+                          tables, True, cfg)
+    rows = {c: r for c, r in rows.items() if r}
+
+    rng = random.Random(seed)
+    genome = _random_genome(rng, sorted(rows), 140_000)
+
+    # --- reference side: fake FastaFile + per-chrom pickles + SVID merge
+    fa_token = os.path.join(str(tmp_path), "ref_token.fa")
+    _FakeFastaFile.registry[fa_token] = genome
+    sys.modules["pysam"].FastaFile = _FakeFastaFile
+    args_ns = types.SimpleNamespace(
+        genotype=True, max_size=cfg.max_size, min_size=cfg.min_size,
+        report_readid=report_readid, ignore_sequence=ignore_sequence)
+    os.mkdir(os.path.join(str(tmp_path), "results"))
+    for chrom in sorted(rows):
+        rgen.generate_output(args_ns, [list(r) for r in rows[chrom]],
+                             fa_token, chrom, str(tmp_path) + os.sep)
+    svid = {"INS": 0, "DEL": 0, "BND": 0, "DUP": 0, "INV": 0}
+    expected = []
+    for chrom in sorted(rows):
+        with open(os.path.join(str(tmp_path), "results",
+                               "%s.pickle" % chrom), "rb") as fh:
+            while True:
+                try:
+                    lines = pickle.load(fh)
+                except EOFError:
+                    break
+                for svtype, line in lines:
+                    expected.append(line.replace("<SVID>",
+                                                 str(svid[svtype])))
+                    svid[svtype] += 1
+
+    # --- our side: real FASTA file through our reader + write_vcf
+    fa_path = os.path.join(str(tmp_path), "ref.fa")
+    with open(fa_path, "w") as fh:
+        for c in sorted(genome):
+            fh.write(">%s\n" % c)
+            s = genome[c]
+            for k in range(0, len(s), 70):
+                fh.write(s[k:k + 70] + "\n")
+    fasta = FastaFile(fa_path)
+    per_chrom = {c: ourvcf.format_chrom_records(
+        cfg, [list(r) for r in rows[c]], fasta.fetch_lazy(c), c)
+        for c in rows}
+    out = os.path.join(str(tmp_path), "our.vcf")
+    contigs = [(c, 140_000) for c in sorted(genome)]
+    ourvcf.write_vcf(out, cfg, per_chrom, contigs, ["t"])
+    got = [l + "\n" for l in open(out).read().splitlines()
+           if not l.startswith("#")]
+    assert got == expected
