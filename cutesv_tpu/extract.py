@@ -71,8 +71,11 @@ def _combine_del(sigs: List[list], chrom: str, qname: str,
                  merge_dis: int, out: List[tuple]):
     """Chain nearby DEL signatures of one read (cuteSV:556-575).
 
-    Gap measured to the previous signature's *end* (pos+len).
-    """
+    Gap measured to the previous signature's *end* (pos+len) while a
+    chain grows — but after a chain break the reference re-anchors at the
+    new signature's POSITION (`temp_sig.append(i[0])`, cuteSV:570), not
+    its end; only the initial cluster starts at pos+len. Reproduced
+    exactly (differential-tested against the reference code)."""
     if not sigs:
         return
     cur_pos, cur_len = sigs[0]
@@ -84,7 +87,7 @@ def _combine_del(sigs: List[list], chrom: str, qname: str,
         else:
             out.append((cur_pos, cur_len, qname, "DEL", chrom))
             cur_pos, cur_len = pos, ln
-            last_end = pos + ln
+            last_end = pos
     out.append((cur_pos, cur_len, qname, "DEL", chrom))
 
 

@@ -947,7 +947,10 @@ struct Worker {
           C.del_chr.push(ref_id); C.del_pos.push(cur.pos);
           C.del_len.push(cur.len); C.del_name.push(name_id);
           cur = s;
-          last_end = s.pos + s.len;
+          // reference quirk (cuteSV:570 `temp_sig.append(i[0])`): after a
+          // chain break the gap anchor is the new signature's POSITION,
+          // not its end — only the initial cluster starts at pos+len
+          last_end = s.pos;
         }
       }
       C.del_chr.push(ref_id); C.del_pos.push(cur.pos);

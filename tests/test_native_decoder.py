@@ -135,11 +135,20 @@ def _native_tuples(nd: native.NativeDecode):
 
 
 @pytest.mark.parametrize("seed", range(5))
-def test_native_matches_python(tmp_path, seed):
+@pytest.mark.parametrize("strict", [False, True])
+def test_native_matches_python(tmp_path, seed, strict):
     rng = random.Random(seed)
     bam = tmp_path / ("fuzz%d.bam" % seed)
     _make_random_bam(str(bam), rng)
-    cfg = Config(input=str(bam), min_support=3)
+    if strict:
+        # non-default extraction knobs; merge_del_threshold>0 notably
+        # reaches the after-break re-anchor quirk (cuteSV:570)
+        cfg = Config(input=str(bam), min_support=3, min_size=50,
+                     min_mapq=10, max_split_parts=3, min_read_len=800,
+                     min_siglength=25, merge_del_threshold=150,
+                     merge_ins_threshold=20, max_size=5000)
+    else:
+        cfg = Config(input=str(bam), min_support=3)
 
     # Python oracle (raw candidate streams, record order)
     import cutesv_tpu.extract as extract

@@ -393,3 +393,210 @@ def test_vcf_emission_matches_reference(ref, tmp_path, seed, report_readid,
     got = [l + "\n" for l in open(out).read().splitlines()
            if not l.startswith("#")]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Extraction differential: the reference's parse_read/organize_split_signal/
+# analysis_* state machine executing unmodified over our decoded records.
+# ---------------------------------------------------------------------------
+
+_REVCOMP = str.maketrans("ACGTUacgtuRYKMBVDHrykmbvdhNnSsWw",
+                         "TGCAAtgcaaYRMKVBHDyrmkvbhdNnSsWw")
+
+
+class _StubSeq:
+    """Bio.Seq.Seq stand-in for the one method the reference calls:
+    str(Seq(x).reverse_complement()) — standard IUPAC complement."""
+
+    def __init__(self, s):
+        self.s = str(s)
+
+    def reverse_complement(self):
+        return _StubSeq(self.s.translate(_REVCOMP)[::-1])
+
+    def __str__(self):
+        return self.s
+
+
+class _StubCigar:
+    """cigar.Cigar stand-in: items() yields (count:int, op:str)."""
+
+    def __init__(self, s):
+        self.s = s
+
+    def items(self):
+        import re
+        return [(int(n), op)
+                for n, op in re.findall(r"(\d+)([MIDNSHP=XB])", self.s)]
+
+
+@pytest.fixture(scope="module")
+def refmain():
+    """Load the reference's main `cuteSV` script (no .py suffix) with
+    pysam/cigar/Bio stubbed; only pure-python extraction entry points are
+    exercised."""
+    import importlib.machinery
+    import importlib.util
+
+    if "pysam" not in sys.modules:
+        stub = types.ModuleType("pysam")
+        stub.AlignmentFile = _FakeAlignmentFile
+        stub.FastaFile = _FakeFastaFile
+        sys.modules["pysam"] = stub
+    # BAM CIGAR op constants (the script builds its op tables from these)
+    for name, val in (("CMATCH", 0), ("CINS", 1), ("CDEL", 2),
+                      ("CREF_SKIP", 3), ("CSOFT_CLIP", 4),
+                      ("CHARD_CLIP", 5), ("CPAD", 6), ("CEQUAL", 7),
+                      ("CDIFF", 8), ("CBACK", 9)):
+        setattr(sys.modules["pysam"], name, val)
+    if "cigar" not in sys.modules:
+        m = types.ModuleType("cigar")
+        m.Cigar = _StubCigar
+        sys.modules["cigar"] = m
+    if "Bio" not in sys.modules:
+        bio = types.ModuleType("Bio")
+        seqmod = types.ModuleType("Bio.Seq")
+        seqmod.Seq = _StubSeq
+        bio.Seq = seqmod
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.Seq"] = seqmod
+    path = os.path.join(REF_SRC, "cuteSV", "cuteSV")
+    loader = importlib.machinery.SourceFileLoader("ref_cutesv_main", path)
+    spec = importlib.util.spec_from_loader("ref_cutesv_main", loader)
+    sys.path.insert(0, REF_SRC)
+    try:
+        mod = importlib.util.module_from_spec(spec)
+        loader.exec_module(mod)
+        yield mod
+    finally:
+        sys.path.remove(REF_SRC)
+
+
+class _PysamView:
+    """Duck-typed pysam AlignedSegment over our BamRecord."""
+
+    def __init__(self, rec):
+        self._r = rec
+
+    @property
+    def query_length(self):
+        return self._r.query_length
+
+    @property
+    def flag(self):
+        return self._r.flag
+
+    @property
+    def mapq(self):
+        return self._r.mapq
+
+    @property
+    def reference_start(self):
+        return self._r.pos
+
+    @property
+    def reference_end(self):
+        return self._r.reference_end
+
+    @property
+    def cigar(self):
+        return self._r.cigar
+
+    cigartuples = cigar
+
+    @property
+    def query_sequence(self):
+        return self._r.seq
+
+    @property
+    def query_name(self):
+        return self._r.qname
+
+    def get_tags(self):
+        return list(self._r.tags.items())
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_extraction_matches_reference(refmain, tmp_path, seed):
+    """Random BAMs (noisy CIGARs, dense multi-segment SA tags, reverse
+    strands, hardclips, name collisions) through the reference's
+    parse_read and our extract_read: identical candidate streams for all
+    five SV types."""
+    from test_native_decoder import _make_random_bam
+
+    import cutesv_tpu.extract as extract
+    from cutesv_tpu.io.bam import BamReader
+
+    rng = random.Random(500 + seed)
+    bam = tmp_path / "x.bam"
+    _make_random_bam(str(bam), rng, n_reads=250)
+    cfg = Config(input=str(bam), min_support=3)
+
+    ours = extract.new_candidate_dict()
+    theirs = {"DEL": [], "INS": [], "DUP": [], "INV": [], "TRA": []}
+    reader = BamReader(str(bam))
+    chrom_names = [x for x, _ in reader.references]
+    for rec in reader:
+        if rec.ref_id < 0 or rec.flag & 4 or rec.flag in (256, 272):
+            continue
+        chrom = chrom_names[rec.ref_id]
+        extract.extract_read(rec, ours, chrom, cfg.min_size, cfg.min_mapq,
+                             cfg.max_split_parts, cfg.min_read_len,
+                             cfg.min_siglength, cfg.merge_del_threshold,
+                             cfg.merge_ins_threshold, cfg.max_size)
+        refmain.parse_read(_PysamView(rec), theirs, chrom, cfg.min_size,
+                           cfg.min_mapq, cfg.max_split_parts,
+                           cfg.min_read_len, cfg.min_siglength,
+                           cfg.merge_del_threshold, cfg.merge_ins_threshold,
+                           cfg.max_size)
+    reader.close()
+    total = 0
+    for t in ("DEL", "INS", "DUP", "INV", "TRA"):
+        assert ours[t] == theirs[t], t
+        total += len(theirs[t])
+    assert total > 50  # the case must actually exercise the machine
+
+
+@pytest.mark.parametrize("seed", [1, 5])
+def test_extraction_matches_reference_strict_params(refmain, tmp_path,
+                                                    seed):
+    """Non-default extraction knobs (min_siglength, merge thresholds,
+    split-part cap, mapq/readlen floors, max_size cap)."""
+    from test_native_decoder import _make_random_bam
+
+    import cutesv_tpu.extract as extract
+    from cutesv_tpu.io.bam import BamReader
+
+    rng = random.Random(700 + seed)
+    bam = tmp_path / "x.bam"
+    _make_random_bam(str(bam), rng, n_reads=250)
+
+    ours = extract.new_candidate_dict()
+    theirs = {"DEL": [], "INS": [], "DUP": [], "INV": [], "TRA": []}
+    reader = BamReader(str(bam))
+    chrom_names = [x for x, _ in reader.references]
+    params = dict(sv_size=50, min_mapq=10, max_split_parts=3,
+                  min_read_len=800, min_siglength=25,
+                  merge_del_threshold=150, merge_ins_threshold=20,
+                  max_size=5000)
+    for rec in reader:
+        if rec.ref_id < 0 or rec.flag & 4 or rec.flag in (256, 272):
+            continue
+        chrom = chrom_names[rec.ref_id]
+        extract.extract_read(rec, ours, chrom, params["sv_size"],
+                             params["min_mapq"], params["max_split_parts"],
+                             params["min_read_len"],
+                             params["min_siglength"],
+                             params["merge_del_threshold"],
+                             params["merge_ins_threshold"],
+                             params["max_size"])
+        refmain.parse_read(_PysamView(rec), theirs, chrom,
+                           params["sv_size"], params["min_mapq"],
+                           params["max_split_parts"],
+                           params["min_read_len"], params["min_siglength"],
+                           params["merge_del_threshold"],
+                           params["merge_ins_threshold"],
+                           params["max_size"])
+    reader.close()
+    for t in ("DEL", "INS", "DUP", "INV", "TRA"):
+        assert ours[t] == theirs[t], t
