@@ -396,11 +396,17 @@ def _overlap_cover_counts(windows, census):
     return covers, np.array(overlaps, np.int64)
 
 
-def force_call(cfg, argv) -> dict:
-    """Run force calling; returns stage stats."""
-    from cutesv_tpu.pipeline import decode_bam
+def force_call(cfg, argv, store=None) -> dict:
+    """Run force calling; returns stage stats. ``store`` injects a
+    prebuilt SigStore (differential tests); decoded from cfg.input
+    otherwise."""
+    if store is None:
+        from cutesv_tpu.pipeline import decode_bam
 
-    store, _, references, n_records = decode_bam(cfg)
+        store, _, references, n_records = decode_bam(cfg)
+    else:
+        references = list(store.chrom_lengths.items())
+        n_records = 0
     names = store.names
     render = (lambda k: names[k]) if names is not None else (lambda k: k)
     # name -> key map for support membership tests against census keys

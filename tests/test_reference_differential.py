@@ -91,14 +91,17 @@ def ref():
 
 def _write_ref_store(tmp, sigs, reads_by_chrom):
     """Write the reference's stage-2 output: one pickle per type with
-    per-chromosome byte offsets (cuteSV:817-857)."""
+    per-chromosome byte offsets (cuteSV:817-857). Rows are stored in the
+    full extraction layout (…, TYPE, chrom) — the resolvers index prefix
+    fields only, while force calling's parse_sigs_chrom reads seq[-1]."""
     index = {}
     for t in ("DEL", "INS", "DUP", "INV", "TRA"):
         idx = {}
         with open(os.path.join(tmp, "%s.pickle" % t), "wb") as fh:
             off = 0
             for chrom, rows in sigs.get(t, {}).items():
-                blob = pickle.dumps(rows)
+                full = [tuple(r) + (t, chrom) for r in rows]
+                blob = pickle.dumps(full)
                 fh.write(blob)
                 idx[chrom] = off
                 off += len(blob)
@@ -600,3 +603,158 @@ def test_extraction_matches_reference_strict_params(refmain, tmp_path,
     reader.close()
     for t in ("DEL", "INS", "DUP", "INV", "TRA"):
         assert ours[t] == theirs[t], t
+
+
+# ---------------------------------------------------------------------------
+# Force-calling differential: the reference's force_calling_chrom/solve_fc
+# (VariantFile faked over the same VCF text, sklearn KMeans real) and
+# generate_pvcf vs our force_call + generate_pvcf_lines.
+# ---------------------------------------------------------------------------
+
+
+class _FakeVariantRecord(types.SimpleNamespace):
+    pass
+
+
+class _FakeVariantFile:
+    """pysam.VariantFile stand-in over a VCF text file: records expose
+    chrom/pos/id/ref/alts/info with string-typed INFO values (the
+    reference normalizes via parse_to_int)."""
+
+    def __init__(self, path, mode="r"):
+        self.path = path
+
+    def fetch(self):
+        with open(self.path) as fh:
+            for line in fh:
+                if line.startswith("#") or not line.strip():
+                    continue
+                f = line.rstrip("\n").split("\t")
+                info = {}
+                for kv in f[7].split(";"):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        info[k] = v
+                    else:
+                        info[kv] = True
+                yield _FakeVariantRecord(
+                    chrom=f[0], pos=int(f[1]), id=f[2], ref=f[3],
+                    alts=tuple(f[4].split(",")), info=info)
+
+    def close(self):
+        pass
+
+
+@pytest.fixture(scope="module")
+def reffc(ref):
+    sys.modules["pysam"].VariantFile = _FakeVariantFile
+    if getattr(sys.modules["pysam"], "FastaFile", None) is None:
+        sys.modules["pysam"].FastaFile = _FakeFastaFile
+    sys.path.insert(0, REF_SRC)
+    try:
+        import cuteSV.cuteSV_forcecalling as rfc
+        import cuteSV.cuteSV_genotype as rgen
+        yield types.SimpleNamespace(fc=rfc, gen=rgen)
+    finally:
+        sys.path.remove(REF_SRC)
+
+
+def _canon_fc(result):
+    """Canonicalize the rname csv (index 8): the reference gathers support
+    ids in sets for the non-indel paths."""
+    out = {}
+    for chrom, rows in result.items():
+        canon = []
+        for r in rows:
+            r = list(r)
+            r[8] = ",".join(sorted(str(r[8]).split(",")))
+            canon.append(r)
+        out[chrom] = canon
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 4, 9])
+def test_force_calling_matches_reference(ref, reffc, tmp_path, seed):
+    import re as _re
+    from dataclasses import replace
+
+    from cutesv_tpu import forcecalling
+    from cutesv_tpu import vcf as ourvcf
+    from cutesv_tpu.io.fasta import FastaFile
+
+    sigs, reads, census, tables, lengths = _build_case(400 + seed)
+    index = _write_ref_store(str(tmp_path), sigs, reads)
+    cfg = Config(input="x.bam", reference="x.fa", output="o.vcf",
+                 work_dir=str(tmp_path), genotype=True, engine="host",
+                 decoder="python", min_support=4)
+
+    # discovery rows from the REFERENCE resolvers -> a discovery VCF via
+    # our (emission-differential-proven) emitter
+    disc = _run_reference(ref, str(tmp_path), sigs, index, lengths,
+                          tables, True, cfg)
+    disc = {c: r for c, r in disc.items() if r}
+    rng = random.Random(seed)
+    genome = _random_genome(rng, sorted(lengths), 140_000)
+    fa_path = os.path.join(str(tmp_path), "ref.fa")
+    with open(fa_path, "w") as fh:
+        for c in sorted(genome):
+            fh.write(">%s\n" % c)
+            s = genome[c]
+            for k in range(0, len(s), 70):
+                fh.write(s[k:k + 70] + "\n")
+    fasta = FastaFile(fa_path)
+    per_chrom = {c: ourvcf.format_chrom_records(
+        cfg, [list(r) for r in disc[c]], fasta.fetch_lazy(c), c)
+        for c in disc}
+    ivcf = os.path.join(str(tmp_path), "disc.vcf")
+    contigs = [(c, 140_000) for c in sorted(genome)]
+    ourvcf.write_vcf(ivcf, cfg, per_chrom, contigs, ["t"])
+    # N-normalize base-leading type-A/B breakend ALTs: the reference's
+    # parse_record mis-parses a leading REF base (it assumes 'N...'),
+    # which our parser deliberately fixes (documented deviation in
+    # parse_vcf_records) — out of scope for this differential
+    lines = []
+    for line in open(ivcf):
+        if not line.startswith("#"):
+            f = line.split("\t")
+            f[4] = _re.sub(r"^[A-Z](\[|\])", r"N\1", f[4])
+            line = "\t".join(f)
+        lines.append(line)
+    with open(ivcf, "w") as fh:
+        fh.writelines(lines)
+
+    bias = {"INS": cfg.max_cluster_bias_INS,
+            "DEL": cfg.max_cluster_bias_DEL,
+            "DUP": cfg.max_cluster_bias_DUP,
+            "INV": cfg.max_cluster_bias_INV,
+            "TRA": cfg.max_cluster_bias_TRA}
+    gloab = {"INS": cfg.diff_ratio_merging_INS,
+             "DEL": cfg.diff_ratio_merging_DEL}
+    expected = reffc.fc.force_calling_chrom(
+        ivcf, str(tmp_path) + os.sep, bias, gloab, cfg.gt_round,
+        cfg.read_range, 2, index)
+
+    store = SigStore(sigs=sigs, census=census, read_tables=tables,
+                     chrom_lengths=lengths, names=None)
+    cfg_fc = replace(cfg, Ivcf=ivcf, reference=fa_path)
+    got = forcecalling.force_call(cfg_fc, ["t"], store=store)["result"]
+
+    expected = _canon_fc({c: r for c, r in expected.items() if r})
+    got = _canon_fc({c: r for c, r in got.items() if r})
+    assert got == expected
+
+    # pvcf emission over the regenotyped rows (report_readid off: RNAMES
+    # order inside rows is reference-set-nondeterministic)
+    fa_token = os.path.join(str(tmp_path), "fa_token")
+    _FakeFastaFile.registry[fa_token] = genome
+    sys.modules["pysam"].FastaFile = _FakeFastaFile
+    args_ns = types.SimpleNamespace(genotype=True, max_size=cfg.max_size,
+                                    min_size=cfg.min_size,
+                                    report_readid=False,
+                                    ignore_sequence=False)
+    for chrom in sorted(got):
+        exp_lines = reffc.gen.generate_pvcf(args_ns, expected[chrom],
+                                            fa_token, chrom)
+        our_lines = forcecalling.generate_pvcf_lines(
+            cfg_fc, got[chrom], fasta.fetch_lazy(chrom))
+        assert our_lines == exp_lines, chrom
