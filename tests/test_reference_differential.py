@@ -758,3 +758,132 @@ def test_force_calling_matches_reference(ref, reffc, tmp_path, seed):
         our_lines = forcecalling.generate_pvcf_lines(
             cfg_fc, got[chrom], fasta.fetch_lazy(chrom))
         assert our_lines == exp_lines, chrom
+
+
+# ---------------------------------------------------------------------------
+# eval_sim differential: the reference's benchmark scorer (pure stdlib)
+# vs tools/eval_sim on synthetic truth beds + callsets.
+# ---------------------------------------------------------------------------
+
+
+def _truth_and_calls(tmp, seed):
+    """Random VISOR-format truth bed + LASeR zygosity bed + a cuteSV-style
+    callset VCF containing jittered hits, misses, and FPs."""
+    rng = random.Random(seed)
+    truth_lines = []
+    call_lines = ["#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                  "\tS\n"]
+    zyg = {"chr1": 95.0, "chr2": 50.0}  # hom / het
+
+    def vcf_line(chrom, pos, svtype, end, svlen, gt, alt=None):
+        info = "PRECISE;SVTYPE=%s;SVLEN=%d;END=%d;RE=9" % (svtype, svlen,
+                                                           end)
+        alt = alt or "<%s>" % svtype
+        return ("%s\t%d\tid\tN\t%s\t20\tPASS\t%s\tGT:DR:DV\t%s:3:9\n"
+                % (chrom, pos, alt, info, gt))
+
+    pos = 10_000
+    for k in range(60):
+        chrom = "chr1" if k % 2 == 0 else "chr2"
+        ty = ("deletion", "insertion", "inversion",
+              "tandem duplication")[k % 4]
+        svlen = rng.randrange(60, 900)
+        start, end = pos, pos + svlen
+        if ty == "insertion":
+            seq = "".join(rng.choice("ACGT") for _ in range(svlen))
+            truth_lines.append("%s\t%d\t%d\t%s\t%s\t0\n"
+                               % (chrom, start, end, ty, seq))
+        else:
+            truth_lines.append("%s\t%d\t%d\t%s\tNone\t0\n"
+                               % (chrom, start, end, ty))
+        r = rng.random()
+        want_gt = "1/1" if chrom == "chr1" else "0/1"
+        if r < 0.5:  # hit, right GT
+            call_lines.append(vcf_line(
+                chrom, start + rng.randrange(-200, 200),
+                {"deletion": "DEL", "insertion": "INS",
+                 "inversion": "INV",
+                 "tandem duplication": "DUP"}[ty],
+                end, svlen + rng.randrange(-10, 10), want_gt))
+        elif r < 0.7:  # hit, wrong GT
+            call_lines.append(vcf_line(
+                chrom, start, {"deletion": "DEL", "insertion": "INS",
+                               "inversion": "INV",
+                               "tandem duplication": "DUP"}[ty],
+                end, svlen, "0/1" if want_gt == "1/1" else "1/1"))
+        elif r < 0.8:  # near-miss: bad size ratio
+            call_lines.append(vcf_line(
+                chrom, start, {"deletion": "DEL", "insertion": "INS",
+                               "inversion": "INV",
+                               "tandem duplication": "DUP"}[ty],
+                end, max(30, svlen // 3), want_gt))
+        pos += rng.randrange(3000, 9000)
+    # reciprocal translocations (BND mode)
+    for k in range(8):
+        strand1 = rng.choice(["forward", "reverse"])
+        strand2 = rng.choice(["forward", "reverse"])
+        s1 = 400_000 + k * 7000
+        s2 = 500_000 + k * 9000
+        truth_lines.append(
+            "chr1\t%d\t%d\treciprocal translocation\th1:chr2:%d:%s:%s\t0\n"
+            % (s1, s1 + 2000, s2, strand1, strand2))
+        if rng.random() < 0.7:
+            alt = "N[chr2:%d[" % s2 if strand1 == "forward" \
+                else "N]chr2:%d]" % s2
+            call_lines.append(vcf_line("chr1", s1 + rng.randrange(-300,
+                                                                  300),
+                                       "BND", 0, 0, "0/1", alt=alt))
+    # FPs with no truth counterpart
+    for k in range(10):
+        call_lines.append(vcf_line("chr2", 800_000 + k * 5000, "DEL",
+                                   800_400 + k * 5000, 400, "0/1"))
+    ans = os.path.join(tmp, "truth.bed")
+    gt = os.path.join(tmp, "zyg.bed")
+    vcf_p = os.path.join(tmp, "calls.vcf")
+    with open(ans, "w") as fh:
+        fh.writelines(truth_lines)
+    with open(gt, "w") as fh:
+        for c, cov in zyg.items():
+            fh.write("%s\t0\t1000000\t%.1f\n" % (c, cov))
+    with open(vcf_p, "w") as fh:
+        fh.writelines(call_lines)
+    return ans, gt, vcf_p
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("mode", ["IID", "DUP", "BND"])
+def test_eval_sim_matches_reference(tmp_path, seed, mode):
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.eval_sim as reval
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import eval_sim as oureval
+
+    ans_p, gt_p, vcf_p = _truth_and_calls(str(tmp_path), seed)
+    modes = {"IID": ["INS", "INV", "DEL"], "DUP": ["INS", "DUP"],
+             "BND": ["BND"]}[mode]
+
+    r_ans = reval.load_ans(ans_p)
+    r_gt = reval.load_gt(gt_p)
+    r_call, r_ab = reval.load_callset(vcf_p, modes)
+    reval.eval(r_call, r_ans, 0.7, 1000, 1, r_gt)
+
+    o_ans = oureval.load_ans(ans_p)
+    o_gt = oureval.load_gt(gt_p)
+    o_call, o_ab = oureval.load_callset(vcf_p, modes)
+    oureval.evaluate(o_call, o_ans, 0.7, 1000, 1, o_gt)
+
+    assert o_ab == r_ab
+    assert o_gt == r_gt
+    assert o_call == r_call   # mutated in place: match levels per row
+    assert o_ans == r_ans
+    for res in (1, 2):
+        summary = oureval.statistics(o_call, o_ans, 1, res)
+        for svtype in r_call:
+            tp = sum(1 for e in r_call[svtype] if e[-1] >= res)
+            assert summary[("call", svtype)] == (tp, len(r_call[svtype]))
+        for svtype in r_ans:
+            slot = {"INS": 2, "BND": 4}.get(svtype, 3) + 1
+            fn = sum(1 for e in r_ans[svtype] if e[slot] >= res)
+            assert summary[("ans", svtype)] == (fn, len(r_ans[svtype]))
