@@ -27,9 +27,15 @@ from typing import Dict
 from cutesv_tpu.tools.eval_sim import parse_info, phase_gt, _parse_bnd_alt
 
 
-def load_callset(path: str, min_bnd_dv: int = 0) -> Dict[str, list]:
+def load_callset(path: str, min_bnd_dv: int = 0,
+                 bnd_numeric_swap: bool = False) -> Dict[str, list]:
     """Rows: DEL/INS/DUP/INV -> [chrom, pos, end, len, gt, flags];
-    BND -> [chrom, pos, chr2, end2, form, gt, flags]."""
+    BND -> [chrom, pos, chr2, end2, form, gt, flags].
+
+    ``bnd_numeric_swap``: order numeric chromosome pairs as the smaller
+    chromosome first (eval_BND.py:66-77 / eval_sim.py:66-77; the form
+    "normalization" there is a sequential-if no-op, so only the swap has
+    effect). eval_bnd uses it; the trio/concordance scripts don't."""
     callset: Dict[str, list] = {}
     with open(path) as fh:
         for line in fh:
@@ -64,8 +70,16 @@ def load_callset(path: str, min_bnd_dv: int = 0) -> Dict[str, list]:
                             continue
                     except (IndexError, ValueError):
                         pass
-                callset.setdefault("BND", []).append(
-                    [chrom, pos, info["CHR2"], info["END"], form, gt, set()])
+                row = [chrom, pos, info["CHR2"], info["END"], form, gt,
+                       set()]
+                if bnd_numeric_swap:
+                    try:
+                        if int(chrom) > int(info["CHR2"]):
+                            row = [info["CHR2"], info["END"], chrom, pos,
+                                   form, gt, set()]
+                    except ValueError:
+                        pass
+                callset.setdefault("BND", []).append(row)
     return callset
 
 
@@ -111,8 +125,8 @@ def eval_bnd(argv=None) -> int:
     p.add_argument("-o", "--offect", default=1000, type=int)
     args = p.parse_args(argv)
     _setup_logging()
-    base = load_callset(args.base)
-    comp = load_callset(args.comp)
+    base = load_callset(args.base, bnd_numeric_swap=True)
+    comp = load_callset(args.comp, bnd_numeric_swap=True)
     tp = 0
     for i in comp.get("BND", []):
         for j in base.get("BND", []):

@@ -887,3 +887,149 @@ def test_eval_sim_matches_reference(tmp_path, seed, mode):
             slot = {"INS": 2, "BND": 4}.get(svtype, 3) + 1
             fn = sum(1 for e in r_ans[svtype] if e[slot] >= res)
             assert summary[("ans", svtype)] == (fn, len(r_ans[svtype]))
+
+
+# ---------------------------------------------------------------------------
+# eval_BND / eval_trio differentials (pure-stdlib reference scripts).
+# ---------------------------------------------------------------------------
+
+
+def _random_bnd_vcf(tmp, name, rng, numeric_chroms):
+    """Callset VCF with BND records across all four ALT forms, TRA
+    symbolic records with CHR2/END, and a sample column."""
+    chroms = ["1", "2", "3"] if numeric_chroms else ["chr1", "chr2", "chrX"]
+    lines = ["#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"]
+    for k in range(40):
+        c1, c2 = rng.sample(chroms, 2)
+        p1 = rng.randrange(1000, 900_000)
+        p2 = rng.randrange(1000, 900_000)
+        gt = rng.choice(["0/1", "1/1", "./."])
+        if True:
+            # (no symbolic <TRA> rows: the reference's load_callset
+            # IndexErrors on bracket-less ALTs, eval_BND.py:61 — our
+            # graceful handling of them is out of differential scope)
+            form = rng.randrange(4)
+            alt = ("N[%s:%d[" % (c2, p2), "N]%s:%d]" % (c2, p2),
+                   "[%s:%d[N" % (c2, p2), "]%s:%d]N" % (c2, p2))[form]
+            lines.append("%s\t%d\tid%d\tN\t%s\t10\tPASS\t"
+                         "SVTYPE=BND;RE=5\tGT:DR:DV\t%s:3:5\n"
+                         % (c1, p1, k, alt, gt))
+    path = os.path.join(tmp, name)
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    return path
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+@pytest.mark.parametrize("numeric", [False, True])
+def test_eval_bnd_matches_reference(tmp_path, caplog, seed, numeric):
+    import logging as _logging
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.eval_BND as rbnd
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import compare
+
+    rng = random.Random(800 + seed)
+    base_p = _random_bnd_vcf(str(tmp_path), "base.vcf", rng, numeric)
+    # comp: jittered copies of some base records + extras
+    comp_rng = random.Random(900 + seed)
+    comp_p = _random_bnd_vcf(str(tmp_path), "comp.vcf", comp_rng, numeric)
+    with open(base_p) as fh, open(comp_p, "a") as out:
+        for line in fh:
+            if not line.startswith("#") and comp_rng.random() < 0.5:
+                f = line.split("\t")
+                f[1] = str(int(f[1]) + comp_rng.randrange(-800, 800))
+                out.write("\t".join(f))
+
+    fp_ref, total_ref = rbnd.eval(rbnd.load_callset(comp_p),
+                                  rbnd.load_callset(base_p), 1000)
+
+    with caplog.at_level(_logging.INFO):
+        compare.eval_bnd([base_p, comp_p])
+    got = {}
+    for rec in caplog.records:
+        m = rec.getMessage()
+        if m.startswith("False positive in BND:"):
+            got["fp"] = int(m.rsplit(" ", 1)[1])
+        if m.startswith("Total amount of BND:"):
+            got["total"] = int(m.rsplit(" ", 1)[1])
+    assert got == {"fp": fp_ref, "total": total_ref}
+
+
+def _random_trio_vcf(tmp, name, rng, base_sites):
+    """Callset over shared sites: each member independently includes a
+    site with jitter and a random GT."""
+    lines = ["#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"]
+    for k, (chrom, pos, svtype, svlen) in enumerate(base_sites):
+        if rng.random() < 0.75:
+            gt = rng.choice(["0/1", "1/1", "1/1"])
+            p = pos + rng.randrange(-300, 300)
+            ln = max(40, svlen + rng.randrange(-20, 20))
+            if svtype == "BND":
+                alt = "N[chr9:%d[" % (pos * 2)
+                lines.append("chr%s\t%d\tid%d\tN\t%s\t10\tPASS\t"
+                             "SVTYPE=BND;RE=5\tGT:DR:DV\t%s:3:5\n"
+                             % (chrom, p, k, alt, gt))
+            else:
+                lines.append("chr%s\t%d\tid%d\tN\t<%s>\t10\tPASS\t"
+                             "SVTYPE=%s;SVLEN=%d;END=%d;RE=5\tGT:DR:DV\t"
+                             "%s:3:5\n" % (chrom, p, k, svtype, svtype,
+                                           ln, p + ln, gt))
+    path = os.path.join(tmp, name)
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    return path
+
+
+@pytest.mark.parametrize("seed", [1, 6])
+def test_eval_trio_matches_reference(tmp_path, caplog, seed):
+    import logging as _logging
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.eval_trio as rtrio
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import compare
+
+    rng = random.Random(seed)
+    sites = []
+    pos = 20_000
+    for k in range(80):
+        sites.append((rng.choice("12"), pos,
+                      rng.choice(["DEL", "INS", "INV", "DUP", "BND"]),
+                      rng.randrange(60, 800)))
+        pos += rng.randrange(4000, 9000)
+    mp = _random_trio_vcf(str(tmp_path), "MP.vcf", rng, sites)
+    fp = _random_trio_vcf(str(tmp_path), "FP.vcf", rng, sites)
+    f1 = _random_trio_vcf(str(tmp_path), "F1.vcf", rng, sites)
+
+    child = rtrio.load_callset(f1)
+    father = rtrio.load_callset(mp)
+    mother = rtrio.load_callset(fp)
+    rtrio.eva_record(child, father, 0.7, 1000, ["hom"])
+    rtrio.eva_record(child, mother, 0.7, 1000, ["hom"])
+    rtrio.eva_record(father, child, 0.7, 1000, ["hom", "het"])
+    rtrio.eva_record(mother, child, 0.7, 1000, ["hom", "het"])
+    expected = {}
+    for svtype in ["DEL", "INS", "INV", "BND", "DUP", "ALL"]:
+        for label, cs, gts in (("F1", child, ["hom", "het"]),
+                               ("MP", father, ["hom"]),
+                               ("FP", mother, ["hom"])):
+            rec, true = rtrio.statistics_true_possitive(cs, svtype, gts)
+            expected[(label, svtype)] = (rec, true)
+
+    with caplog.at_level(_logging.INFO):
+        compare.eval_trio([mp, fp, f1])
+    got = {}
+    for rec in caplog.records:
+        m = rec.getMessage()
+        if "-" in m and ": " in m and m.count("\t") == 2:
+            head, rest = m.split(": ", 1)
+            label, svtype = head.rsplit("-", 1)
+            n_rec, n_true, _ = rest.split("\t")
+            got[(label, svtype)] = (int(n_rec), int(n_true))
+    assert got == expected
