@@ -1033,3 +1033,66 @@ def test_eval_trio_matches_reference(tmp_path, caplog, seed):
             n_rec, n_true, _ = rest.split("\t")
             got[(label, svtype)] = (int(n_rec), int(n_true))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# eval_forcecalling differential: population statistics + callset AF
+# comparison write identical output files.
+# ---------------------------------------------------------------------------
+
+
+def _population_vcf(tmp, name, rng, n_samples=100, with_stats=True):
+    lines = ["#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+             + "".join("\tS%d" % i for i in range(n_samples)) + "\n"]
+    pos = 5_000
+    for k in range(50):
+        svtype = rng.choice(["DEL", "INS", "DUP", "BND"])
+        svlen = rng.randrange(20, 900)  # some below the 50 bp floor
+        # leading key required: the reference splits on ";SVTYPE="
+        info = "PRECISE;SVTYPE=%s;SVLEN=%d;END=%d" % (svtype, svlen,
+                                                      pos + svlen)
+        if with_stats:
+            info += ";AF=%.4f;HWE=%.6f;ExcHet=%.6f" % (
+                rng.random(), rng.choice([0.5, 1e-8, 0.02]),
+                rng.choice([0.8, 1e-9, 0.3]))
+        else:
+            info += ";AF=%.4f" % rng.random()
+        gts = []
+        for _ in range(n_samples):
+            gts.append(rng.choice(["0/1:3:5", "1/1:0:9", "./.:.:.",
+                                   "0/0:9:0"]))
+        lines.append("chr%d\t%d\tid%d\tN\t<%s>\t10\tPASS\t%s\tGT:DR:DV\t%s\n"
+                     % (rng.randrange(1, 3), pos, k, svtype, info,
+                        "\t".join(gts)))
+        pos += rng.randrange(2000, 7000)
+    path = os.path.join(tmp, name)
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    return path
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_eval_forcecalling_matches_reference(tmp_path, seed):
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.eval_forcecalling as rfceval
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import eval_forcecalling as ourfceval
+
+    rng = random.Random(seed)
+    pop = _population_vcf(str(tmp_path), "pop.vcf", rng)
+    base = _population_vcf(str(tmp_path), "base.vcf",
+                           random.Random(seed + 1), with_stats=True)
+
+    a1 = os.path.join(str(tmp_path), "ref_pop.txt")
+    b1 = os.path.join(str(tmp_path), "our_pop.txt")
+    rfceval.population_statistic(pop, a1)
+    ourfceval.population_statistic(pop, b1)
+    assert open(b1).read() == open(a1).read()
+
+    a2 = os.path.join(str(tmp_path), "ref_cmp.txt")
+    b2 = os.path.join(str(tmp_path), "our_cmp.txt")
+    rfceval.compare_callsets(pop, base, a2)
+    ourfceval.compare_callsets(pop, base, b2)
+    assert open(b2).read() == open(a2).read()
