@@ -1096,3 +1096,145 @@ def test_eval_forcecalling_matches_reference(tmp_path, seed):
     rfceval.compare_callsets(pop, base, a2)
     ourfceval.compare_callsets(pop, base, b2)
     assert open(b2).read() == open(a2).read()
+
+
+# ---------------------------------------------------------------------------
+# multi_platform (3-way concordance) differential: our N-way concordance
+# must reproduce the reference's per-pattern counts.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [2, 7])
+def test_concordance_matches_multi_platform(tmp_path, caplog, seed):
+    import logging as _logging
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.multi_platform as rmp
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import compare
+
+    rng = random.Random(seed)
+    sites = []
+    pos = 30_000
+    for k in range(70):
+        sites.append((rng.choice("12"), pos,
+                      rng.choice(["DEL", "INS", "INV", "DUP", "BND"]),
+                      rng.randrange(60, 700)))
+        pos += rng.randrange(4000, 9000)
+    paths = [_random_trio_vcf(str(tmp_path), "p%d.vcf" % i,
+                              rng, sites) for i in range(3)]
+
+    cs = [rmp.load_callset(p) for p in paths]
+    rmp.eva_record(cs[0], cs[1], 0.7, 1000, 0, 0)
+    rmp.eva_record(cs[0], cs[2], 0.7, 1000, 1, 0)
+    rmp.eva_record(cs[1], cs[2], 0.7, 1000, 1, 1)
+    expected = {}
+    for idx, callset in enumerate(cs):
+        for svtype in callset:
+            pat = {}
+            total = 0
+            for chrom in callset[svtype]:
+                for row in callset[svtype][chrom]:
+                    total += 1
+                    key = "%d%d" % tuple(row[-1])
+                    pat[key] = pat.get(key, 0) + 1
+            expected[(idx, svtype)] = (total, pat)
+
+    with caplog.at_level(_logging.INFO):
+        compare.concordance(paths)
+    got = {}
+    cur = None
+    for rec in caplog.records:
+        m = rec.getMessage()
+        if m.startswith("Callset "):
+            continue
+        if " total of callset " in m:
+            svtype, rest = m.split(" total of callset ")
+            idx_s, total_s = rest.split(":\t")
+            cur = (int(idx_s), svtype)
+            got[cur] = (int(total_s), {})
+        elif m.strip().startswith("shared-with["):
+            key = m.split("[")[1].split("]")[0]
+            got[cur][1][key] = int(m.rsplit("\t", 1)[1])
+    # drop all-zero patterns on both sides for comparison
+    def norm(d):
+        return {k: ( t, {p: n for p, n in pat.items() if n} )
+                for k, (t, pat) in d.items()}
+    assert norm(got) == norm(expected)
+
+
+# ---------------------------------------------------------------------------
+# vcf2bedpe differential (pyvcf faked with raw-string INFO/QUAL).
+# ---------------------------------------------------------------------------
+
+
+class _FakePyvcfReader:
+    """Minimal pyvcf Reader: CHROM/POS(int)/ID/ALT/QUAL plus typed-enough
+    INFO (ints where the reference does arithmetic)."""
+
+    def __init__(self, fileobj):
+        self.fh = fileobj
+
+    def __iter__(self):
+        for line in self.fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            info = {}
+            for kv in f[7].split(";"):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    try:
+                        info[k] = int(v)
+                    except ValueError:
+                        info[k] = v
+                else:
+                    info[kv] = True
+            yield types.SimpleNamespace(CHROM=f[0], POS=int(f[1]),
+                                        ID=f[2], ALT=[f[4]],
+                                        QUAL=f[5], INFO=info)
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_vcf2bedpe_matches_reference(tmp_path, seed):
+    if "vcf" not in sys.modules:
+        m = types.ModuleType("vcf")
+        m.Reader = _FakePyvcfReader
+        sys.modules["vcf"] = m
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.vcf2bedpe as rbedpe
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import vcf2bedpe as ourbedpe
+
+    rng = random.Random(seed)
+    lines = ["#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"]
+    pos = 9_000
+    for k in range(40):
+        svtype = rng.choice(["DEL", "INS", "INV", "DUP", "BND"])
+        if svtype == "BND":
+            alt = rng.choice(["N[chr9:%d[", "N]chr9:%d]", "[chr9:%d[N",
+                              "]chr9:%d]N"]) % rng.randrange(1000, 500000)
+            info = "PRECISE;SVTYPE=BND;RE=%d" % rng.randrange(3, 40)
+        else:
+            ln = rng.randrange(60, 900)
+            alt = "<%s>" % svtype
+            info = "PRECISE;SVTYPE=%s;SVLEN=%d;END=%d;RE=%d" % (
+                svtype, ln, pos + ln, rng.randrange(3, 40))
+        lines.append("chr%s\t%d\tcuteSV.%s.%d\tN\t%s\t%.1f\tPASS\t%s\t"
+                     "GT:DR:DV\t0/1:3:9\n"
+                     % (rng.choice("12"), pos, svtype, k, alt,
+                        rng.random() * 100, info))
+        pos += rng.randrange(2000, 8000)
+    vcf_p = os.path.join(str(tmp_path), "in.vcf")
+    with open(vcf_p, "w") as fh:
+        fh.writelines(lines)
+
+    ref_out = os.path.join(str(tmp_path), "ref.bedpe")
+    our_out = os.path.join(str(tmp_path), "our.bedpe")
+    rbedpe.main_ctrl(types.SimpleNamespace(vcf=vcf_p, bedpe=ref_out))
+    ourbedpe.convert(vcf_p, our_out)
+    assert open(our_out).read() == open(ref_out).read()
