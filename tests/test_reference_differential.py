@@ -1238,3 +1238,68 @@ def test_vcf2bedpe_matches_reference(tmp_path, seed):
     rbedpe.main_ctrl(types.SimpleNamespace(vcf=vcf_p, bedpe=ref_out))
     ourbedpe.convert(vcf_p, our_out)
     assert open(our_out).read() == open(ref_out).read()
+
+
+@pytest.mark.parametrize("seed", [4])
+def test_concordance_matches_sta_venn(tmp_path, caplog, seed):
+    """4-way Venn counts (sta_venn.py): each callset's per-pattern counts
+    over the other three, in index order, equal our concordance's."""
+    import logging as _logging
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.sta_venn as rsv
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import compare
+
+    rng = random.Random(seed)
+    sites = []
+    pos = 30_000
+    for k in range(60):
+        sites.append((rng.choice("12"), pos,
+                      rng.choice(["DEL", "INS", "INV", "DUP", "BND"]),
+                      rng.randrange(60, 700)))
+        pos += rng.randrange(4000, 9000)
+    paths = [_random_trio_vcf(str(tmp_path), "v%d.vcf" % i, rng, sites)
+             for i in range(4)]
+
+    cs = [rsv.load_callset(p) for p in paths]
+    # all 6 pairs; each callset's slots index the other three in order
+    # (sta_venn.py:167-172)
+    rsv.eva_record(cs[0], cs[1], 0.7, 1000, 0, 0)
+    rsv.eva_record(cs[0], cs[2], 0.7, 1000, 1, 0)
+    rsv.eva_record(cs[0], cs[3], 0.7, 1000, 2, 0)
+    rsv.eva_record(cs[1], cs[2], 0.7, 1000, 1, 1)
+    rsv.eva_record(cs[1], cs[3], 0.7, 1000, 2, 1)
+    rsv.eva_record(cs[2], cs[3], 0.7, 1000, 2, 2)
+    expected = {}
+    for idx, callset in enumerate(cs):
+        for svtype in callset:
+            pat = {}
+            total = 0
+            for chrom in callset[svtype]:
+                for row in callset[svtype][chrom]:
+                    total += 1
+                    key = "%d%d%d" % tuple(row[-1])
+                    pat[key] = pat.get(key, 0) + 1
+            expected[(idx, svtype)] = (total,
+                                       {k: n for k, n in pat.items() if n})
+
+    with caplog.at_level(_logging.INFO):
+        compare.concordance(paths)
+    got = {}
+    cur = None
+    for rec in caplog.records:
+        m = rec.getMessage()
+        if " total of callset " in m:
+            svtype, rest = m.split(" total of callset ")
+            idx_s, total_s = rest.split(":\t")
+            cur = (int(idx_s), svtype)
+            got[cur] = (int(total_s), {})
+        elif m.strip().startswith("shared-with["):
+            key = m.split("[")[1].split("]")[0]
+            n = int(m.rsplit("\t", 1)[1])
+            if n:
+                got[cur][1][key] = n
+    assert got == expected
