@@ -1303,3 +1303,82 @@ def test_concordance_matches_sta_venn(tmp_path, caplog, seed):
             if n:
                 got[cur][1][key] = n
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# diploid_calling differential (pyvcf faked: list-valued RNAMES, int INFO
+# where the reference does %d, PASS -> []).
+# ---------------------------------------------------------------------------
+
+
+class _FakePyvcfDCReader:
+    def __init__(self, fileobj):
+        self.fh = fileobj
+
+    def __iter__(self):
+        for line in self.fh:
+            if line.startswith("#"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            info = {}
+            for kv in f[7].split(";"):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    if k == "RNAMES":
+                        info[k] = v.split(",")
+                    else:
+                        try:
+                            info[k] = int(v)
+                        except ValueError:
+                            info[k] = v
+                else:
+                    info[kv] = True
+            yield types.SimpleNamespace(
+                CHROM=f[0], POS=int(f[1]), ID=f[2], REF=f[3],
+                ALT=[f[4]], QUAL=f[5],
+                FILTER=[] if f[6] == "PASS" else [f[6]], INFO=info)
+
+
+@pytest.mark.parametrize("seed", [6])
+def test_diploid_calling_matches_reference(tmp_path, seed):
+    import importlib.machinery
+    import importlib.util
+
+    if "vcf" not in sys.modules:
+        sys.modules["vcf"] = types.ModuleType("vcf")
+    sys.modules["vcf"].Reader = _FakePyvcfDCReader
+    path = os.path.join(REF_SRC, "cuteSV", "diploid_calling.py")
+    loader = importlib.machinery.SourceFileLoader("ref_diploid", path)
+    spec = importlib.util.spec_from_loader("ref_diploid", loader)
+    rdc = importlib.util.module_from_spec(spec)
+    loader.exec_module(rdc)
+    from cutesv_tpu.tools import diploid_calling as ourdc
+
+    rng = random.Random(seed)
+    lines = ["##fileformat=VCFv4.2\n",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"]
+    pos = 8_000
+    for k in range(40):
+        svtype = rng.choice(["DEL", "INS", "DUP", "INV"])
+        ln = rng.randrange(60, 900)
+        names = []
+        for _ in range(rng.randrange(1, 6)):
+            hap = rng.choice(["cutesvh1", "cutesvh2", "ctg"])
+            names.append("%s_%d_%d" % (hap, k, rng.randrange(100)))
+        lines.append("chr%s\t%d\tcuteSV.%s.%d\tN\t<%s>\t%.1f\t%s\t"
+                     "PRECISE;SVTYPE=%s;SVLEN=%d;END=%d;RE=%d;RNAMES=%s\t"
+                     "GT:DR:DV\t0/1:3:9\n"
+                     % (rng.choice("12"), pos, svtype, k, svtype,
+                        rng.random() * 100, rng.choice(["PASS", "q5"]),
+                        svtype, ln if svtype != "DEL" else -ln, pos + ln,
+                        rng.randrange(3, 30), ",".join(names)))
+        pos += rng.randrange(2000, 8000)
+    invcf = os.path.join(str(tmp_path), "in.vcf")
+    with open(invcf, "w") as fh:
+        fh.writelines(lines)
+
+    ref_out = os.path.join(str(tmp_path), "ref.vcf")
+    our_out = os.path.join(str(tmp_path), "our.vcf")
+    rdc.main_ctrl(types.SimpleNamespace(invcf=invcf, outvcf=ref_out))
+    ourdc.convert(invcf, our_out)
+    assert open(our_out).read() == open(ref_out).read()
