@@ -406,7 +406,7 @@ def force_call(cfg, argv, store=None) -> dict:
         store, _, references, n_records = decode_bam(cfg)
     else:
         references = list(store.chrom_lengths.items())
-        n_records = 0
+        n_records = -1  # not decoded here (same sentinel as --resume)
     names = store.names
     render = (lambda k: names[k]) if names is not None else (lambda k: k)
     # name -> key map for support membership tests against census keys

@@ -32,10 +32,11 @@ def load_callset(path: str, min_bnd_dv: int = 0,
     """Rows: DEL/INS/DUP/INV -> [chrom, pos, end, len, gt, flags];
     BND -> [chrom, pos, chr2, end2, form, gt, flags].
 
-    ``bnd_numeric_swap``: order numeric chromosome pairs as the smaller
-    chromosome first (eval_BND.py:66-77 / eval_sim.py:66-77; the form
-    "normalization" there is a sequential-if no-op, so only the swap has
-    effect). eval_bnd uses it; the trio/concordance scripts don't."""
+    ``bnd_numeric_swap``: for numeric chromosome pairs, mirror
+    eval_BND.py:66-77 / eval_sim.py:66-77 — smaller chromosome first;
+    in the non-swap branch the sequential ifs collapse ']]N' into 'N[['
+    ('N[[' itself round-trips). eval_bnd uses it; the trio/concordance
+    scripts don't."""
     callset: Dict[str, list] = {}
     with open(path) as fh:
         for line in fh:
@@ -77,6 +78,8 @@ def load_callset(path: str, min_bnd_dv: int = 0,
                         if int(chrom) > int(info["CHR2"]):
                             row = [info["CHR2"], info["END"], chrom, pos,
                                    form, gt, set()]
+                        elif form == "]]N":
+                            row[4] = "N[["
                     except ValueError:
                         pass
                 callset.setdefault("BND", []).append(row)

@@ -944,8 +944,16 @@ def test_eval_bnd_matches_reference(tmp_path, caplog, seed, numeric):
                 f[1] = str(int(f[1]) + comp_rng.randrange(-800, 800))
                 out.write("\t".join(f))
 
-    fp_ref, total_ref = rbnd.eval(rbnd.load_callset(comp_p),
-                                  rbnd.load_callset(base_p), 1000)
+    ref_comp = rbnd.load_callset(comp_p)
+    ref_base = rbnd.load_callset(base_p)
+    fp_ref, total_ref = rbnd.eval(ref_comp, ref_base, 1000)
+    # loaded rows (incl. the ']]N'->'N[[' collapse in the non-swap
+    # branch) must match field-for-field
+    from cutesv_tpu.tools import compare as _cmp
+    for path, ref_rows in ((comp_p, ref_comp), (base_p, ref_base)):
+        ours = _cmp.load_callset(path, bnd_numeric_swap=True)
+        assert ([r[:6] for r in ours.get("BND", [])]
+                == [r[:6] for r in ref_rows.get("BND", [])])
 
     with caplog.at_level(_logging.INFO):
         compare.eval_bnd([base_p, comp_p])
