@@ -1105,6 +1105,25 @@ def test_eval_forcecalling_matches_reference(tmp_path, seed):
     ourfceval.compare_callsets(pop, base, b2)
     assert open(b2).read() == open(a2).read()
 
+    # CMRG preprocessing: explicit-allele truth VCF -> SVTYPE/SVLEN INFO
+    cmrg = os.path.join(str(tmp_path), "cmrg.vcf")
+    with open(cmrg, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                 "\tFORMAT\tS\n")
+        for k in range(20):
+            ref_a = "".join(rng.choice("ACGT")
+                            for _ in range(rng.randrange(1, 300)))
+            alt_a = "".join(rng.choice("ACGT")
+                            for _ in range(rng.randrange(1, 300)))
+            fh.write("chr1\t%d\tv%d\t%s\t%s\t30\tPASS\t.\tGT\t0/1\n"
+                     % (1000 + 500 * k, k, ref_a, alt_a))
+    a3 = os.path.join(str(tmp_path), "ref_cmrg.vcf")
+    b3 = os.path.join(str(tmp_path), "our_cmrg.vcf")
+    rfceval.pre_cmrg(cmrg, a3)
+    ourfceval.pre_cmrg(cmrg, b3)
+    assert open(b3).read() == open(a3).read()
+
 
 # ---------------------------------------------------------------------------
 # multi_platform (3-way concordance) differential: our N-way concordance
