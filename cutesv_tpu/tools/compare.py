@@ -260,6 +260,155 @@ def cmp_base(argv=None) -> int:
     return 0
 
 
+def _na_info(info_str: str) -> dict:
+    """pase_base_info (cmp_NA19240.py:24-36): abs-int SVLEN/END/RE,
+    3-char SVTYPE."""
+    info = {"SVLEN": 0, "END": 0, "SVTYPE": "", "RE": 0}
+    for kv in info_str.split(";"):
+        k = kv.split("=")[0]
+        if k in ("SVLEN", "END", "RE"):
+            try:
+                info[k] = abs(int(kv.split("=")[1]))
+            except (IndexError, ValueError):
+                pass
+        if k == "SVTYPE":
+            info[k] = kv.split("=")[1][0:3]
+    return info
+
+
+def _na_load(path: str, flavor: str):
+    """The four caller-specific loaders of cmp_NA19240.py, faithful to
+    each quirk:
+
+    - ``base``/``svim``: SV type from the symbolic ALT (seq[4][1:4]);
+      INV rows use END-pos+1 as length with NO size filter; base maps
+      DUP->INS.
+    - ``cutesv``: type from the ID column (``cuteSV.DEL.n`` -> chars
+      7:10); 50..100000 size filter on every type; a run of INVs is
+      collapsed to its longest member, flushed only when a later
+      non-INV record arrives (a trailing INV run is silently dropped,
+      cmp_NA19240.py:95-102).
+    - ``sniffles``: like cutesv but the type comes from INFO.
+    - ``pbsv``: type from INFO; INV direct with END-pos+1 and no size
+      filter; others filtered.
+    """
+    out: Dict[str, dict] = {}
+    last_inv: list = []
+
+    def add(svtype, chrom, row):
+        out.setdefault(svtype, {}).setdefault(chrom, []).append(row)
+
+    with open(path) as fh:
+        for line in fh:
+            seq = line.strip("\n").split("\t")
+            if not seq[0] or seq[0][0] == "#":
+                continue
+            chrom = seq[0]
+            pos = int(seq[1])
+            info = _na_info(seq[7])
+            if flavor in ("base", "svim"):
+                svtype = seq[4][1:4]
+                if svtype not in ("INS", "INV", "DEL", "DUP"):
+                    continue
+                if flavor == "base" and svtype == "DUP":
+                    svtype = "INS"
+                out.setdefault(svtype, {}).setdefault(chrom, [])
+                if svtype == "INV":
+                    add(svtype, chrom,
+                        [pos, info["END"] - pos + 1, info["END"], 0])
+                elif 50 <= info["SVLEN"] <= 100000:
+                    add(svtype, chrom, [pos, info["SVLEN"], info["END"],
+                                        0])
+            else:
+                if flavor == "cutesv":
+                    svtype = seq[2][7:10]
+                else:
+                    svtype = info["SVTYPE"]
+                if svtype not in ("INS", "INV", "DEL", "DUP"):
+                    continue
+                out.setdefault(svtype, {}).setdefault(chrom, [])
+                if flavor == "pbsv":
+                    if svtype == "INV":
+                        add(svtype, chrom,
+                            [pos, info["END"] - pos + 1, info["END"], 0])
+                    elif 50 <= info["SVLEN"] <= 100000:
+                        add(svtype, chrom, [pos, info["SVLEN"],
+                                            info["END"], 0])
+                elif 50 <= info["SVLEN"] <= 100000:
+                    if svtype == "INV":
+                        last_inv.append([svtype, chrom, pos,
+                                         info["SVLEN"], info["END"],
+                                         info["RE"]])
+                    else:
+                        add(svtype, chrom, [pos, info["SVLEN"],
+                                            info["END"], 0])
+                        if last_inv:
+                            last_inv.sort(key=lambda x: -x[3])
+                            add(last_inv[0][0], last_inv[0][1],
+                                [last_inv[0][2], last_inv[0][3],
+                                 last_inv[0][4], 0])
+                            last_inv = []
+    return out
+
+
+def _na_score(base, call, flag, bias, offect):
+    """cmp_callsets (cmp_NA19240.py:207-263): padded-overlap + size-ratio
+    flag marking, then precision/recall/F over INS+DEL+INV."""
+    for svtype in base:
+        if svtype not in call:
+            continue
+        for chrom in base[svtype]:
+            for i in base[svtype].get(chrom, []):
+                for j in call[svtype].get(chrom, []):
+                    if (i[0] - offect <= j[0] <= i[2] + offect
+                            or i[0] - offect <= j[2] <= i[2] + offect
+                            or j[0] - offect <= i[0] <= j[2] + offect):
+                        if min(i[1], j[1]) / max(i[1], j[1]) >= bias:
+                            i[3] = flag
+                            j[3] = flag
+    tp_base = total_base = tp_call = total_call = 0
+    for svtype in ("INS", "DEL", "INV"):
+        for chrom in base.get(svtype, {}):
+            for i in base[svtype][chrom]:
+                total_base += 1
+                tp_base += i[3] == flag
+        for chrom in call.get(svtype, {}):
+            for i in call[svtype][chrom]:
+                total_call += 1
+                tp_call += i[3] == flag
+    logging.info("Camp count: %d" % total_call)
+    logging.info("TP-call count: %d" % tp_call)
+    logging.info("Precision: %.2f" % (100.0 * tp_call / total_call))
+    logging.info("Recall: %.2f" % (100.0 * tp_base / total_base))
+    logging.info("F-measure: %.2f"
+                 % (200.0 * tp_base * tp_call
+                    / (total_base * tp_call + tp_base * total_call)))
+    return tp_base, total_base, tp_call, total_call
+
+
+def cmp_na19240(argv=None) -> int:
+    """Faithful cmp_NA19240.py: compare caller VCFs against a published
+    base callset with the reference's exact loaders and scoring."""
+    p = argparse.ArgumentParser(prog="cmp_na19240")
+    p.add_argument("base", type=str)
+    p.add_argument("callsets", nargs="+", type=str,
+                   help="caller VCFs as flavor:path "
+                        "(flavor in cutesv/sniffles/pbsv/svim)")
+    p.add_argument("-b", "--bias", default=0.7, type=float)
+    p.add_argument("-o", "--offect", default=1000, type=int)
+    args = p.parse_args(argv)
+    _setup_logging()
+    base = _na_load(args.base, "base")
+    for flag, spec in enumerate(args.callsets, start=1):
+        flavor, _, path = spec.partition(":")
+        if not path:
+            flavor, path = "cutesv", spec
+        logging.info("====%s====" % path)
+        _na_score(base, _na_load(path, flavor), flag, args.bias,
+                  args.offect)
+    return 0
+
+
 def _setup_logging():
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")

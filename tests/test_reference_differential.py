@@ -1409,3 +1409,102 @@ def test_diploid_calling_matches_reference(tmp_path, seed):
     rdc.main_ctrl(types.SimpleNamespace(invcf=invcf, outvcf=ref_out))
     ourdc.convert(invcf, our_out)
     assert open(our_out).read() == open(ref_out).read()
+
+
+# ---------------------------------------------------------------------------
+# cmp_NA19240 differential: faithful caller-flavored loaders + scoring.
+# ---------------------------------------------------------------------------
+
+
+def _na_caller_vcf(tmp, name, rng, sites, flavor):
+    lines = ["#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"]
+    for k, (chrom, pos, svtype, svlen) in enumerate(sites):
+        if rng.random() > 0.8:
+            continue
+        p = pos + rng.randrange(-400, 400)
+        ln = max(30, svlen + rng.randrange(-30, 30))
+        info = "PRECISE;SVTYPE=%s;SVLEN=%d;END=%d;RE=%d" % (
+            svtype, ln, p + ln, rng.randrange(3, 30))
+        if flavor in ("svim", "base"):
+            svid = "svim.%s.%d" % (svtype, k)
+        else:
+            svid = "cuteSV.%s.%d" % (svtype, k)
+        lines.append("%s\t%d\t%s\tN\t<%s>\t30\tPASS\t%s\tGT:DR:DV\t"
+                     "0/1:3:9\n" % (chrom, p, svid, svtype, info))
+    path = os.path.join(tmp, name)
+    with open(path, "w") as fh:
+        fh.writelines(lines)
+    return path
+
+
+@pytest.mark.parametrize("seed", [2, 8])
+def test_cmp_na19240_matches_reference(tmp_path, caplog, seed):
+    import logging as _logging
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import benchmarks.cmp_NA19240 as rna
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.tools import compare
+
+    rng = random.Random(seed)
+    sites = []
+    pos = 40_000
+    for k in range(120):
+        # INV runs back-to-back sometimes (exercises the run-dedup);
+        # sizes straddle the 50/100000 filter
+        svtype = rng.choice(["DEL", "INS", "INV", "DUP", "INV"])
+        sites.append((rng.choice(["1", "2"]), pos, svtype,
+                      rng.choice([40, 120, 800, 120000])))
+        pos += rng.randrange(2500, 8000)
+    base_p = _na_caller_vcf(str(tmp_path), "base.vcf", rng, sites, "base")
+    c_cute = _na_caller_vcf(str(tmp_path), "cute.vcf", rng, sites,
+                            "cutesv")
+    c_sni = _na_caller_vcf(str(tmp_path), "sni.vcf", rng, sites,
+                           "sniffles")
+    c_pbsv = _na_caller_vcf(str(tmp_path), "pbsv.vcf", rng, sites, "pbsv")
+    c_svim = _na_caller_vcf(str(tmp_path), "svim.vcf", rng, sites, "svim")
+
+    # reference pipeline: fresh loads, flags 1..4 in caller order
+    base_ref = rna.load_base(base_p)
+    expected = []
+    for flag, (loader, path) in enumerate(
+            ((rna.load_cuteSV, c_cute), (rna.load_sniffles, c_sni),
+             (rna.load_pbsv, c_pbsv), (rna.load_svim, c_svim)), start=1):
+        call = loader(path)
+        rna.cmp_callsets(base_ref, call, flag, 0.7, 1000)
+        tp_b = total_b = tp_c = total_c = 0
+        for svtype in ("INS", "DEL", "INV"):
+            for chrom in base_ref.get(svtype, {}):
+                for i in base_ref[svtype][chrom]:
+                    total_b += 1
+                    tp_b += i[3] == flag
+            for chrom in call.get(svtype, {}):
+                for i in call[svtype][chrom]:
+                    total_c += 1
+                    tp_c += i[3] == flag
+        expected.append((tp_b, total_b, tp_c, total_c))
+
+    with caplog.at_level(_logging.INFO):
+        compare.cmp_na19240([base_p, "cutesv:" + c_cute,
+                             "sniffles:" + c_sni, "pbsv:" + c_pbsv,
+                             "svim:" + c_svim])
+    got = []
+    cur = {}
+    for rec in caplog.records:
+        m = rec.getMessage()
+        if m.startswith("Camp count:"):
+            cur["total_c"] = int(m.rsplit(" ", 1)[1])
+        elif m.startswith("TP-call count:"):
+            cur["tp_c"] = int(m.rsplit(" ", 1)[1])
+        elif m.startswith("Recall:"):
+            cur["recall"] = m.rsplit(" ", 1)[1]
+        elif m.startswith("F-measure:"):
+            got.append(dict(cur))
+            cur = {}
+    assert len(got) == 4
+    for (tp_b, total_b, tp_c, total_c), g in zip(expected, got):
+        assert g["total_c"] == total_c
+        assert g["tp_c"] == tp_c
+        assert g["recall"] == "%.2f" % (100.0 * tp_b / total_b)
