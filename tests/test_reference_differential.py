@@ -239,7 +239,7 @@ def _run_reference(ref, tmp, sigs, index, lengths, tables, action, cfg):
     return out
 
 
-def _canon(results):
+def _canon(results, drop_names=False):
     """Sort the RNAMES csv of DUP/INV/TRA rows on both sides before
     comparing: the reference accumulates those support ids in a Python
     ``set`` (cuteSV_resolveDUP.py:96, resolveINV, resolveTRA), so its own
@@ -253,6 +253,11 @@ def _canon(results):
             r = list(r)
             if r[1] not in ("DEL", "INS"):
                 r[-1] = ",".join(sorted(str(r[-1]).split(",")))
+            elif drop_names:
+                # device engine materializes RNAMES only under
+                # --report_readid (the emitter reads them only then)
+                idx = 12
+                r[idx] = ""
             canon_rows.append(r)
         out[chrom] = canon_rows
     return out
@@ -260,11 +265,14 @@ def _canon(results):
 
 @pytest.mark.parametrize("seed", range(8))
 @pytest.mark.parametrize("action", [False, True])
-def test_resolvers_match_reference(ref, tmp_path, seed, action):
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_resolvers_match_reference(ref, tmp_path, seed, action, engine):
+    """host engine: oracle resolvers; device engine: the JAX cluster/
+    genotype kernels themselves against the reference code."""
     sigs, reads, census, tables, lengths = _build_case(seed)
     index = _write_ref_store(str(tmp_path), sigs, reads)
     cfg = Config(input="x.bam", reference="x.fa", output="o.vcf",
-                 work_dir=str(tmp_path), genotype=action, engine="host",
+                 work_dir=str(tmp_path), genotype=action, engine=engine,
                  decoder="python", min_support=4)
     expected = _run_reference(ref, str(tmp_path), sigs, index, lengths,
                               tables, action, cfg)
@@ -274,6 +282,27 @@ def test_resolvers_match_reference(ref, tmp_path, seed, action):
     got = pipeline.resolve_all(store, cfg)
 
     # normalize: drop empty chromosomes on both sides
+    drop = engine == "device" and not cfg.report_readid
+    expected = _canon({c: r for c, r in expected.items() if r},
+                      drop_names=drop)
+    got = _canon({c: r for c, r in got.items() if r}, drop_names=drop)
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [2])
+def test_resolvers_match_reference_device_readid(ref, tmp_path, seed):
+    """Device engine with --report_readid: RNAMES materialized and
+    compared exactly."""
+    sigs, reads, census, tables, lengths = _build_case(seed)
+    index = _write_ref_store(str(tmp_path), sigs, reads)
+    cfg = Config(input="x.bam", reference="x.fa", output="o.vcf",
+                 work_dir=str(tmp_path), genotype=True, engine="device",
+                 decoder="python", min_support=4, report_readid=True)
+    expected = _run_reference(ref, str(tmp_path), sigs, index, lengths,
+                              tables, True, cfg)
+    store = SigStore(sigs=sigs, census=census, read_tables=tables,
+                     chrom_lengths=lengths, names=None)
+    got = pipeline.resolve_all(store, cfg)
     expected = _canon({c: r for c, r in expected.items() if r})
     got = _canon({c: r for c, r in got.items() if r})
     assert got == expected
