@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
-READ_LEN = 20_000
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", "20000"))
 COVERAGE = 20
 
 
@@ -49,6 +49,8 @@ def build_dataset(genome_mb: int, seed: int = 0):
     """Synthesize ref.fa + sim.bam under CACHE; returns paths."""
     os.makedirs(CACHE, exist_ok=True)
     tag = "g%dmb4chr_c%dx" % (genome_mb, COVERAGE)
+    if READ_LEN != 20000:
+        tag += "_rl%d" % READ_LEN
     bam = os.path.join(CACHE, "sim_%s.bam" % tag)
     fa = os.path.join(CACHE, "ref_%s.fa" % tag)
     meta = os.path.join(CACHE, "meta_%s.json" % tag)
@@ -170,7 +172,9 @@ def main():
         dt_n2, _, _ = run_once(bam, fa, "device", "native", outdir)
         dt_native = min(dt_native, dt_n2)
 
-    rate_file = os.path.join(CACHE, "baseline_rate_%dmb.json" % genome_mb)
+    rate_file = os.path.join(
+        CACHE, "baseline_rate_%dmb%s.json"
+        % (genome_mb, "" if READ_LEN == 20000 else "_rl%d" % READ_LEN))
     identical = None
     base_rate = None
     if os.environ.get("BENCH_BASELINE", "1") != "0" or \
