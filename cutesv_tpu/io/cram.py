@@ -43,12 +43,15 @@ EOF_START = 4542278  # canonical EOF container's alignment start
 # low-level block / container IO
 # ---------------------------------------------------------------------------
 
-def _compress(method: int, data: bytes) -> bytes:
+def _compress(method: int, data: bytes, rans_order: int = 0) -> bytes:
     if method == RAW:
         return data
     if method == GZIP:
         return _gzip_compress(data)
     if method == RANS:
+        if rans_order == 1:
+            from cutesv_tpu.io.cram_codecs import rans_encode_o1
+            return rans_encode_o1(data)
         return rans_encode_o0(data)
     raise ValueError("unsupported write method %d" % method)
 
@@ -74,8 +77,8 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
 
 def write_block(out, method: int, content_type: int, content_id: int,
-                data: bytes):
-    comp = _compress(method, data)
+                data: bytes, rans_order: int = 0):
+    comp = _compress(method, data, rans_order)
     if len(comp) >= len(data) and method != RAW:
         method, comp = RAW, data
     blob = bytearray()
@@ -782,7 +785,8 @@ class CramWriter:
 
     def __init__(self, path: str, references, max_slice: int = 1000,
                  ref_seqs=None, core_series: bool = False,
-                 detached_mates: bool = False, multi_ref: bool = False):
+                 detached_mates: bool = False, multi_ref: bool = False,
+                 rans_order: int = 0):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -803,6 +807,7 @@ class CramWriter:
         self._core_series = core_series
         self._detached_mates = detached_mates
         self._multi_ref = multi_ref
+        self.rans_order = rans_order
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -1074,7 +1079,8 @@ class CramWriter:
             data = bytes(streams.get(cid, b"")
                          or tag_streams.get(cid, b""))
             method = RANS if i % 3 == 1 and len(data) > 16 else GZIP
-            write_block(buf, method, CT_EXTERNAL, cid, data)
+            write_block(buf, method, CT_EXTERNAL, cid, data,
+                        rans_order=self.rans_order)
         blocks = buf.getvalue()
         self._fh.write(_container_header_bytes(
             len(blocks), ref_id, start, span, len(recs), self._counter,

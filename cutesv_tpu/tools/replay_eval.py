@@ -223,6 +223,16 @@ def main(argv=None) -> int:
                   % (svtype, m, tot, 100.0 * m / max(tot, 1)))
     print("windows=%d replayer_dropped=%d elapsed=%.1fs"
           % (n_windows, dropped_total, time.time() - t0))
+    # machine-readable artifact alongside the printed table
+    import json
+    summary = {s: dict(rows=v[2], presence=v[0], genotype=v[1])
+               for s, v in agg.items()}
+    summary["_meta"] = dict(windows=n_windows, dropped=dropped_total)
+    if args.force_call and fc_agg:
+        summary["_force_call"] = {s: dict(match=m, rows=t)
+                                  for s, (m, t) in fc_agg.items()}
+    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
     return 0
 
 

@@ -91,3 +91,29 @@ def test_version_flag():
             with pytest.raises(SystemExit) as e:
                 p.parse_args([flag])
         assert e.value.code == 0
+
+
+def test_preset_expansion_matches_documented_values():
+    """--preset expands to the reference's documented per-platform
+    settings (cuteSV_Description.py:30-46); hifi aliases ccs; unknown
+    presets fail loudly."""
+    import pytest
+
+    from cutesv_tpu.config import Config, apply_preset
+
+    base = Config(input="i", reference="r", output="o", work_dir="w")
+    clr = apply_preset(base, "CLR")
+    assert (clr.max_cluster_bias_INS, clr.diff_ratio_merging_INS,
+            clr.max_cluster_bias_DEL, clr.diff_ratio_merging_DEL) \
+        == (100, 0.3, 200, 0.5)
+    ccs = apply_preset(base, "ccs")
+    assert (ccs.max_cluster_bias_INS, ccs.diff_ratio_merging_INS,
+            ccs.max_cluster_bias_DEL, ccs.diff_ratio_merging_DEL) \
+        == (1000, 0.9, 1000, 0.5)
+    assert apply_preset(base, "hifi") == ccs
+    ont = apply_preset(base, "ont")
+    assert (ont.max_cluster_bias_INS, ont.diff_ratio_merging_INS,
+            ont.max_cluster_bias_DEL, ont.diff_ratio_merging_DEL) \
+        == (100, 0.3, 100, 0.3)
+    with pytest.raises(ValueError):
+        apply_preset(base, "nanopore2")

@@ -37,13 +37,17 @@ def _fixture(tmp_path):
     return bam, fa
 
 
-def test_cram_roundtrip_records(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("rans_order", [0, 1])
+def test_cram_roundtrip_records(tmp_path, rans_order):
     bam, fa = _fixture(tmp_path)
     cram = tmp_path / "rt.cram"
     with BamReader(str(bam)) as r:
         refs = r.references
         records = list(r)
-    with CramWriter(str(cram), refs) as w:
+    with CramWriter(str(cram), refs, rans_order=rans_order) as w:
         for rec in records:
             w.write(rec)
     with CramReader(str(cram), reference=str(fa)) as cr:
@@ -217,3 +221,27 @@ def test_cram_core_series_roundtrip(tmp_path):
         assert (a.qname, a.flag, a.pos, a.mapq, a.cigar) == (
             b.qname, b.flag, b.pos, b.mapq, b.cigar)
         assert a.seq == b.seq
+
+
+def test_rans_order1_roundtrip():
+    """Order-1 rANS (htslib CRAM block codec, compression method 4 with
+    order byte 1): encode/decode round-trips on structured and random
+    payloads, and rans_decode dispatches on the order byte."""
+    import random
+
+    from cutesv_tpu.io.cram_codecs import (rans_decode, rans_decode_o1,
+                                           rans_encode_o1)
+
+    rng = random.Random(11)
+    payloads = [
+        b"A" * 1000,                                     # degenerate
+        bytes(rng.randrange(256) for _ in range(4096)),  # uniform
+        ("ACGT" * 1000).encode(),                        # periodic
+        bytes(rng.choice(b"ACGTN") for _ in range(9999)),
+        b"ABCD",                                         # minimal (4 states)
+    ]
+    for data in payloads:
+        enc = rans_encode_o1(data)
+        assert enc[0] == 1
+        assert rans_decode_o1(enc) == data
+        assert rans_decode(enc) == data

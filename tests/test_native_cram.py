@@ -59,7 +59,10 @@ def _assert_same_decode(nd_bam, nd_cram):
                           (6, True, dict(multi_ref=True)),
                           (7, False, dict(core_series=True,
                                           detached_mates=True,
-                                          multi_ref=True))])
+                                          multi_ref=True)),
+                          (8, True, dict(rans_order=1)),
+                          (9, False, dict(rans_order=1,
+                                          core_series=True))])
 def test_native_cram_matches_native_bam(tmp_path, seed, ref_based, kwargs):
     rng = random.Random(seed)
     bam = tmp_path / "f.bam"

@@ -121,3 +121,44 @@ def test_replay_inversion_window(tmp_path):
     for res in (1, 2):
         matched, total = iid[res][("ans", "INV")]
         assert (matched, total) == (1, 1)
+
+
+def test_replay_eval_driver_smoke(tmp_path):
+    """The whole-genome replay driver end to end on a tiny truth set:
+    one chromosome window, replay + call + score (+ force-call round
+    trip); every truth row must be recovered at presence AND genotype
+    level."""
+    import gzip
+    import json
+    import random
+
+    from cutesv_tpu.tools import replay_eval
+
+    bed = tmp_path / "sim_mix.bed.gz"
+    rows = []
+    pos = 100_000
+    rng = random.Random(3)
+    for k in range(12):
+        ty = ("deletion", "insertion")[k % 2]
+        ln = rng.randrange(80, 400)
+        if ty == "insertion":
+            seq = "".join(rng.choice("ACGT") for _ in range(ln))
+            rows.append("1\t%d\t%d\tinsertion\t%s\t0\n"
+                        % (pos, pos + 1, seq))
+        else:
+            rows.append("1\t%d\t%d\tdeletion\tNone\t0\n"
+                        % (pos, pos + ln))
+        pos += rng.randrange(20_000, 40_000)
+    with gzip.open(str(bed), "wt") as fh:
+        fh.writelines(rows)
+
+    out = tmp_path / "replay_out"
+    rc = replay_eval.main([
+        "--beds", str(bed), "--out", str(out), "--chroms", "1",
+        "--window_mb", "2", "--coverage", "10", "--force_call"])
+    assert rc == 0
+    summary = json.load(open(out / "summary.json"))
+    for ty in ("DEL", "INS"):
+        assert summary[ty]["rows"] == 6
+        assert summary[ty]["presence"] == 6
+        assert summary[ty]["genotype"] == 6
