@@ -515,6 +515,7 @@ struct BgzfChunkReader {
   int n_threads;
   bool eof = false;
   bool truncated = false;  // stream ended mid-block (corrupt/cut file)
+  std::atomic<bool> inflate_bad{false};  // a block failed to inflate
   double t_read = 0, t_inflate = 0;
 
   struct Blk {
@@ -564,11 +565,18 @@ struct BgzfChunkReader {
       for (int off = 0; off + 4 <= xlen;) {
         uint8_t si1 = extra[off], si2 = extra[off + 1];
         uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
-        if (si1 == 66 && si2 == 67 && slen == 2)
+        // the 2-byte BSIZE payload itself must lie inside the extra
+        // field (a BC header in the last <2 bytes would read past what
+        // fread filled — and past the array at xlen=65535)
+        if (si1 == 66 && si2 == 67 && slen == 2 && off + 6 <= (int)xlen)
           bsize = extra[off + 4] | (extra[off + 5] << 8);
+        if (off + 4 + (int)slen > (int)xlen) break;  // payload overflows
         off += 4 + slen;
       }
-      if (bsize < 0) { eof = true; truncated = true; break; }
+      // BSIZE is total-block-size-1; anything smaller than the fixed
+      // header+footer would underflow cdata_len below (corrupt/crafted)
+      if (bsize < 0 || (size_t)bsize + 1 < 12u + xlen + 8u)
+        { eof = true; truncated = true; break; }
       size_t cdata_len = (size_t)bsize + 1 - 12 - xlen - 8;
       c.cbuf.len = used;  // growth must preserve the payloads so far
       c.cbuf.ensure(used + cdata_len);
@@ -579,6 +587,9 @@ struct BgzfChunkReader {
         { eof = true; truncated = true; break; }
       uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
                        ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
+      // BGZF caps a block's inflated size at 64 KiB; a corrupt footer
+      // claiming more would balloon the chunk allocation
+      if (isize > 65536) { eof = true; truncated = true; break; }
       c.blocks.push_back({used, (uint32_t)cdata_len, isize, c.total});
       used += cdata_len;
       c.total += isize;
@@ -598,8 +609,14 @@ struct BgzfChunkReader {
         if (i >= c.blocks.size()) break;
         const Blk& b = c.blocks[i];
         size_t actual = 0;
-        libdeflate_deflate_decompress(d, c.cbuf.data() + b.off, b.clen,
-                                      dst + b.out_off, b.isize, &actual);
+        auto rc = libdeflate_deflate_decompress(
+            d, c.cbuf.data() + b.off, b.clen, dst + b.out_off, b.isize,
+            &actual);
+        // a corrupt deflate stream or an isize lying about the inflated
+        // length must not leave uninitialized bytes to be parsed as
+        // records: flag the chunk and let the consumer raise
+        if (rc != LIBDEFLATE_SUCCESS || actual != b.isize)
+          inflate_bad.store(true, std::memory_order_relaxed);
       }
       libdeflate_free_decompressor(d);
     };
@@ -813,15 +830,11 @@ struct Worker {
     // allreads row: everything mapped, before any filter (count_coverage
     // re-scan source)
     int8_t prim = (flag == 0 || flag == 16) ? 1 : 0;
-    {
-      int64_t nm = C.intern_name(qname);
-      C.all_chr.push(ref_id); C.all_start.push(pos); C.all_end.push(ref_end);
-      C.all_prim.push(prim); C.all_name.push(nm);
-    }
+    int64_t name_id = C.intern_name(qname);
+    C.all_chr.push(ref_id); C.all_start.push(pos); C.all_end.push(ref_end);
+    C.all_prim.push(prim); C.all_name.push(name_id);
     if (flag == 256 || flag == 272) return;
     if (!bed.pass(ref_id, pos, ref_end)) return;
-
-    int64_t name_id = C.intern_name(qname);
     if (mapq >= P.min_mapq) {
       C.cen_chr.push(ref_id); C.cen_start.push(pos); C.cen_end.push(ref_end);
       C.cen_prim.push(prim); C.cen_name.push(name_id);
@@ -1156,10 +1169,18 @@ struct Decoder {
     FILE* f = fopen(path, "rb");
     if (!f) return 1;
     BgzfChunkReader rd(f, (int)P.n_threads);
+    // every early return must join the read-ahead thread BEFORE closing
+    // the FILE* it may still be fread()ing from
+    auto bail = [&](int status) {
+      if (rd.rat.joinable()) rd.rat.join();
+      rd.ra_active = false;
+      fclose(f);
+      return status;
+    };
     std::string chunk;
     // --- header ---
     // keep pulling chunks until we have the full header
-    if (!rd.next_chunk(chunk, 1024)) { fclose(f); return 2; }
+    if (!rd.next_chunk(chunk, 1024)) return bail(2);
     auto need = [&](size_t n) {
       while (chunk.size() < n) {
         std::string more;
@@ -1168,22 +1189,23 @@ struct Decoder {
       }
       return chunk.size() >= n;
     };
-    if (!need(12) || memcmp(chunk.data(), "BAM\x01", 4) != 0) {
-      fclose(f);
-      return 3;
-    }
+    if (!need(12) || memcmp(chunk.data(), "BAM\x01", 4) != 0)
+      return bail(3);
     size_t off = 4;
     int32_t l_text = rd_i32(chunk.data() + off);
     off += 4;
-    if (!need(off + l_text + 4)) { fclose(f); return 3; }
+    if (l_text < 0 || !need(off + (size_t)l_text + 4)) return bail(3);
     off += l_text;
     int32_t n_ref = rd_i32(chunk.data() + off);
     off += 4;
+    if (n_ref < 0) return bail(3);
     for (int32_t i = 0; i < n_ref; i++) {
-      if (!need(off + 4)) { fclose(f); return 3; }
+      if (!need(off + 4)) return bail(3);
       int32_t l_name = rd_i32(chunk.data() + off);
       off += 4;
-      if (!need(off + l_name + 4)) { fclose(f); return 3; }
+      // l_name counts the NUL; 0/negative or absurd values are corrupt
+      if (l_name <= 0 || l_name > (1 << 20)) return bail(3);
+      if (!need(off + (size_t)l_name + 4)) return bail(3);
       std::string nm(chunk.data() + off, l_name - 1);
       off += l_name;
       int32_t l_ref = rd_i32(chunk.data() + off);
@@ -1192,6 +1214,7 @@ struct Decoder {
       header_chroms.push_back(nm);
       ref_lens.push_back(l_ref);
     }
+    if (rd.inflate_bad.load(std::memory_order_relaxed)) return bail(5);
     // --- records --- (the next chunk inflates on worker threads while the
     // main thread parses the current one; raw double buffers with a
     // leftover gap avoid re-copying the inflated stream every iteration)
@@ -1219,13 +1242,13 @@ struct Decoder {
       }
       if (!process_recs(A.data(), recs)) {
         prefetch.join();
-        fclose(f);
-        return 4;
+        return bail(4);
       }
       prefetch.join();
+      if (rd.inflate_bad.load(std::memory_order_relaxed)) return bail(5);
       if (!have_next) {
         // a partial record at end-of-stream means the file was cut
-        if (A.len - p != 0) { fclose(f); return 5; }
+        if (A.len - p != 0) return bail(5);
         break;
       }
       size_t leftover = A.len - p;
@@ -1253,7 +1276,8 @@ struct Decoder {
     }
     t_records = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t_rec0).count();
-    if (rd.truncated) { fclose(f); return 5; }
+    if (rd.truncated || rd.inflate_bad.load(std::memory_order_relaxed))
+      return bail(5);
     fclose(f);
     if (getenv("CUTESV_DECODE_TIMING"))
       fprintf(stderr,
@@ -1414,6 +1438,18 @@ static void bamdecode_finalize(CResult* r) {
   r->finalized = true;
 }
 
+// No exception may cross the extern "C"/thread boundary: a malformed
+// header (or OOM) that throws would std::terminate the host Python
+// process instead of reporting a status.
+static int run_guarded(Decoder& d, const char* path, const char* ref_path,
+                       bool is_cram) {
+  try {
+    return is_cram ? cram_run(d, path, ref_path) : d.run(path);
+  } catch (...) {
+    return 4;
+  }
+}
+
 CResult* bamdecode_run(const char* path, const char* ref_path,
                        const int64_t* params, const int32_t* bed_chr,
                        const int64_t* bed_start, const int64_t* bed_end,
@@ -1422,7 +1458,7 @@ CResult* bamdecode_run(const char* path, const char* ref_path,
   CResult* r = bamdecode_setup(path, params, bed_chr, bed_start, bed_end,
                                n_bed, &is_cram);
   Decoder* d = r->dec;
-  r->status = is_cram ? cram_run(*d, path, ref_path) : d->run(path);
+  r->status = run_guarded(*d, path, ref_path, is_cram);
   d->progress.store(INT32_MAX, std::memory_order_release);
   bamdecode_finalize(r);
   return r;
@@ -1441,9 +1477,8 @@ CResult* bamdecode_start(const char* path, const char* ref_path,
   std::string p(path), rp(ref_path ? ref_path : "");
   bool has_ref = ref_path != nullptr;
   r->th = new std::thread([r, d, p, rp, has_ref, is_cram]() {
-    r->status = is_cram ? cram_run(*d, p.c_str(),
-                                   has_ref ? rp.c_str() : nullptr)
-                        : d->run(p.c_str());
+    r->status = run_guarded(*d, p.c_str(),
+                            has_ref ? rp.c_str() : nullptr, is_cram);
     d->progress.store(INT32_MAX, std::memory_order_release);
   });
   return r;

@@ -72,3 +72,77 @@ def test_malformed_records_raise_not_crash(tmp_path, seed):
         assert nd.n_records >= 0
     except IOError as e:
         assert "malformed" in str(e) or "status" in str(e)
+
+
+def _bgzf_block(payload_deflated: bytes, isize: int,
+                bsize_override: int = None, xlen_extra: bytes = b""):
+    """Hand-rolled BGZF block with full control over BSIZE/ISIZE."""
+    import zlib
+
+    extra = b"BC\x02\x00\x00\x00" + xlen_extra  # BSIZE patched below
+    xlen = len(extra)
+    bsize = 12 + xlen + len(payload_deflated) + 8 - 1
+    if bsize_override is not None:
+        bsize = bsize_override
+    extra = b"BC\x02\x00" + struct.pack("<H", bsize & 0xFFFF) + xlen_extra
+    hdr = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+           + struct.pack("<H", xlen) + extra)
+    crc = zlib.crc32(b"")  # not validated; any value
+    return hdr + payload_deflated + struct.pack("<II", crc & 0xFFFFFFFF,
+                                                isize & 0xFFFFFFFF)
+
+
+def _deflate(data: bytes) -> bytes:
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    return c.compress(data) + c.flush()
+
+
+def _decode_expect_error(path):
+    cfg = Config(input=str(path))
+    with pytest.raises(IOError):
+        native.decode(str(path), cfg)
+
+
+def test_bsize_underflow_block_is_an_error(tmp_path):
+    """A BSIZE smaller than the fixed header+footer would underflow
+    cdata_len to ~2^64 (heap overflow before the fix); must error."""
+    path = tmp_path / "u.bam"
+    good = _bgzf_block(_deflate(b"BAM\x01" + b"\x00" * 8), 12)
+    bad = _bgzf_block(_deflate(b"x"), 1, bsize_override=10)
+    path.write_bytes(good + bad)
+    _decode_expect_error(path)
+
+
+def test_oversized_isize_footer_is_an_error(tmp_path):
+    """An ISIZE footer above the 64 KiB BGZF cap (would balloon the chunk
+    allocation) must error, not allocate terabytes."""
+    path = tmp_path / "i.bam"
+    good = _bgzf_block(_deflate(b"BAM\x01" + b"\x00" * 8), 12)
+    bad = _bgzf_block(_deflate(b"y" * 10), 0xFFFFFFFF)
+    path.write_bytes(good + bad)
+    _decode_expect_error(path)
+
+
+def test_corrupt_deflate_payload_is_an_error(tmp_path):
+    """A structurally valid block whose deflate stream is garbage must
+    fail loudly instead of parsing uninitialized bytes as records."""
+    path = tmp_path / "c.bam"
+    good = _bgzf_block(_deflate(b"BAM\x01" + b"\x00" * 8), 12)
+    bad = _bgzf_block(b"\xde\xad\xbe\xef" * 8, 1000)
+    path.write_bytes(good + bad)
+    _decode_expect_error(path)
+
+
+def test_header_zero_lname_is_an_error(tmp_path):
+    """l_name=0 in the reference list threw std::length_error across the
+    C boundary before the fix (aborting the process); must error."""
+    path = tmp_path / "h.bam"
+    hdr = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+    hdr += struct.pack("<i", 0)  # l_name = 0
+    hdr += struct.pack("<i", 1000)
+    w = BgzfWriter(str(path))
+    w.write(hdr)
+    w.close()
+    _decode_expect_error(path)
