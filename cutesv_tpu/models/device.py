@@ -353,7 +353,11 @@ def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
         remain_reads_ratio = 1
     candidates: List[list] = []
     gt_jobs: List[dict] = []
-    cid = cid - cid[0]  # cluster ids dense within a chromosome slice
+    # densify cluster ids: sharded streams offset each shard's ids by
+    # k*(shard_rows+2), so a plain -cid[0] shift would leave huge gaps and
+    # _allele_slices' bincounts would allocate O(max_id) instead of
+    # O(#clusters); ids are nondecreasing in allele-stream order
+    cid = np.cumsum(np.diff(cid, prepend=cid[0]) != 0)
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     fast = remain_reads_ratio == 1
     if fast:
@@ -429,7 +433,7 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
         remain_reads_ratio = 1
     candidates: List[list] = []
     gt_jobs: List[dict] = []
-    cid = cid - cid[0]
+    cid = np.cumsum(np.diff(cid, prepend=cid[0]) != 0)  # densify (see _emit_del)
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     fast = remain_reads_ratio == 1
     if fast:

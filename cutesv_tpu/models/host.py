@@ -243,48 +243,47 @@ def dup_cluster_emit(cluster, chrom, read_count, max_cluster_bias, sv_size,
     (generate_dup_cluster, cuteSV_resolveDUP.py:79-131). ``cluster`` rows
     may arrive pre-sorted by pos2 (stable ties by stream order) — the sort
     here is stable so the result is identical."""
-    if True:
-        support_all = _stable_unique([r[2] for r in cluster])
-        if len(support_all) < read_count:
-            return
-        by_p2 = sorted(cluster, key=lambda r: r[1])
-        sub: List[List] = [[by_p2[0]]]
-        last = by_p2[0][1]
-        for r in by_p2[1:]:
-            if r[1] - last > max_cluster_bias:
-                sub.append([])
-            sub[-1].append(r)
-            last = r[1]
-        for rows in sub:
-            support = _stable_unique([r[2] for r in rows])
-            if len(support) < read_count:
-                continue
-            low_b = int(len(rows) * 0.4)
-            up_b = int(len(rows) * 0.6)
-            if low_b == up_b:
-                bp1, bp2 = rows[low_b][0], rows[low_b][1]
-            else:
-                band = rows[low_b:up_b]
-                bp1 = int(sum(r[0] for r in band) / len(band))
-                bp2 = int(sum(r[1] for r in band) / len(band))
-            if not (sv_size <= bp2 - bp1 <= max_size
-                    or (sv_size <= bp2 - bp1 and max_size == -1)):
-                continue
-            if action:
-                ncb = min(max_cluster_bias, bp2 - bp1)
-                gt_jobs.append(dict(
-                    window1=(max(bp1 - ncb / 2, 0), bp1 + ncb / 2),
-                    window2=(max(bp2 - ncb / 2, 0), bp2 + ncb / 2),
-                    support=support))
-                candidates.append([chrom, "DUP", str(bp1), str(bp2 - bp1),
-                                   str(len(support)), None, None, None, None,
-                                   None, ",".join(render(k)
-                                                  for k in support)])
-            else:
-                candidates.append([chrom, "DUP", str(bp1), str(bp2 - bp1),
-                                   str(len(support)), ".", "./.", ".,.,.",
-                                   ".", ".",
-                                   ",".join(render(k) for k in support)])
+    support_all = _stable_unique([r[2] for r in cluster])
+    if len(support_all) < read_count:
+        return
+    by_p2 = sorted(cluster, key=lambda r: r[1])
+    sub: List[List] = [[by_p2[0]]]
+    last = by_p2[0][1]
+    for r in by_p2[1:]:
+        if r[1] - last > max_cluster_bias:
+            sub.append([])
+        sub[-1].append(r)
+        last = r[1]
+    for rows in sub:
+        support = _stable_unique([r[2] for r in rows])
+        if len(support) < read_count:
+            continue
+        low_b = int(len(rows) * 0.4)
+        up_b = int(len(rows) * 0.6)
+        if low_b == up_b:
+            bp1, bp2 = rows[low_b][0], rows[low_b][1]
+        else:
+            band = rows[low_b:up_b]
+            bp1 = int(sum(r[0] for r in band) / len(band))
+            bp2 = int(sum(r[1] for r in band) / len(band))
+        if not (sv_size <= bp2 - bp1 <= max_size
+                or (sv_size <= bp2 - bp1 and max_size == -1)):
+            continue
+        if action:
+            ncb = min(max_cluster_bias, bp2 - bp1)
+            gt_jobs.append(dict(
+                window1=(max(bp1 - ncb / 2, 0), bp1 + ncb / 2),
+                window2=(max(bp2 - ncb / 2, 0), bp2 + ncb / 2),
+                support=support))
+            candidates.append([chrom, "DUP", str(bp1), str(bp2 - bp1),
+                               str(len(support)), None, None, None, None,
+                               None, ",".join(render(k)
+                                              for k in support)])
+        else:
+            candidates.append([chrom, "DUP", str(bp1), str(bp2 - bp1),
+                               str(len(support)), ".", "./.", ".,.,.",
+                               ".", ".",
+                               ",".join(render(k) for k in support)])
 
 
 def resolve_inv(sigs: Sequence, chrom: str, read_count: int,
@@ -317,48 +316,47 @@ def inv_cluster_emit(cluster, chrom, read_count, max_cluster_bias, sv_size,
                      max_size, action, render, candidates, gt_jobs):
     """Per-cluster INV sub-clustering + emission
     (generate_semi_inv_cluster, cuteSV_resolveINV.py:101-203)."""
-    if True:
-        strand = cluster[0][0]
-        if len(_stable_unique([r[3] for r in cluster])) < read_count:
-            return
-        by_b2 = sorted(cluster, key=lambda r: r[2])
-        # running sub-cluster accumulation (cuteSV_resolveINV.py:114-203)
-        groups: List[List] = [[by_b2[0]]]
-        last_bp = by_b2[0][2]
-        for r in by_b2[1:]:
-            if r[2] - last_bp > max_cluster_bias:
-                groups.append([])
-            groups[-1].append(r)
-            last_bp = r[2]
-        for rows in groups:
-            temp_count = len(rows)
-            if temp_count < read_count:
-                continue
-            ids = _stable_unique([r[3] for r in rows])
-            max_count_id = len(ids)
-            bp1 = round(sum(r[1] for r in rows) / temp_count)
-            bp2 = round(sum(r[2] for r in rows) / temp_count)
-            inv_len = bp2 - bp1
-            if inv_len < sv_size or max_count_id < read_count:
-                continue
-            if not (inv_len <= max_size or max_size == -1):
-                continue
-            if action:
-                gt_jobs.append(dict(
-                    window1=(max(bp1 - max_cluster_bias / 2, 0),
-                             bp1 + max_cluster_bias / 2),
-                    window2=(max(bp2 - max_cluster_bias / 2, 0),
-                             bp2 + max_cluster_bias / 2),
-                    support=ids))
-                candidates.append([chrom, "INV", str(int(bp1)),
-                                   str(int(inv_len)), str(max_count_id),
-                                   None, None, strand, None, None, None,
-                                   ",".join(render(k) for k in ids)])
-            else:
-                candidates.append([chrom, "INV", str(int(bp1)),
-                                   str(int(inv_len)), str(max_count_id),
-                                   ".", "./.", strand, ".,.,.", ".", ".",
-                                   ",".join(render(k) for k in ids)])
+    strand = cluster[0][0]
+    if len(_stable_unique([r[3] for r in cluster])) < read_count:
+        return
+    by_b2 = sorted(cluster, key=lambda r: r[2])
+    # running sub-cluster accumulation (cuteSV_resolveINV.py:114-203)
+    groups: List[List] = [[by_b2[0]]]
+    last_bp = by_b2[0][2]
+    for r in by_b2[1:]:
+        if r[2] - last_bp > max_cluster_bias:
+            groups.append([])
+        groups[-1].append(r)
+        last_bp = r[2]
+    for rows in groups:
+        temp_count = len(rows)
+        if temp_count < read_count:
+            continue
+        ids = _stable_unique([r[3] for r in rows])
+        max_count_id = len(ids)
+        bp1 = round(sum(r[1] for r in rows) / temp_count)
+        bp2 = round(sum(r[2] for r in rows) / temp_count)
+        inv_len = bp2 - bp1
+        if inv_len < sv_size or max_count_id < read_count:
+            continue
+        if not (inv_len <= max_size or max_size == -1):
+            continue
+        if action:
+            gt_jobs.append(dict(
+                window1=(max(bp1 - max_cluster_bias / 2, 0),
+                         bp1 + max_cluster_bias / 2),
+                window2=(max(bp2 - max_cluster_bias / 2, 0),
+                         bp2 + max_cluster_bias / 2),
+                support=ids))
+            candidates.append([chrom, "INV", str(int(bp1)),
+                               str(int(inv_len)), str(max_count_id),
+                               None, None, strand, None, None, None,
+                               ",".join(render(k) for k in ids)])
+        else:
+            candidates.append([chrom, "INV", str(int(bp1)),
+                               str(int(inv_len)), str(max_count_id),
+                               ".", "./.", strand, ".,.,.", ".", ".",
+                               ",".join(render(k) for k in ids)])
 
 
 def _stable_unique(items: Sequence) -> List:

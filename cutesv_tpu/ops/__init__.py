@@ -8,5 +8,6 @@ this package provides those primitives over dense int32 coordinate tensors:
     indel_cluster.py  the DEL/INS cluster-structure kernel
     pair_cluster.py   the DUP/INV/TRA cluster-structure kernels
     sweep.py          interval cover counting (genotype read support)
-    glgather.py       genotype-likelihood assignment via table gather
+    pallas_sweep.py   VMEM-resident Pallas variant of the cover counting
+(the genotype-likelihood table gather lives in cutesv_tpu/genotype.py)
 """

@@ -108,6 +108,10 @@ def compact_cluster_outputs(cid, pos, length, stream_idx, cap_out: int):
     return dict(pos=sl(pos), length=sl(length), packed=sl(packed))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def sharded_cluster_structure(mesh, max_cluster_bias, read_count,
                               shard_rows: int):
     """shard_map wrapper: each device runs the cluster kernel on its own
@@ -117,6 +121,9 @@ def sharded_cluster_structure(mesh, max_cluster_bias, read_count,
 
     Inputs are (n_shards, shard_rows) arrays sharded on the genome axis;
     outputs are the kernel's row arrays per shard plus per-shard n_kept.
+
+    lru_cache'd: rebuilding the jit(shard_map(...)) wrapper per call would
+    retrace (and through the remote-TPU tunnel recompile) on every batch.
     """
     import jax
     from jax.sharding import PartitionSpec as P

@@ -66,9 +66,13 @@ def pair_cluster_structure(k1, k2, aux, rid, n_valid, bias, read_count,
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def sharded_pair_cluster(mesh, max_cluster_bias, read_count,
                          shard_rows: int, break_on_k2: bool):
-    """shard_map wrapper: each device runs the pair-cluster kernel on its
+    """shard_map wrapper (lru_cache'd — see sharded_cluster_structure): each device runs the pair-cluster kernel on its
     own contiguous stream shard. The caller cuts the stream at k1 gaps
     > bias — a guaranteed cluster boundary (the break conditions are
     OR-ed), so per-shard results equal the global computation.

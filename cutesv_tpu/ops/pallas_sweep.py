@@ -75,20 +75,10 @@ def cover_counts_pallas(sv_windows, read_starts, read_ends,
         return np.zeros(n_sv, np.int64)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    s = np.asarray([w[0] for w in sv_windows], np.float64)
-    e = np.asarray([w[1] for w in sv_windows], np.float64)
-    s2 = np.floor(s * 2).astype(np.int64)
-    e2 = np.ceil(e * 2).astype(np.int64)
-    sp = -(-n_sv // SV_CHUNK) * SV_CHUNK
-    sv_s = np.full(sp, np.iinfo(np.int32).min, np.int64)
-    sv_e = np.full(sp, np.iinfo(np.int32).max, np.int64)
-    sv_s[:n_sv] = s2
-    sv_e[:n_sv] = e2
-    rp = -(-n_reads // READ_CHUNK) * READ_CHUNK
-    st = np.full(rp, np.iinfo(np.int32).max, np.int64)
-    en = np.full(rp, np.iinfo(np.int32).min, np.int64)
-    st[:n_reads] = 2 * np.asarray(read_starts, np.int64)
-    en[:n_reads] = 2 * np.asarray(read_ends, np.int64)
+    from cutesv_tpu.ops.sweep import scale_and_pad
+    sv_s, sv_e, st, en = scale_and_pad(sv_windows, read_starts, read_ends,
+                                       SV_CHUNK, READ_CHUNK)
+    sp, rp = len(sv_s), len(st)
     out = np.zeros(sp, np.int64)
     # bounded-depth pipeline: keep a few chunks in flight (hides the
     # dispatch/fetch round-trip) without holding every output buffer on

@@ -29,11 +29,6 @@ def boundary_flags(*keys, valid):
     return flags & valid
 
 
-def segment_ids(new_segment, valid):
-    """Monotone ids from boundary flags; invalid rows get the last id."""
-    return jnp.cumsum(new_segment.astype(jnp.int32))
-
-
 def seg_sum(values, ids, num):
     return jax.ops.segment_sum(values, ids, num_segments=num)
 
@@ -42,5 +37,3 @@ def seg_min(values, ids, num):
     return jax.ops.segment_min(values, ids, num_segments=num)
 
 
-def seg_max(values, ids, num):
-    return jax.ops.segment_max(values, ids, num_segments=num)

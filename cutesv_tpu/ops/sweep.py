@@ -23,6 +23,35 @@ _SV_CHUNK = 8192                # SV windows per device call
 # in a run, regardless of per-chromosome sizes.
 
 
+
+
+def scale_and_pad(sv_windows, read_starts, read_ends, sv_multiple,
+                  read_multiple):
+    """The shared cover-kernel coordinate contract: windows may be
+    half-integral (bias/2), so everything is doubled to stay integral —
+    start <= s  <=>  2*start <= floor(2s);  end >= e  <=>  2*end >= ceil(2e)
+    — then padded to the given multiples with never-covering sentinels.
+    One implementation serves sweep/pallas_sweep/sharded_cover so the
+    contract cannot drift. Callers guarantee doubled coordinates fit
+    int32 (pipeline._batched_cover_multi's 1e9 budget + per-chromosome
+    host fallback)."""
+    n_sv = len(sv_windows)
+    n_reads = len(read_starts)
+    s = np.asarray([w[0] for w in sv_windows], np.float64)
+    e = np.asarray([w[1] for w in sv_windows], np.float64)
+    sp = -(-n_sv // sv_multiple) * sv_multiple
+    sv_s = np.full(sp, np.iinfo(np.int32).min, np.int64)
+    sv_e = np.full(sp, np.iinfo(np.int32).max, np.int64)
+    sv_s[:n_sv] = np.floor(s * 2).astype(np.int64)
+    sv_e[:n_sv] = np.ceil(e * 2).astype(np.int64)
+    rp = -(-n_reads // read_multiple) * read_multiple
+    st = np.full(rp, np.iinfo(np.int32).max, np.int64)
+    en = np.full(rp, np.iinfo(np.int32).min, np.int64)
+    st[:n_reads] = 2 * np.asarray(read_starts, np.int64)
+    en[:n_reads] = 2 * np.asarray(read_ends, np.int64)
+    return sv_s, sv_e, st, en
+
+
 @jax.jit
 def _cover_scan(sv_s, sv_e, starts_tiled, ends_tiled):
     def step(acc, tile):
@@ -41,22 +70,9 @@ def cover_counts_device(sv_windows, read_starts, read_ends) -> np.ndarray:
     n_reads = len(read_starts)
     if n_sv == 0 or n_reads == 0:
         return np.zeros(n_sv, np.int64)
-    s = np.asarray([w[0] for w in sv_windows], np.float64)
-    e = np.asarray([w[1] for w in sv_windows], np.float64)
-    # windows may be half-integral (bias/2); scale by 2 to stay in ints:
-    # start <= s  <=>  2*start <= floor(2s); end >= e  <=>  2*end >= ceil(2e)
-    s2 = np.floor(s * 2).astype(np.int64)
-    e2 = np.ceil(e * 2).astype(np.int64)
-    sp = -(-n_sv // _SV_CHUNK) * _SV_CHUNK
-    sv_s = np.full(sp, np.iinfo(np.int32).min, np.int64)
-    sv_e = np.full(sp, np.iinfo(np.int32).max, np.int64)
-    sv_s[:n_sv] = s2
-    sv_e[:n_sv] = e2
-    rp = -(-n_reads // _READ_CHUNK) * _READ_CHUNK
-    st = np.full(rp, np.iinfo(np.int32).max, np.int64)
-    en = np.full(rp, np.iinfo(np.int32).min, np.int64)
-    st[:n_reads] = 2 * np.asarray(read_starts, np.int64)
-    en[:n_reads] = 2 * np.asarray(read_ends, np.int64)
+    sv_s, sv_e, st, en = scale_and_pad(sv_windows, read_starts, read_ends,
+                                       _SV_CHUNK, _READ_CHUNK)
+    sp, rp = len(sv_s), len(st)
     out = np.zeros(sp, np.int64)
     for r0 in range(0, rp, _READ_CHUNK):
         st_t = jnp.asarray(

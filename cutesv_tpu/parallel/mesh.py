@@ -25,8 +25,19 @@ from jax import shard_map
 
 
 def make_mesh(n_devices: int, devices=None) -> Mesh:
-    devices = np.array((devices or jax.devices())[:n_devices])
-    return Mesh(devices, ("genome",))
+    if devices is None:
+        return _default_mesh(n_devices)
+    return Mesh(np.array(devices[:n_devices]), ("genome",))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _default_mesh(n_devices: int) -> Mesh:
+    # one Mesh object per device count: identical-but-distinct Mesh
+    # instances would defeat the factories' lru_cache keys
+    return Mesh(np.array(jax.devices()[:n_devices]), ("genome",))
 
 
 def sharded_cluster_sizes(mesh: Mesh, max_cluster_bias: int):
@@ -35,24 +46,32 @@ def sharded_cluster_sizes(mesh: Mesh, max_cluster_bias: int):
 
     Inputs/outputs are sharded along the leading axis; cluster sizes are
     returned replicated (psum-combined across shards). Shapes are static
-    per call signature; pad with sentinel positions (INT32_MIN forbidden —
-    use a `valid` mask).
+    per call signature; pad anywhere with `valid`=False rows (INT32_MIN is
+    reserved as the internal no-previous sentinel) — gaps are measured to
+    the last VALID position, so per-shard tail padding and empty shards
+    cluster identically to the unpadded serial stream.
     """
     n = mesh.devices.size
+    _NONE = jnp.iinfo(jnp.int32).min
 
     def step(pos, valid):
         # pos, valid: this shard's rows (sorted stream slice)
         axis = jax.lax.axis_index("genome")
-        # halo: last element of the left neighbor
-        last = pos[-1:]
-        prev_last = jax.lax.ppermute(
-            last, "genome", [(i, (i + 1) % n) for i in range(n)])
-        prev = jnp.concatenate([prev_last, pos[:-1]])
-        new_cluster = (pos - prev > max_cluster_bias) & valid
-        # global first valid row opens cluster 0 implicitly (flag False)
-        new_cluster = jnp.where(
-            (jnp.arange(pos.shape[0]) == 0) & (axis == 0), False,
-            new_cluster)
+        # incoming carry: the last valid position of any earlier shard.
+        # positions are globally ascending, so a masked max over shards
+        # < axis equals the most recent valid position
+        local_last = jnp.max(jnp.where(valid, pos, _NONE))
+        lasts = jax.lax.all_gather(local_last, "genome")
+        incoming = jnp.max(jnp.where(jnp.arange(n) < axis, lasts, _NONE))
+
+        # per-row previous-valid position (scan carries past pad rows)
+        def body(carry, xv):
+            p, v = xv
+            return jnp.where(v, p, carry), carry
+
+        _, prev = jax.lax.scan(body, incoming, (pos, valid))
+        new_cluster = valid & (prev != _NONE) & \
+            (pos - prev > max_cluster_bias)
         # exclusive scan of per-shard boundary counts -> global ids
         local_count = jnp.sum(new_cluster.astype(jnp.int32))
         counts = jax.lax.all_gather(local_count, "genome")
@@ -76,15 +95,30 @@ def sharded_cluster_sizes(mesh: Mesh, max_cluster_bias: int):
     ))
 
 
+READ_TILE = 4096
+
+
 def sharded_cover_counts(mesh: Mesh):
     """Genotype read-support counting with the SV axis sharded.
 
-    Each chip holds the full read tile set (starts/ends, replicated) and a
-    shard of SV windows; counts = #{reads: start <= s and end >= e} per SV.
-    """
+    Each chip holds the full read tile set (starts/ends, replicated,
+    padded to a READ_TILE multiple by the caller) and a shard of SV
+    windows; counts = #{reads: start <= s and end >= e} per SV. The read
+    axis is scanned in READ_TILE chunks so the (sv, read) compare mask
+    stays VMEM-sized instead of materializing sv_shard x n_reads through
+    HBM (ops/sweep.py's layout, which genome-scale censuses require)."""
     def step(sv_s, sv_e, starts, ends):
-        m = (starts[None, :] <= sv_s[:, None]) & (ends[None, :] >= sv_e[:, None])
-        return jnp.sum(m, axis=1, dtype=jnp.int32)
+        st = starts.reshape(-1, READ_TILE)
+        en = ends.reshape(-1, READ_TILE)
+
+        def body(acc, tile):
+            s, e = tile
+            m = (s[None, :] <= sv_s[:, None]) & (e[None, :] >= sv_e[:, None])
+            return acc + jnp.sum(m, axis=1, dtype=jnp.int32), None
+
+        # zeros_like inherits sv_s's varying manual axis under shard_map
+        acc, _ = jax.lax.scan(body, jnp.zeros_like(sv_s), (st, en))
+        return acc
 
     return jax.jit(shard_map(
         step, mesh=mesh,
@@ -122,8 +156,13 @@ def demo_inputs(n_devices: int, rows_per_shard: int = 64,
     anchors = np.sort(rng.integers(0, pos.max() + 1, size=sv_total))
     sv_s = (anchors - 200).clip(0).astype(np.int32)
     sv_e = (anchors + 200).astype(np.int32)
-    starts = rng.integers(0, pos.max() + 1, size=n_reads).astype(np.int32)
-    ends = (starts + rng.integers(1000, 20000, size=n_reads)).astype(
-        np.int32)
+    # reads padded to a READ_TILE multiple with never-covering sentinels
+    # (the cover step scans fixed-width read tiles)
+    rp = max(READ_TILE, -(-n_reads // READ_TILE) * READ_TILE)
+    starts = np.full(rp, np.iinfo(np.int32).max, np.int32)
+    ends = np.full(rp, np.iinfo(np.int32).min, np.int32)
+    starts[:n_reads] = rng.integers(0, pos.max() + 1, size=n_reads)
+    ends[:n_reads] = (starts[:n_reads]
+                      + rng.integers(1000, 20000, size=n_reads))
     return (jnp.asarray(pos), jnp.asarray(valid), jnp.asarray(sv_s),
             jnp.asarray(sv_e), jnp.asarray(starts), jnp.asarray(ends))

@@ -35,17 +35,10 @@ def make_sharded_cover(n_shards: int):
         n_reads = len(read_starts)
         if n_sv == 0 or n_reads == 0:
             return np.zeros(n_sv, np.int64)
-        s = np.asarray([w[0] for w in sv_windows], np.float64)
-        e = np.asarray([w[1] for w in sv_windows], np.float64)
-        s2 = np.floor(s * 2).astype(np.int64)
-        e2 = np.ceil(e * 2).astype(np.int64)
-        sp = -(-n_sv // n_shards) * n_shards
-        sv_s = np.full(sp, np.iinfo(np.int32).min, np.int64)
-        sv_e = np.full(sp, np.iinfo(np.int32).max, np.int64)
-        sv_s[:n_sv] = s2
-        sv_e[:n_sv] = e2
-        st = 2 * np.asarray(read_starts, np.int64)
-        en = 2 * np.asarray(read_ends, np.int64)
+        from cutesv_tpu.ops.sweep import scale_and_pad
+        sv_s, sv_e, st, en = scale_and_pad(sv_windows, read_starts,
+                                           read_ends, n_shards,
+                                           pmesh.READ_TILE)
         out = fn(jnp.asarray(sv_s, jnp.int32), jnp.asarray(sv_e, jnp.int32),
                  jnp.asarray(st, jnp.int32), jnp.asarray(en, jnp.int32))
         return np.asarray(out)[:n_sv].astype(np.int64)

@@ -321,6 +321,20 @@ def _batched_cover_multi(specs, store, cfg: Config) -> None:
                 if g:
                     hi = max(hi, int(max(w[1] for w in g)))
         span = hi + 2
+        if span > 1_000_000_000:
+            # a single chromosome beyond the int32-safe coordinate budget
+            # (the kernels double coordinates): count its covers exactly
+            # on host instead of wrapping int32 on device
+            from cutesv_tpu.genotype import cover_counts
+            prim_h = census["is_primary"] == 1
+            for si in active:
+                per_chrom, _, apply_fn = specs[si]
+                cands, jobs = per_chrom[chrom]
+                counts = [np.asarray(cover_counts(
+                    g, census["start"][prim_h], census["end"][prim_h]))
+                    for g in wgs[si]]
+                apply_fn(chrom, cands, jobs, census, counts)
+            continue
         if state["offset"] + span > 1_000_000_000:
             # kernels scale coords x2; keep 2*coord in int32
             flush()

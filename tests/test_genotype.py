@@ -250,3 +250,43 @@ def test_batched_cover_multi_specs_match_single_passes():
                                    census["end"][prim])
                 assert np.array_equal(got[(tag, chrom)][k],
                                       np.asarray(exp)), (tag, chrom, k)
+
+
+def test_batched_cover_giant_chromosome_host_fallback():
+    """A chromosome beyond the int32-safe coordinate budget (the device
+    kernels double coordinates) is counted on host, exactly."""
+    import random
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import _batched_cover_pass
+    from cutesv_tpu.sigstore import SigStore
+
+    rng = random.Random(5)
+    n = 300
+    starts = np.sort(np.array(
+        [rng.randrange(0, 2_000_000_000) for _ in range(n)], np.int64))
+    ends = starts + np.array(
+        [rng.randrange(5_000, 40_000) for _ in range(n)], np.int64)
+    census = dict(start=starts, end=ends,
+                  is_primary=np.array([1] * n, np.int8),
+                  name=["r%03d" % i for i in range(n)])
+    store = SigStore(census={"giant": census})
+    jobs = []
+    cands = []
+    for _ in range(40):
+        s = rng.randrange(0, 2_000_000_000)
+        jobs.append(dict(window=(s, s + rng.randrange(100, 30_000)),
+                         support=[]))
+        cands.append([None] * 12)
+    got = {}
+
+    def apply(chrom, cands_, jobs_, census_, counts):
+        got["counts"] = np.asarray(counts[0], np.int64)
+
+    cfg = Config(input="x", reference="x", output="x", work_dir="x",
+                 engine="device")
+    _batched_cover_pass({"giant": (cands, jobs)}, store, cfg,
+                        lambda js: [[j["window"] for j in js]], apply)
+    exp = [int(np.sum((starts <= s) & (ends >= e)))
+           for s, e in (j["window"] for j in jobs)]
+    assert got["counts"].tolist() == exp

@@ -1,5 +1,6 @@
 """Sharded pipeline vs single-device reference on the 8-device CPU mesh."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -38,6 +39,44 @@ def test_sharded_cluster_sizes_match_serial(mesh8):
     got = np.asarray(sizes)[:len(exp_sizes)]
     assert list(got) == list(exp_sizes)
     assert int(n_clusters) == len(exp_sizes)
+
+
+def test_sharded_cluster_sizes_per_shard_padding(mesh8):
+    """Gaps are measured to the last VALID position: per-shard tail pads
+    (the natural equal-length shard layout) and empty shards must not
+    perturb cluster boundaries — a cluster continuing across a padded
+    shard edge stays ONE cluster, and a pad row's position never opens
+    one."""
+    n, rows, bias = 8, 16, 200
+    pos = np.zeros(n * rows, np.int32)
+    valid = np.zeros(n * rows, bool)
+    # one dense run (gap 10) laid out with only the first 12 rows of each
+    # shard valid; shard 3 entirely empty; pad positions left at 0 (which
+    # would look like huge backwards gaps if compared against raw rows)
+    p = 1000
+    serial = []
+    for k in range(n):
+        if k == 3:
+            continue
+        for r in range(12):
+            i = k * rows + r
+            pos[i] = p
+            valid[i] = True
+            serial.append(p)
+            p += 10
+    fn = pmesh.sharded_cluster_sizes(mesh8, bias)
+    cid, sizes, n_clusters = jax.device_get(fn(jnp.asarray(pos),
+                                               jnp.asarray(valid)))
+    assert int(n_clusters) == 1
+    assert set(np.asarray(cid)[valid].tolist()) == {0}
+    assert int(sizes[0]) == len(serial)
+    # and a real gap across an empty shard still breaks clusters
+    pos2 = pos.copy()
+    pos2[4 * rows:] += 10_000
+    cid2, sizes2, n2 = jax.device_get(fn(jnp.asarray(pos2),
+                                         jnp.asarray(valid)))
+    assert int(n2) == 2
+    assert int(sizes2[0]) + int(sizes2[1]) == len(serial)
 
 
 def test_sharded_cluster_sizes_boundary_spanning(mesh8):
