@@ -343,8 +343,17 @@ def find_in_indel_list(sv_type, var_list, bias, pos, sv_end,
 # per-chromosome genotyping driver (solve_fc, cuteSV_forcecalling.py:575-678)
 # ---------------------------------------------------------------------------
 
-def _sig_rows_fc(store, render):
-    """Project the sig store onto the FC matching layout."""
+def _sig_rows_fc(store):
+    """Project the sig store onto the FC matching layout.
+
+    Read identities stay store keys (rank ints on the native path) so
+    support membership tests line up with census keys; rendering to
+    strings happens once at emission. NOTE: the INV list keeps the
+    store's strand-major sort (chr, strand, b1, b2) even though
+    find_in_list binary-searches it by position — faithful to the
+    reference, which re-sorts only TRA (cuteSV_forcecalling.py:157) and
+    inherits the same potential miss; re-sorting by position here would
+    silently break byte-parity."""
     sv_dict: Dict[str, dict] = {"DEL": {}, "INS": {}, "DUP": {}, "INV": {},
                                 "TRA": {}}
     for chrom, stream in store.sigs["DEL"].items():
@@ -409,8 +418,7 @@ def force_call(cfg, argv, store=None) -> dict:
         n_records = -1  # not decoded here (same sentinel as --resume)
     names = store.names
     render = (lambda k: names[k]) if names is not None else (lambda k: k)
-    # name -> key map for support membership tests against census keys
-    sv_dict = _sig_rows_fc(store, render)
+    sv_dict = _sig_rows_fc(store)
 
     bias_dict = {"INS": cfg.max_cluster_bias_INS,
                  "DEL": cfg.max_cluster_bias_DEL,

@@ -21,7 +21,6 @@ Reproduces cal_GL / overlap_cover / assign_gt / count_coverage semantics
 from __future__ import annotations
 
 import math
-from bisect import bisect_left, insort
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -128,8 +127,9 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
                  read_starts: np.ndarray, read_ends: np.ndarray) -> np.ndarray:
     """#{reads: start <= s and end >= e} per SV window [s, e).
 
-    Host implementation: offline sweep over SVs sorted by s with a sorted
-    list of end coordinates (O((R+S) log R)). The device implementation in
+    Host implementation: offline sweep over SVs sorted by s, activating
+    reads in start order into a Fenwick tree over compressed end
+    coordinates (O((R+S) log R)). The device implementation in
     ops/sweep.py computes the same counts with blocked comparisons.
     """
     n_sv = len(sv_windows)
@@ -137,17 +137,32 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
     if n_sv == 0 or len(read_starts) == 0:
         return out
     order_r = np.argsort(read_starts, kind="stable")
-    starts = read_starts[order_r]
-    ends = read_ends[order_r]
+    starts = np.asarray(read_starts)[order_r]
+    ends = np.asarray(read_ends)[order_r]
+    uniq_ends = np.unique(ends)
+    end_rank = np.searchsorted(uniq_ends, ends)  # exact-match positions
+    m = len(uniq_ends)
+    tree = np.zeros(m + 1, np.int64)  # Fenwick: prefix counts by end rank
     sv_order = sorted(range(n_sv), key=lambda i: sv_windows[i][0])
-    ends_alive: List[float] = []   # sorted multiset of end coords
     ptr = 0
+    alive = 0
+    n_r = len(starts)
     for i in sv_order:
         s, e = sv_windows[i]
-        while ptr < len(starts) and starts[ptr] <= s:
-            insort(ends_alive, ends[ptr])
+        while ptr < n_r and starts[ptr] <= s:
+            k = int(end_rank[ptr]) + 1
+            while k <= m:
+                tree[k] += 1
+                k += k & -k
             ptr += 1
-        out[i] = len(ends_alive) - bisect_left(ends_alive, e)
+            alive += 1
+        # alive reads with end < e: prefix over ranks [1 .. #(uniq ends < e)]
+        k = int(np.searchsorted(uniq_ends, e, side="left"))
+        below = 0
+        while k > 0:
+            below += tree[k]
+            k -= k & -k
+        out[i] = alive - below
     return out
 
 
@@ -167,18 +182,24 @@ def _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
                                 for s in support_sets])
                 if n_sv and lens.sum() else np.empty(0, np.int64))
     flat_sv = np.repeat(np.arange(n_sv), lens)
-    size = int(max(p_rank.max() + 1 if len(p_rank) else 0,
-                   flat_key.max() + 1 if len(flat_key) else 0))
-    st = np.full(size, -1, np.int64)
-    en = np.full(size, -1, np.int64)
-    st[p_rank] = p_start
-    en[p_rank] = p_end
+    # last primary per rank wins (dict-build order of the oracle path);
+    # tables are O(reads on this chromosome), not O(global rank ceiling)
+    if len(p_rank):
+        uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
+        last_idx = len(p_rank) - 1 - idx_rev
+        st_u, en_u = p_start[last_idx], p_end[last_idx]
+    else:
+        uniq = st_u = en_u = p_rank
     s_arr = np.fromiter((w[0] for w in sv_windows), np.float64, n_sv)
     e_arr = np.fromiter((w[1] for w in sv_windows), np.float64, n_sv)
-    ps = st[flat_key]
-    pe = en[flat_key]
-    mask = (ps >= 0) & (ps <= s_arr[flat_sv]) & (pe >= e_arr[flat_sv])
-    inter = np.bincount(flat_sv[mask], minlength=n_sv)
+    if len(uniq) and len(flat_key):
+        posn = np.minimum(np.searchsorted(uniq, flat_key), len(uniq) - 1)
+        mask = ((uniq[posn] == flat_key)
+                & (st_u[posn] <= s_arr[flat_sv])
+                & (en_u[posn] >= e_arr[flat_sv]))
+        inter = np.bincount(flat_sv[mask], minlength=n_sv)
+    else:
+        inter = np.zeros(n_sv, np.int64)
     table = gl_table()
     rows = []
     for i in range(n_sv):

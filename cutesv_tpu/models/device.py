@@ -71,6 +71,18 @@ class IndelStream:
         o = int(self._seq_off[k])
         return self._seq_blob[o:o + int(self.seq_len[k])].decode("ascii")
 
+    def tuples(self):
+        """Materialize resolver-format tuple rows (host-engine path over a
+        native store); read identities stay rank keys."""
+        if self._rows is not None:
+            return self._rows
+        if self.seq_len is not None:
+            return [(int(self.pos[k]), int(self.length[k]),
+                     int(self.rid[k]), self.seq_of(k))
+                    for k in range(len(self.pos))]
+        return list(zip(self.pos.tolist(), self.length.tolist(),
+                        self.rid.tolist()))
+
     def names_of(self, idx) -> list:
         """Vectorized name_of over an index array (one pass instead of a
         python call per row)."""

@@ -124,13 +124,15 @@ def _resolve_alleles_indel(cluster, read_count, threshold_gloab,
 def resolve_del(sigs: Sequence, chrom: str, read_count: int,
                 threshold_gloab: float, max_cluster_bias: int,
                 minimum_support_reads: int, remain_reads_ratio: float,
-                action: bool):
+                action: bool, names: Optional[Sequence[str]] = None):
     """DEL resolution (resolution_DEL, cuteSV_resolveINDEL.py:17-108).
 
-    ``sigs`` rows: (pos:int, len:int, read_name) sorted by (pos, len, name).
+    ``sigs`` rows: (pos:int, len:int, read_key) sorted by (pos, len, key).
     Returns (candidates, gt_jobs) where gt_jobs carries the genotype windows
-    and support sets when ``action``.
+    and support sets when ``action``. ``names`` renders integer read keys
+    (native decode path) to strings; string keys render as themselves.
     """
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
     if remain_reads_ratio > 1:
         remain_reads_ratio = 1
     candidates = []
@@ -141,37 +143,40 @@ def resolve_del(sigs: Sequence, chrom: str, read_count: int,
         for al in _resolve_alleles_indel(cluster, read_count, threshold_gloab,
                                          minimum_support_reads,
                                          remain_reads_ratio, is_ins=False):
-            names = [r[2] for r in al["rows"]]
+            keys = [r[2] for r in al["rows"]]
+            rnames = ",".join(render(k) for k in keys)
             if action:
                 anchor = int(al["search_threshold"])
                 gt_jobs.append(dict(
                     window=(max(anchor - max_cluster_bias, 0),
                             anchor + max_cluster_bias),
-                    support=names))
+                    support=keys))
                 candidates.append([chrom, "DEL", str(int(al["breakpoint"])),
                                    str(int(-al["signal_len"])),
                                    str(al["support"]), al["cipos"],
                                    al["cilen"], None, None, None, None, None,
-                                   ",".join(names)])
+                                   rnames])
             else:
                 candidates.append([chrom, "DEL", str(int(al["breakpoint"])),
                                    str(int(-al["signal_len"])),
                                    str(al["support"]), al["cipos"],
                                    al["cilen"], ".", "./.", ".,.,.", ".",
-                                   ".", ",".join(names)])
+                                   ".", rnames])
     return candidates, gt_jobs
 
 
 def resolve_ins(sigs: Sequence, chrom: str, read_count: int,
                 threshold_gloab: float, max_cluster_bias: int,
                 minimum_support_reads: int, remain_reads_ratio: float,
-                action: bool):
+                action: bool, names: Optional[Sequence[str]] = None):
     """INS resolution (resolution_INS, cuteSV_resolveINDEL.py:222-317).
 
-    ``sigs`` rows: (pos:float, len:int, read_name, seq) sorted by
-    (int(pos), len, name, seq). Genotype windows use the hardcoded 1000 bp
-    bias (cuteSV_resolveINDEL.py:312).
+    ``sigs`` rows: (pos:float, len:int, read_key, seq) sorted by
+    (int(pos), len, key, seq). Genotype windows use the hardcoded 1000 bp
+    bias (cuteSV_resolveINDEL.py:312). ``names`` renders integer read keys
+    (native decode path) to strings; string keys render as themselves.
     """
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
     if remain_reads_ratio > 1:
         remain_reads_ratio = 1
     candidates = []
@@ -195,22 +200,23 @@ def resolve_ins(sigs: Sequence, chrom: str, read_count: int,
                     break
             if ideal_seq is None:
                 continue
-            names = [r[2] for r in al["rows"]]
+            keys = [r[2] for r in al["rows"]]
+            rnames = ",".join(render(k) for k in keys)
             if action:
                 anchor = int(breakpoint)
                 gt_jobs.append(dict(window=(max(anchor - 1000, 0),
                                             anchor + 1000),
-                                    support=names))
+                                    support=keys))
                 candidates.append([chrom, "INS", str(int(breakpoint)),
                                    str(int(signal_len)), str(al["support"]),
                                    al["cipos"], al["cilen"], None, None,
-                                   None, None, None, ",".join(names),
+                                   None, None, None, rnames,
                                    ideal_seq])
             else:
                 candidates.append([chrom, "INS", str(int(breakpoint)),
                                    str(int(signal_len)), str(al["support"]),
                                    al["cipos"], al["cilen"], ".", "./.",
-                                   ".,.,.", ".", ".", ",".join(names),
+                                   ".,.,.", ".", ".", rnames,
                                    ideal_seq])
     return candidates, gt_jobs
 

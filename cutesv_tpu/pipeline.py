@@ -384,17 +384,13 @@ def _del_ins_cover_spec(per_chrom: Dict[str, tuple]):
             _del_ins_apply)
 
 
-def _support_inter_counts(census, jobs, supports=None) -> np.ndarray:
-    """#(support reads whose primary alignment on THIS chromosome covers
-    the window) per job; identities are integer ranks. Last primary per
-    rank wins, matching the dict-build order of the oracle path.
-    ``supports``: optional precomputed [set(j["support"])] to share with
-    the caller's DV counting."""
-    n_sv = len(jobs)
+def _prim_last_table(census):
+    """(uniq_ranks, starts, ends) of the last primary row per name rank;
+    cached on the census dict across the per-type applies on this
+    chromosome (the census is immutable once built). Last primary per
+    rank wins, matching the dict-build order of the oracle path."""
     tbl = census.get("_prim_last")
     if tbl is None:
-        # cached across the per-type applies on this chromosome (the
-        # census is immutable once built)
         prim = census["is_primary"] == 1
         p_rank = census["name"][prim].astype(np.int64)
         if len(p_rank):
@@ -405,7 +401,16 @@ def _support_inter_counts(census, jobs, supports=None) -> np.ndarray:
         else:
             tbl = (p_rank, p_rank, p_rank)
         census["_prim_last"] = tbl
-    uniq, st_u, en_u = tbl
+    return tbl
+
+
+def _support_inter_counts(census, jobs, supports=None) -> np.ndarray:
+    """#(support reads whose primary alignment on THIS chromosome covers
+    the window) per job; identities are integer ranks.
+    ``supports``: optional precomputed [set(j["support"])] to share with
+    the caller's DV counting."""
+    n_sv = len(jobs)
+    uniq, st_u, en_u = _prim_last_table(census)
     if len(uniq) == 0 or n_sv == 0:
         return np.zeros(n_sv, np.int64)
     if supports is None:
@@ -443,32 +448,71 @@ def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
     return cands
 
 
+def _two_window_inter_counts(census, jobs) -> np.ndarray:
+    """#(support entries whose primary alignment covers window1 OR
+    window2) per job. Rank-identity censuses answer via the shared
+    searchsorted table; string censuses via a per-census cached dict
+    (last primary per name wins in both)."""
+    n_sv = len(jobs)
+    name_col = census["name"]
+    if (isinstance(name_col, np.ndarray)
+            and np.issubdtype(name_col.dtype, np.integer)):
+        uniq, st_u, en_u = _prim_last_table(census)
+        lens = np.fromiter((len(j["support"]) for j in jobs), np.int64,
+                           n_sv)
+        total = int(lens.sum())
+        if len(uniq) == 0 or total == 0:
+            return np.zeros(n_sv, np.int64)
+        flat_key = np.fromiter((k for j in jobs for k in j["support"]),
+                               np.int64, total)
+        flat_sv = np.repeat(np.arange(n_sv), lens)
+        s1 = np.fromiter((j["window1"][0] for j in jobs), np.float64, n_sv)
+        e1 = np.fromiter((j["window1"][1] for j in jobs), np.float64, n_sv)
+        s2 = np.fromiter((j["window2"][0] for j in jobs), np.float64, n_sv)
+        e2 = np.fromiter((j["window2"][1] for j in jobs), np.float64, n_sv)
+        posn = np.minimum(np.searchsorted(uniq, flat_key), len(uniq) - 1)
+        st, en = st_u[posn], en_u[posn]
+        j = flat_sv
+        mask = ((uniq[posn] == flat_key)
+                & (((st <= s1[j]) & (en >= e1[j]))
+                   | ((st <= s2[j]) & (en >= e2[j]))))
+        return np.bincount(flat_sv[mask], minlength=n_sv)
+    name_iv = census.get("_prim_iv")
+    if name_iv is None:
+        prim = census["is_primary"] == 1
+        p_start = census["start"][prim]
+        p_end = census["end"][prim]
+        p_names = [census["name"][i] for i in np.nonzero(prim)[0]]
+        name_iv = {n: (p_start[k], p_end[k])
+                   for k, n in enumerate(p_names)}
+        census["_prim_iv"] = name_iv
+    inters = np.zeros(n_sv, np.int64)
+    for i, job in enumerate(jobs):
+        (s1, e1), (s2, e2) = job["window1"], job["window2"]
+        inter = 0
+        for name in job["support"]:
+            iv = name_iv.get(name)
+            if iv is None:
+                continue
+            if ((iv[0] <= s1 and iv[1] >= e1)
+                    or (iv[0] <= s2 and iv[1] >= e2)):
+                inter += 1
+        inters[i] = inter
+    return inters
+
+
 def _two_window_apply(cands, jobs, census, c1, c2, ch, idxs) -> None:
     """Host half of the DUP/INV genotype: union of the two breakpoint
     window covers minus support reads covering either window
     (cuteSV_resolveDUP.py:137-160, cuteSV_resolveINV.py:208-230)."""
     dr_i, gt_i, pl_i, gq_i, qual_i = idxs
-    prim = census["is_primary"] == 1
-    p_start = census["start"][prim]
-    p_end = census["end"][prim]
-    p_names = [census["name"][i] for i in np.nonzero(prim)[0]]
-    name_iv = {n: (p_start[k], p_end[k]) for k, n in enumerate(p_names)}
     table = gl_table()
     unions = (np.asarray(c1, np.int64) + np.asarray(c2, np.int64)
               - np.asarray(ch, np.int64)).tolist()
-    for cand, job, union in zip(cands, jobs, unions):
-        support = job["support"]
-        inter = 0
-        for name in support:
-            iv = name_iv.get(name)
-            if iv is None:
-                continue
-            (s1, e1), (s2, e2) = job["window1"], job["window2"]
-            if ((iv[0] <= s1 and iv[1] >= e1)
-                    or (iv[0] <= s2 and iv[1] >= e2)):
-                inter += 1
-        dr = union - inter
-        gt, pl, gq, qual = table.lookup(dr, len(support))
+    inters = _two_window_inter_counts(census, jobs)
+    for cand, job, union, inter in zip(cands, jobs, unions, inters):
+        dr = union - int(inter)
+        gt, pl, gq, qual = table.lookup(dr, len(job["support"]))
         cand[dr_i] = str(dr)
         cand[gt_i] = str(gt)
         cand[pl_i] = str(pl)
@@ -514,7 +558,10 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     action = cfg.genotype
     results: Dict[str, List] = {}
     names = store.names  # rank -> string (native decode); None on oracle path
-    use_device = names is not None or cfg.engine in ("device", "auto")
+    # engine=host always means the numpy oracle — including on native
+    # (rank-identity) stores, whose columnar streams are materialized to
+    # tuple rows below; auto/device run the JAX kernels
+    use_device = cfg.engine != "host"
     if use_device:
         from cutesv_tpu.utils.jaxsetup import setup_jax
         setup_jax()
@@ -576,17 +623,20 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             cfg.remain_reads_ratio, action,
             need_names=cfg.report_readid)
     else:
+        def rows_of(sigs):
+            # native columnar stream -> resolver tuple rows
+            return sigs.tuples() if hasattr(sigs, "tuples") else sigs
         del_res = {
-            chrom: resolve_del(sigs, chrom, cfg.min_support,
+            chrom: resolve_del(rows_of(sigs), chrom, cfg.min_support,
                                cfg.diff_ratio_merging_DEL,
                                cfg.max_cluster_bias_DEL, min_sup5,
-                               cfg.remain_reads_ratio, action)
+                               cfg.remain_reads_ratio, action, names=names)
             for chrom, sigs in store.sigs["DEL"].items()}
         ins_res = {
-            chrom: resolve_ins(sigs, chrom, cfg.min_support,
+            chrom: resolve_ins(rows_of(sigs), chrom, cfg.min_support,
                                cfg.diff_ratio_merging_INS,
                                cfg.max_cluster_bias_INS, min_sup5,
-                               cfg.remain_reads_ratio, action)
+                               cfg.remain_reads_ratio, action, names=names)
             for chrom, sigs in store.sigs["INS"].items()}
     inv_res, dup_res = {}, {}
     for chrom, sigs in store.sigs["INV"].items():
@@ -682,8 +732,14 @@ def _gather_results(results: Dict[str, List]):
     from jax.experimental import multihost_utils
 
     blob = pickle.dumps(results)
-    n = np.array([len(blob)], np.int64)
-    lens = np.asarray(multihost_utils.process_allgather(jnp.asarray(n)))
+    # gather the length as two int32 halves: jnp.asarray silently
+    # truncates int64 without jax_enable_x64, which would corrupt the
+    # merge for per-host pickles over 2 GiB
+    n = np.array([len(blob) >> 31, len(blob) & 0x7FFFFFFF], np.int32)
+    halves = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(n))
+    ).reshape(-1, 2).astype(np.int64)
+    lens = (halves[:, 0] << 31) | halves[:, 1]
     cap = int(lens.max())
     padded = np.zeros(cap, np.uint8)
     padded[:len(blob)] = np.frombuffer(blob, np.uint8)

@@ -124,7 +124,7 @@ def format_chrom_records(cfg, rows: List[list], ref_chrom: str,
                         "%s\t%d\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s:%s:%s:%s:%s\n"
                         % (i[0], pos + 1, "cuteSV.DUP.<SVID>",
                            ref_seq.translate(_TRANS), "<DUP>", i[9],
-                           _filter_label(i[9]) if i[9] != "." else "PASS",
+                           _filter_label(i[9]),
                            info, "GT:DR:DV:PL:GQ",
                            i[6], i[5], i[4], i[7], i[8])))
         elif svtype == "INV":
@@ -150,7 +150,7 @@ def format_chrom_records(cfg, rows: List[list], ref_chrom: str,
                         "%s\t%d\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s:%s:%s:%s:%s\n"
                         % (i[0], pos_inv, "cuteSV.INV.<SVID>",
                            ref_seq.translate(_TRANS), "<INV>", i[10],
-                           _filter_label(i[10]) if i[10] != "." else "PASS",
+                           _filter_label(i[10]),
                            info, "GT:DR:DV:PL:GQ",
                            i[6], i[5], i[4], i[8], i[9])))
         else:
@@ -180,7 +180,7 @@ def format_chrom_records(cfg, rows: List[list], ref_chrom: str,
                         "%s\t%d\t%s\t%s\t%s\t%s\t%s\t%s\t%s\t%s:%s:%s:%s:%s\n"
                         % (i[0], pos_bnd, "cuteSV.BND.<SVID>",
                            ref_bnd.translate(_TRANS), alt_bnd, i[10],
-                           _filter_label(i[10]) if i[10] != "." else "PASS",
+                           _filter_label(i[10]),
                            info, "GT:DR:DV:PL:GQ",
                            i[7], i[6], i[5], i[8], i[9])))
     return out

@@ -52,7 +52,8 @@ def test_engines_identical(tmp_path):
     outputs = {}
     for label, engine, decoder in (("host", "host", "python"),
                                    ("device", "device", "python"),
-                                   ("native", "device", "native")):
+                                   ("native", "device", "native"),
+                                   ("host_native", "host", "native")):
         out = tmp_path / ("out_%s.vcf" % label)
         cfg = Config(input=str(bam), reference=str(fa), output=str(out),
                      work_dir=str(tmp_path), genotype=True, min_support=3,
@@ -61,6 +62,8 @@ def test_engines_identical(tmp_path):
         outputs[label] = _strip_volatile(out.read_text())
     assert outputs["host"] == outputs["device"]
     assert outputs["host"] == outputs["native"]
+    # --engine host must run the oracle even over a native (rank) store
+    assert outputs["host"] == outputs["host_native"]
     # sanity: we actually called something
     n_records = sum(1 for l in outputs["host"].splitlines()
                     if l and not l.startswith("#"))
