@@ -166,6 +166,53 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
     return out
 
 
+def prim_last_table(reads_chrom):
+    """(uniq_ranks, starts, ends) of the LAST primary row per name rank —
+    the last primary wins, matching the dict-build order of the oracle
+    path. Tables are O(reads on this chromosome), not O(global rank
+    ceiling), and are cached on the census dict (immutable once built)."""
+    tbl = reads_chrom.get("_prim_last")
+    if tbl is None:
+        prim = reads_chrom["is_primary"] == 1
+        p_rank = reads_chrom["name"][prim].astype(np.int64)
+        if len(p_rank):
+            uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
+            last_idx = len(p_rank) - 1 - idx_rev
+            tbl = (uniq, reads_chrom["start"][prim][last_idx],
+                   reads_chrom["end"][prim][last_idx])
+        else:
+            tbl = (p_rank, p_rank, p_rank)
+        reads_chrom["_prim_last"] = tbl
+    return tbl
+
+
+def support_inter_counts(reads_chrom, support_sets, windows_list):
+    """#(support reads whose primary alignment on THIS chromosome covers
+    ANY of the given windows) per SV; identities are integer ranks.
+    ``windows_list``: one or more per-SV window lists [(s, e), ...] —
+    one for DEL/INS, the two breakpoint windows OR'd for DUP/INV.
+    The single masked searchsorted+bincount shared by the genotype and
+    pipeline cover passes."""
+    n_sv = len(support_sets)
+    uniq, st_u, en_u = prim_last_table(reads_chrom)
+    lens = np.fromiter((len(s) for s in support_sets), np.int64, n_sv)
+    total = int(lens.sum())
+    if n_sv == 0 or len(uniq) == 0 or total == 0:
+        return np.zeros(n_sv, np.int64)
+    flat_key = np.fromiter((k for s in support_sets for k in s),
+                           np.int64, total)
+    flat_sv = np.repeat(np.arange(n_sv), lens)
+    posn = np.minimum(np.searchsorted(uniq, flat_key), len(uniq) - 1)
+    st, en = st_u[posn], en_u[posn]
+    mask = np.zeros(total, bool)
+    for wins in windows_list:
+        s_arr = np.fromiter((w[0] for w in wins), np.float64, n_sv)
+        e_arr = np.fromiter((w[1] for w in wins), np.float64, n_sv)
+        mask |= (st <= s_arr[flat_sv]) & (en >= e_arr[flat_sv])
+    mask &= uniq[posn] == flat_key
+    return np.bincount(flat_sv[mask], minlength=n_sv)
+
+
 def _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
                      cover_fn) -> list:
     """Vectorized DR/GT assignment when read identities are integer ranks
@@ -174,37 +221,14 @@ def _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
     prim = reads_chrom["is_primary"] == 1
     p_start = reads_chrom["start"][prim]
     p_end = reads_chrom["end"][prim]
-    p_rank = reads_chrom["name"][prim].astype(np.int64)
     n_sv = len(sv_windows)
     covers = (cover_fn or cover_counts)(sv_windows, p_start, p_end)
-    lens = np.fromiter((len(s) for s in support_sets), np.int64, n_sv)
-    flat_key = (np.concatenate([np.asarray(s, np.int64)
-                                for s in support_sets])
-                if n_sv and lens.sum() else np.empty(0, np.int64))
-    flat_sv = np.repeat(np.arange(n_sv), lens)
-    # last primary per rank wins (dict-build order of the oracle path);
-    # tables are O(reads on this chromosome), not O(global rank ceiling)
-    if len(p_rank):
-        uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
-        last_idx = len(p_rank) - 1 - idx_rev
-        st_u, en_u = p_start[last_idx], p_end[last_idx]
-    else:
-        uniq = st_u = en_u = p_rank
-    s_arr = np.fromiter((w[0] for w in sv_windows), np.float64, n_sv)
-    e_arr = np.fromiter((w[1] for w in sv_windows), np.float64, n_sv)
-    if len(uniq) and len(flat_key):
-        posn = np.minimum(np.searchsorted(uniq, flat_key), len(uniq) - 1)
-        mask = ((uniq[posn] == flat_key)
-                & (st_u[posn] <= s_arr[flat_sv])
-                & (en_u[posn] >= e_arr[flat_sv]))
-        inter = np.bincount(flat_sv[mask], minlength=n_sv)
-    else:
-        inter = np.zeros(n_sv, np.int64)
+    inter = support_inter_counts(reads_chrom, support_sets, [sv_windows])
     table = gl_table()
     rows = []
     for i in range(n_sv):
         dr = int(covers[i]) - int(inter[i])
-        dv = int(lens[i])
+        dv = len(support_sets[i])
         gt, pl, gq, qual = table.lookup(dr, dv)
         rows.append([dv, dr, gt, pl, gq, qual])
     return rows

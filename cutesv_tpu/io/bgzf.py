@@ -46,6 +46,10 @@ def _read_block(fh) -> bytes | None:
     if bsize is None:
         raise ValueError("gzip block without BC subfield: not BGZF")
     cdata_len = bsize + 1 - 12 - xlen - 8
+    if cdata_len < 0:
+        # a crafted/corrupt BSIZE would make fh.read(negative) slurp the
+        # whole remaining file into memory before failing downstream
+        raise ValueError("invalid BGZF BSIZE (underflow)")
     cdata = fh.read(cdata_len)
     tail = fh.read(8)
     if len(cdata) < cdata_len or len(tail) < 8:

@@ -63,17 +63,22 @@ def _gzip_compress(data: bytes) -> bytes:
 
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     if method == RAW:
-        return data
-    if method == GZIP:
-        return zlib.decompress(data, wbits=47)
-    if method == BZIP2:
-        return bz2.decompress(data)
-    if method == LZMA:
-        return lzma.decompress(data)
-    if method == RANS:
-        return rans_decode(data)
-    raise ValueError("unsupported CRAM block compression method %d"
-                     % method)
+        out = data
+    elif method == GZIP:
+        out = zlib.decompress(data, wbits=47)
+    elif method == BZIP2:
+        out = bz2.decompress(data)
+    elif method == LZMA:
+        out = lzma.decompress(data)
+    elif method == RANS:
+        out = rans_decode(data)
+    else:
+        raise ValueError("unsupported CRAM block compression method %d"
+                         % method)
+    if len(out) != raw_size:
+        raise ValueError("CRAM block raw size mismatch (%d != declared %d)"
+                         % (len(out), raw_size))
+    return out
 
 
 def write_block(out, method: int, content_type: int, content_id: int,
@@ -140,23 +145,44 @@ def _read_container_header(fh):
     head = fh.read(4)
     if len(head) < 4:
         return None
-    # accumulate enough bytes for the variable-size header
-    rest = fh.read(64)
-    buf = head + rest
+    # accumulate bytes for the variable-size header on demand: a
+    # multi-slice container's landmark list can make the header
+    # arbitrarily long (same growing-buffer fix as the native decoder)
+    buf = bytearray(head + fh.read(64))
     length = struct.unpack_from("<i", buf, 0)[0]
     off = 4
-    ref_id, off = read_itf8(buf, off)
-    start, off = read_itf8(buf, off)
-    span, off = read_itf8(buf, off)
-    n_records, off = read_itf8(buf, off)
-    counter, off = read_ltf8(buf, off)
-    bases, off = read_ltf8(buf, off)
-    n_blocks, off = read_itf8(buf, off)
-    n_lm, off = read_itf8(buf, off)
+
+    def field(fn):
+        # retry-on-IndexError keeps the demand exact: only the bytes the
+        # varint actually spans are required to exist
+        while True:
+            try:
+                return fn(buf, off)
+            except IndexError:
+                more = fh.read(256)
+                if not more:
+                    raise ValueError("truncated CRAM container header")
+                buf.extend(more)
+
+    ref_id, off = field(read_itf8)
+    start, off = field(read_itf8)
+    span, off = field(read_itf8)
+    n_records, off = field(read_itf8)
+    counter, off = field(read_ltf8)
+    bases, off = field(read_ltf8)
+    n_blocks, off = field(read_itf8)
+    n_lm, off = field(read_itf8)
+    if n_lm < 0 or n_lm > 1_000_000:
+        raise ValueError("implausible CRAM landmark count")
     landmarks = []
     for _ in range(n_lm):
-        lm, off = read_itf8(buf, off)
+        lm, off = field(read_itf8)
         landmarks.append(lm)
+    while len(buf) - off < 4:
+        more = fh.read(256)
+        if not more:
+            raise ValueError("truncated CRAM container header")
+        buf.extend(more)
     off += 4  # header crc
     # push back surplus
     fh.seek(off - len(buf), 1)

@@ -213,10 +213,19 @@ def rans_encode_o0(data: bytes) -> bytes:
     return b"\x00" + struct.pack("<II", len(payload), len(data)) + payload
 
 
+def _check_rans_raw_len(raw_len: int, n: int):
+    # a 4-state 12-bit rANS stream cannot emit more than ~22.7k bytes per
+    # input byte plus ~365k from the initial states; a crafted raw_len
+    # above that would allocate GiBs and spin ~4e9 loop iterations
+    if raw_len > n * 23000 + 500000:
+        raise ValueError("rANS raw length implausible for payload size")
+
+
 def rans_decode_o0(buf: bytes):
     order = buf[0]
     assert order == 0
     comp_len, raw_len = struct.unpack_from("<II", buf, 1)
+    _check_rans_raw_len(raw_len, len(buf))
     if raw_len == 0:
         return b""
     off = 9
@@ -318,6 +327,7 @@ def rans_decode_o1(buf: bytes):
     if order == 0:
         return rans_decode_o0(buf)
     comp_len, raw_len = struct.unpack_from("<II", buf, 1)
+    _check_rans_raw_len(raw_len, len(buf))
     if raw_len == 0:
         return b""
     off = 9

@@ -31,9 +31,11 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_NATIVE_DIR, "bamdecode.cpp")
+    srcs = [os.path.join(_NATIVE_DIR, n)
+            for n in ("bamdecode.cpp", "cramdecode.inc", "Makefile")]
+    newest = max(os.path.getmtime(s) for s in srcs if os.path.exists(s))
     if (not os.path.exists(_SO_PATH)
-            or os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+            or os.path.getmtime(_SO_PATH) < newest):
         _build()
     lib = ctypes.CDLL(_SO_PATH)
     run_argtypes = [

@@ -16,7 +16,8 @@ import numpy as np
 
 from cutesv_tpu import extract, sigstore, vcf
 from cutesv_tpu.config import Config
-from cutesv_tpu.genotype import assign_gt_del_ins, gl_table
+from cutesv_tpu.genotype import (assign_gt_del_ins, gl_table,
+                                 support_inter_counts)
 from cutesv_tpu.io.bam import BamReader
 from cutesv_tpu.io.fasta import FastaFile
 from cutesv_tpu.models import host as host_models
@@ -181,6 +182,13 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
                 bc.append(cid)
                 bs.append(r0)
                 be.append(r1)
+        if not bc:
+            # no BED chrom matches the header (or the BED is empty): the
+            # oracle path excludes EVERY read (bed.get(chrom, []) -> no
+            # overlap); an empty region list would instead disable the
+            # native filter entirely, so pass one impossible region to
+            # keep it enabled-and-excluding
+            bc, bs, be = [0], [-2], [-1]
         bed_ids = (np.array(bc, np.int32), np.array(bs, np.int64),
                    np.array(be, np.int64))
     if _stream_dispatch_ok(cfg, is_cram):
@@ -384,50 +392,15 @@ def _del_ins_cover_spec(per_chrom: Dict[str, tuple]):
             _del_ins_apply)
 
 
-def _prim_last_table(census):
-    """(uniq_ranks, starts, ends) of the last primary row per name rank;
-    cached on the census dict across the per-type applies on this
-    chromosome (the census is immutable once built). Last primary per
-    rank wins, matching the dict-build order of the oracle path."""
-    tbl = census.get("_prim_last")
-    if tbl is None:
-        prim = census["is_primary"] == 1
-        p_rank = census["name"][prim].astype(np.int64)
-        if len(p_rank):
-            uniq, idx_rev = np.unique(p_rank[::-1], return_index=True)
-            last_idx = len(p_rank) - 1 - idx_rev
-            tbl = (uniq, census["start"][prim][last_idx],
-                   census["end"][prim][last_idx])
-        else:
-            tbl = (p_rank, p_rank, p_rank)
-        census["_prim_last"] = tbl
-    return tbl
-
-
 def _support_inter_counts(census, jobs, supports=None) -> np.ndarray:
     """#(support reads whose primary alignment on THIS chromosome covers
     the window) per job; identities are integer ranks.
     ``supports``: optional precomputed [set(j["support"])] to share with
     the caller's DV counting."""
-    n_sv = len(jobs)
-    uniq, st_u, en_u = _prim_last_table(census)
-    if len(uniq) == 0 or n_sv == 0:
-        return np.zeros(n_sv, np.int64)
     if supports is None:
         supports = [set(j["support"]) for j in jobs]
-    lens = np.fromiter((len(s) for s in supports), np.int64, n_sv)
-    total = int(lens.sum())
-    flat_key = np.fromiter((k for s in supports for k in s), np.int64,
-                           total)
-    flat_sv = np.repeat(np.arange(n_sv), lens)
-    pos = np.searchsorted(uniq, flat_key)
-    pos_c = np.minimum(pos, len(uniq) - 1)
-    ok = uniq[pos_c] == flat_key
-    s_arr = np.fromiter((j["window"][0] for j in jobs), np.float64, n_sv)
-    e_arr = np.fromiter((j["window"][1] for j in jobs), np.float64, n_sv)
-    mask = ok & (st_u[pos_c] <= s_arr[flat_sv]) & (en_u[pos_c]
-                                                   >= e_arr[flat_sv])
-    return np.bincount(flat_sv[mask], minlength=n_sv)
+    return support_inter_counts(census, supports,
+                                [[j["window"] for j in jobs]])
 
 
 def _fill_gt_del_ins(cands: List[list], jobs: List[dict], store, chrom,
@@ -457,26 +430,10 @@ def _two_window_inter_counts(census, jobs) -> np.ndarray:
     name_col = census["name"]
     if (isinstance(name_col, np.ndarray)
             and np.issubdtype(name_col.dtype, np.integer)):
-        uniq, st_u, en_u = _prim_last_table(census)
-        lens = np.fromiter((len(j["support"]) for j in jobs), np.int64,
-                           n_sv)
-        total = int(lens.sum())
-        if len(uniq) == 0 or total == 0:
-            return np.zeros(n_sv, np.int64)
-        flat_key = np.fromiter((k for j in jobs for k in j["support"]),
-                               np.int64, total)
-        flat_sv = np.repeat(np.arange(n_sv), lens)
-        s1 = np.fromiter((j["window1"][0] for j in jobs), np.float64, n_sv)
-        e1 = np.fromiter((j["window1"][1] for j in jobs), np.float64, n_sv)
-        s2 = np.fromiter((j["window2"][0] for j in jobs), np.float64, n_sv)
-        e2 = np.fromiter((j["window2"][1] for j in jobs), np.float64, n_sv)
-        posn = np.minimum(np.searchsorted(uniq, flat_key), len(uniq) - 1)
-        st, en = st_u[posn], en_u[posn]
-        j = flat_sv
-        mask = ((uniq[posn] == flat_key)
-                & (((st <= s1[j]) & (en >= e1[j]))
-                   | ((st <= s2[j]) & (en >= e2[j]))))
-        return np.bincount(flat_sv[mask], minlength=n_sv)
+        return support_inter_counts(census,
+                                    [j["support"] for j in jobs],
+                                    [[j["window1"] for j in jobs],
+                                     [j["window2"] for j in jobs]])
     name_iv = census.get("_prim_iv")
     if name_iv is None:
         prim = census["is_primary"] == 1

@@ -245,3 +245,62 @@ def test_rans_order1_roundtrip():
         assert enc[0] == 1
         assert rans_decode_o1(enc) == data
         assert rans_decode(enc) == data
+
+
+def test_rans_raw_len_bomb_rejected():
+    """A crafted in-payload raw_len far beyond what the payload could
+    encode must raise instead of allocating GiBs and spinning ~4e9
+    iterations (both orders)."""
+    import struct
+
+    from cutesv_tpu.io.cram_codecs import (rans_decode, rans_encode_o0,
+                                           rans_encode_o1)
+
+    for encode in (rans_encode_o0, rans_encode_o1):
+        enc = bytearray(encode(b"ACGT" * 64))
+        enc[5:9] = struct.pack("<I", 0xFFFFFFFF)
+        with pytest.raises(ValueError, match="implausible"):
+            rans_decode(bytes(enc))
+
+
+def test_container_header_long_landmark_list():
+    """Multi-slice containers put arbitrarily many landmarks in the
+    container header; the reader must grow its buffer past the initial
+    68 bytes (same fix as the native decoder)."""
+    import io as _io
+
+    from cutesv_tpu.io.cram import (_container_header_bytes,
+                                    _read_container_header)
+
+    landmarks = [17 + 131 * k for k in range(200)]
+    raw = _container_header_bytes(12345, 0, 100, 50, 7, 3, 999, 201,
+                                  landmarks)
+    fh = _io.BytesIO(raw + b"PAYLOAD-FOLLOWS")
+    hdr = _read_container_header(fh)
+    assert hdr["length"] == 12345
+    assert hdr["landmarks"] == landmarks
+    assert hdr["n_blocks"] == 201
+    # surplus bytes pushed back: next read starts at the payload
+    assert fh.read(7) == b"PAYLOAD"
+
+
+def test_block_raw_size_mismatch_rejected():
+    """A block whose decompressed size disagrees with the declared
+    raw_size is corrupt; the reader must say so."""
+    import struct
+    import zlib
+
+    from cutesv_tpu.io.cram import read_block
+    from cutesv_tpu.io.cram_codecs import write_itf8
+
+    data = b"x" * 100
+    blob = bytearray()
+    blob.append(0)   # RAW
+    blob.append(4)   # EXTERNAL
+    blob += write_itf8(7)
+    blob += write_itf8(len(data))
+    blob += write_itf8(len(data) + 5)  # wrong raw_size
+    blob += data
+    blob += struct.pack("<I", zlib.crc32(bytes(blob)))
+    with pytest.raises(ValueError, match="raw size mismatch"):
+        read_block(bytes(blob), 0)

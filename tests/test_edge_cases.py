@@ -112,3 +112,34 @@ def test_include_bed_filter(tmp_path):
     assert bodies["python"] == bodies["native"]
     assert len(bodies["python"]) == 1
     assert bodies["python"][0].split("\t")[1] == "15000"
+
+
+def test_include_bed_no_matching_chrom(tmp_path):
+    """A BED whose contig names match nothing in the header (or an empty
+    BED) excludes EVERY read on both decode paths — the native filter
+    must not silently degrade to 'no filtering'."""
+    rng = random.Random(5)
+    seqs = simdata.make_reference(rng, {"c": 30_000})
+    chrom = seqs["c"]
+    plans = [simdata.read_with_del(chrom, 0, 1000 + 200 * i, 9_000, 80,
+                                   4000, "n%d" % i) for i in range(6)]
+    for bed_text in ("chrc\t1\t29000\n", ""):  # wrong name / empty BED
+        bed = tmp_path / "nomatch.bed"
+        bed.write_text(bed_text)
+        bodies = {}
+        for decoder in ("python", "native"):
+            bam = tmp_path / ("n_%s.bam" % decoder)
+            fa = tmp_path / ("n_%s.fa" % decoder)
+            out = tmp_path / ("n_%s.vcf" % decoder)
+            simdata.write_bam(str(bam), [("c", 30_000)], plans)
+            simdata.write_ref_fasta(str(fa), seqs)
+            cfg = Config(input=str(bam), reference=str(fa),
+                         output=str(out), work_dir=str(tmp_path),
+                         genotype=True, min_support=3,
+                         include_bed=str(bed), decoder=decoder,
+                         engine="host" if decoder == "python"
+                         else "device")
+            run_pipeline(cfg, [])
+            bodies[decoder] = [l for l in out.read_text().splitlines()
+                               if not l.startswith("#")]
+        assert bodies["python"] == bodies["native"] == []

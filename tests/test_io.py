@@ -37,6 +37,24 @@ def test_bgzf_chunked_reads(tmp_path):
     assert bytes(got) == payload
 
 
+def test_bgzf_bsize_underflow_rejected(tmp_path):
+    """A crafted BSIZE below the fixed overhead must raise cleanly, not
+    turn into fh.read(negative) slurping the rest of the file."""
+    import pytest
+
+    path = tmp_path / "u.bgzf"
+    with BgzfWriter(str(path)) as w:
+        w.write(b"hello world" * 1000)
+    raw = bytearray(path.read_bytes())
+    # writer layout: 12-byte gzip header, 6-byte BC subfield with BSIZE
+    # at bytes 16..18 of the first block
+    assert raw[12:16] == b"\x42\x43\x02\x00"
+    raw[16:18] = (10).to_bytes(2, "little")  # bsize+1-12-xlen-8 < 0
+    path.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="BSIZE"):
+        BgzfReader(str(path)).read()
+
+
 def test_bam_roundtrip(tmp_path):
     path = tmp_path / "t.bam"
     refs = [("chr1", 10_000), ("chr2", 5_000)]

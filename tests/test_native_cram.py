@@ -135,6 +135,78 @@ def test_corrupt_cram_raises_not_crash(tmp_path, seed):
         pass  # clean rejection (unsupported/corrupt -> status 10)
 
 
+def _patch_first_rans_raw_len(path, new_raw_len):
+    """Find the first rANS-compressed block in a CRAM file, overwrite its
+    in-payload raw_len with ``new_raw_len``, and fix the block CRC so only
+    the length-consistency checks can object. Returns True if patched."""
+    import struct
+    import zlib
+
+    from cutesv_tpu.io.cram import _read_container_header
+    from cutesv_tpu.io.cram_codecs import read_itf8
+
+    raw = bytearray(path.read_bytes())
+    with open(path, "rb") as fh:
+        fh.read(26)  # magic + version + file id
+        while True:
+            pos0 = fh.tell()
+            hdr = _read_container_header(fh)
+            if hdr is None:
+                return False
+            payload_pos = fh.tell()
+            buf = fh.read(hdr["length"])
+            off = 0
+            for _ in range(hdr["n_blocks"]):
+                bstart = off
+                method, ctype = buf[off], buf[off + 1]
+                off += 2
+                _, off = read_itf8(buf, off)
+                comp_size, off = read_itf8(buf, off)
+                raw_size, off = read_itf8(buf, off)
+                data_off = off
+                off += comp_size + 4  # payload + crc
+                if method == 4 and comp_size >= 9:  # rANS
+                    abs_block = payload_pos + bstart
+                    abs_rawlen = payload_pos + data_off + 5
+                    raw[abs_rawlen:abs_rawlen + 4] = struct.pack(
+                        "<I", new_raw_len)
+                    crc = zlib.crc32(bytes(
+                        raw[abs_block:payload_pos + off - 4]))
+                    raw[payload_pos + off - 4:payload_pos + off] = \
+                        struct.pack("<I", crc)
+                    path.write_bytes(bytes(raw))
+                    return True
+            assert pos0 < fh.tell()
+
+
+def test_native_rans_raw_len_bomb_rejected(tmp_path):
+    """A crafted rANS raw_len of 4 GiB must be rejected promptly by BOTH
+    decoders (length cross-check vs the block header + plausibility
+    bound), not allocate gigabytes and spin ~4e9 decode iterations."""
+    import time
+
+    rng = random.Random(12)
+    bam = tmp_path / "r.bam"
+    cram = tmp_path / "r.cram"
+    fa = tmp_path / "r.fa"
+    _make_random_bam(str(bam), rng, n_reads=40)
+    with BamReader(str(bam)) as r:
+        lengths = r.references
+    ref_seqs = _random_ref(rng, lengths)
+    write_fasta(str(fa), ref_seqs)
+    _bam_to_cram(bam, cram, ref_seqs=ref_seqs)
+    assert _patch_first_rans_raw_len(cram, 0xFFFFFFFF)
+    t0 = time.time()
+    with pytest.raises(IOError):
+        native.decode(str(cram), Config(input=str(cram)),
+                      reference=str(fa))
+    assert time.time() - t0 < 30
+    from cutesv_tpu.io.cram import CramReader
+    with pytest.raises(ValueError):
+        for _ in CramReader(str(cram), reference=str(fa)):
+            pass
+
+
 def test_pipeline_native_cram_requires_reference(tmp_path):
     """Without a FASTA the native CRAM decode reports unsupported (the
     python reader then raises the user-facing error)."""
