@@ -46,7 +46,13 @@ def _codes_to_str(codes):
 
 
 def build_dataset(genome_mb: int, seed: int = 0):
-    """Synthesize ref.fa + sim.bam under CACHE; returns paths."""
+    """Synthesize ref.fa + sim.bam under CACHE; returns paths.
+
+    Deliberately self-contained rather than delegating to
+    tools/simulate.py: the exact byte layout here keys the on-disk
+    dataset cache and the recorded baseline rates — changing the
+    generator would silently invalidate cross-round bench comparisons.
+    """
     os.makedirs(CACHE, exist_ok=True)
     tag = "g%dmb4chr_c%dx" % (genome_mb, COVERAGE)
     if READ_LEN != 20000:

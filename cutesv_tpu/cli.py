@@ -157,18 +157,33 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def args_to_config(args: argparse.Namespace) -> Config:
+def _explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
+    """Dest names of options literally present on the command line (exact
+    option string or ``--opt=value`` form)."""
+    provided = set()
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if any(tok == opt or tok.startswith(opt + "=")
+                   for tok in argv):
+                provided.add(action.dest)
+    return provided
+
+
+def args_to_config(args: argparse.Namespace, explicit=()) -> Config:
     fields = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(args).items() if k in fields})
     if getattr(args, "preset", None):
-        cfg = apply_preset(cfg, args.preset)
+        # a preset fills in per-type clustering values, but an explicitly
+        # passed flag always wins over the preset
+        cfg = apply_preset(cfg, args.preset, skip=explicit)
     return cfg
 
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    args = build_parser().parse_args(argv)
-    cfg = args_to_config(args)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cfg = args_to_config(args, explicit=_explicit_dests(parser, argv))
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
     logging.info("Running %s" % " ".join(sys.argv))

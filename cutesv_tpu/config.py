@@ -95,9 +95,16 @@ PRESETS = {
 }
 
 
-def apply_preset(cfg: Config, preset: str) -> Config:
+def apply_preset(cfg: Config, preset: str, skip=()) -> Config:
+    """Expand a platform preset into its per-type clustering values.
+
+    ``skip``: field names the user set explicitly on the command line —
+    those keep their explicit values instead of being overridden by the
+    preset.
+    """
     values = PRESETS.get(preset.lower())
     if values is None:
         raise ValueError(
             "unknown preset %r (choose from %s)" % (preset, sorted(PRESETS)))
+    values = {k: v for k, v in values.items() if k not in skip}
     return dataclasses.replace(cfg, **values)

@@ -52,6 +52,9 @@ def load_callset(path: str, min_bnd_dv: int = 0,
             gt = phase_gt(seq[9]) if len(seq) > 9 else "unknown"
             if svtype in ("DEL", "INS", "DUP", "INV"):
                 if info["SVLEN"] == 0:
+                    # reference fallback (eval_trio.py:45-46); when END is
+                    # also absent this goes negative there too — kept
+                    # faithful, the scorers are differential-pinned
                     info["SVLEN"] = info["END"] - pos + 1
                 callset.setdefault(svtype, []).append(
                     [chrom, pos, info["END"], info["SVLEN"], gt, set()])
@@ -378,11 +381,15 @@ def _na_score(base, call, flag, bias, offect):
                 tp_call += i[3] == flag
     logging.info("Camp count: %d" % total_call)
     logging.info("TP-call count: %d" % tp_call)
-    logging.info("Precision: %.2f" % (100.0 * tp_call / total_call))
-    logging.info("Recall: %.2f" % (100.0 * tp_base / total_base))
+    # the reference divides unguarded (cmp_NA19240.py); report 0 instead
+    # of ZeroDivisionError on empty/disjoint callsets
+    logging.info("Precision: %.2f"
+                 % (100.0 * tp_call / total_call if total_call else 0.0))
+    logging.info("Recall: %.2f"
+                 % (100.0 * tp_base / total_base if total_base else 0.0))
+    f_den = total_base * tp_call + tp_base * total_call
     logging.info("F-measure: %.2f"
-                 % (200.0 * tp_base * tp_call
-                    / (total_base * tp_call + tp_base * total_call)))
+                 % (200.0 * tp_base * tp_call / f_den if f_den else 0.0))
     return tp_base, total_base, tp_call, total_call
 
 

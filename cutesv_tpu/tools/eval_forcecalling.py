@@ -40,15 +40,23 @@ def population_statistic(pop_merged_vcf: str, output_file: str,
             idx += 1
             af = float(_info_field(info, "AF"))
             hwe = float(_info_field(info, "HWE"))
-            exchet = float(info.split(";ExcHet=")[1])
+            # the reference takes split(';ExcHet=')[1] verbatim
+            # (eval_forcecalling.py:21), assuming ExcHet is the last INFO
+            # field; truncate at the next ';' so it needn't be
+            exchet = float(_info_field(info, "ExcHet"))
             missing = 0
-            for i in range(9, min(9 + n_samples, len(seq))):
+            n_here = min(n_samples, len(seq) - 9)
+            for i in range(9, 9 + n_here):
+                # a bare '.' sample (fully absent call) counts as both
+                # alleles missing; the reference indexes [2] and would
+                # crash on it
                 if seq[i][0] == ".":
                     missing += 1
-                if seq[i][2] == ".":
+                if len(seq[i]) < 3 or seq[i][2] == ".":
                     missing += 1
             out.write("%d\t%f\t%f\t%f\t%f\n"
-                      % (idx, missing / (2 * n_samples), af, hwe, exchet))
+                      % (idx, missing / (2 * max(n_here, 1)), af, hwe,
+                         exchet))
 
 
 def _parse_pop(path: str, filtered: bool):
@@ -69,8 +77,9 @@ def _parse_pop(path: str, filtered: bool):
                 if svtype not in ("TRA", "BND") and svlen < 50:
                     continue
                 hwe = float(_info_field(info, "HWE"))
-                exchet = float(info.split(";ExcHet=")[1])
-                missing = sum((gt[0] == ".") + (gt[2] == ".")
+                exchet = float(_info_field(info, "ExcHet"))
+                missing = sum((gt[0] == ".")
+                              + (len(gt) < 3 or gt[2] == ".")
                               for gt in seq[9:])
                 if missing > 10 or hwe < 1e-6 or exchet < 1e-6:
                     continue

@@ -102,10 +102,12 @@ def load_callset(path: str, svtype_list: List[str]):
     return callset, abtype
 
 
-def load_ans(path: str):
+def load_ans(path: str, n_slots: int = 4):
     """VISOR HACk truth bed -> per-type answer rows with per-callset match
     slots (eval_sim.py:182-229, incl. reciprocal-translocation breakend
-    expansion by strand)."""
+    expansion by strand). ``n_slots`` defaults to the reference's fixed 4
+    and grows when more than 4 callsets are evaluated."""
+    slots = [0] * n_slots
     ansbed: Dict[str, list] = {}
     with open(path) as fh:
         for line in fh:
@@ -115,8 +117,7 @@ def load_ans(path: str):
             start, end = int(seq[1]), int(seq[2])
             ansbed.setdefault(svtype, [])
             if svtype == "INS":
-                ansbed[svtype].append([chrom, start, len(seq[4]),
-                                       0, 0, 0, 0])
+                ansbed[svtype].append([chrom, start, len(seq[4])] + slots)
             elif svtype == "BND":
                 f = seq[4].split(":")
                 chr2, start2 = f[1], int(f[2])
@@ -147,10 +148,10 @@ def load_ans(path: str):
                                  "N]]"],
                                 [chrom, end, chr2, start2, "N]]"]]
                 for r in rows:
-                    ansbed[svtype].append(r + [0, 0, 0, 0])
+                    ansbed[svtype].append(r + slots)
             else:
-                ansbed[svtype].append([chrom, start, end, end - start + 1,
-                                       0, 0, 0, 0])
+                ansbed[svtype].append(
+                    [chrom, start, end, end - start + 1] + slots)
     return ansbed
 
 
@@ -257,7 +258,7 @@ def main(argv=None) -> int:
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
     t0 = time.time()
-    ans = load_ans(args.ans)
+    ans = load_ans(args.ans, n_slots=max(4, len(args.callsets)))
     genotype = load_gt(args.gt)
     for opt, path in enumerate(args.callsets, start=1):
         callset, abnormal = load_callset(path, MODES[args.choice])

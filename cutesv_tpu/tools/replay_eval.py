@@ -168,12 +168,13 @@ def main(argv=None) -> int:
                             coverage=args.coverage)
             dropped_total += counts["n_dropped"]
             if counts["n_sv"] == 0:
-                for suffix in (".bam", ".fa", ".truth.bed",
-                               ".zygosity.bed"):
-                    try:
-                        os.remove(prefix + suffix)
-                    except OSError:
-                        pass
+                if not args.keep:
+                    for suffix in (".bam", ".fa", ".truth.bed",
+                                   ".zygosity.bed"):
+                        try:
+                            os.remove(prefix + suffix)
+                        except OSError:
+                            pass
                 continue
             n_windows += 1
             wd = prefix + "_wd"

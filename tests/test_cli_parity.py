@@ -117,3 +117,21 @@ def test_preset_expansion_matches_documented_values():
         == (100, 0.3, 100, 0.3)
     with pytest.raises(ValueError):
         apply_preset(base, "nanopore2")
+
+
+def test_preset_does_not_override_explicit_flags():
+    """An explicitly passed per-type flag wins over --preset regardless of
+    flag order; preset still fills the untouched fields."""
+    from cutesv_tpu.cli import (_explicit_dests, args_to_config,
+                                build_parser)
+
+    parser = build_parser()
+    for argv in (["i.bam", "r.fa", "o.vcf", "wd", "--preset", "ccs",
+                  "--max_cluster_bias_INS", "555"],
+                 ["i.bam", "r.fa", "o.vcf", "wd",
+                  "--max_cluster_bias_INS=555", "--preset", "ccs"]):
+        args = parser.parse_args(argv)
+        cfg = args_to_config(args, explicit=_explicit_dests(parser, argv))
+        assert cfg.max_cluster_bias_INS == 555          # explicit wins
+        assert cfg.diff_ratio_merging_INS == 0.9        # preset fills rest
+        assert cfg.max_cluster_bias_DEL == 1000

@@ -247,6 +247,40 @@ def test_rans_order1_roundtrip():
         assert rans_decode(enc) == data
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_corrupt_cram_python_reader_raises_not_crash(tmp_path, seed):
+    """Byte-flipped CRAMs through the PYTHON reader (the fallback path
+    for bzip2/lzma/CRAM-2.x) must fail cleanly — bounded allocations and
+    typed errors, no IndexError-free crashes or hangs (mirrors the
+    native-decoder fuzz in test_native_cram.py)."""
+    import time
+
+    rng = random.Random(seed)
+    bam, fa, cram = (tmp_path / n for n in ("c.bam", "c.fa", "c.cram"))
+    seqs = simdata.make_reference(rng, {"chr1": 20_000})
+    plans = [simdata.plain_read(seqs["chr1"], 0, 200 * i, 2000,
+                                "q%03d" % i) for i in range(40)]
+    simdata.write_bam(str(bam), [("chr1", 20_000)], plans)
+    simdata.write_ref_fasta(str(fa), seqs)
+    with BamReader(str(bam)) as r:
+        with CramWriter(str(cram), r.references) as w:
+            for rec in r:
+                w.write(rec)
+    raw = bytearray(cram.read_bytes())
+    for _ in range(rng.randrange(1, 40)):
+        raw[rng.randrange(len(raw))] = rng.randrange(256)
+    cram.write_bytes(bytes(raw))
+    t0 = time.time()
+    try:
+        n = 0
+        for _ in CramReader(str(cram), reference=str(fa)):
+            n += 1
+        assert n >= 0  # flips may land in ignored bytes
+    except (ValueError, IOError, EOFError, KeyError, AssertionError):
+        pass  # clean, typed rejection
+    assert time.time() - t0 < 30
+
+
 def test_rans_raw_len_bomb_rejected():
     """A crafted in-payload raw_len far beyond what the payload could
     encode must raise instead of allocating GiBs and spinning ~4e9

@@ -77,6 +77,53 @@ def test_eval_sim_matching(tmp_path):
     assert genotype["chr1"] == "hom"
 
 
+def test_eval_sim_five_callsets(tmp_path):
+    """More than 4 callsets: match slots grow with the callset count (the
+    reference hardcodes 4 slots; default layout stays 4 for parity)."""
+    ans = tmp_path / "ans.bed"
+    ans.write_text("chr1\t1000\t1050\tdeletion\t50\n")
+    gt = tmp_path / "gt.bed"
+    gt.write_text("chr1\t0\t10000\th1\t100.0\n")
+    calls = tmp_path / "calls.vcf"
+    calls.write_text(
+        HEADER
+        + "chr1\t1005\tc0\tA\t<DEL>\t30\tPASS\t"
+          "SVTYPE=DEL;SVLEN=-48;END=1053\tGT:DR\t1/1:0\n")
+    paths = [str(calls)] * 5
+    answers = eval_sim.load_ans(str(ans), n_slots=len(paths))
+    genotype = eval_sim.load_gt(str(gt))
+    for opt, path in enumerate(paths, start=1):
+        callset, _ = eval_sim.load_callset(path, ["INS", "INV", "DEL"])
+        eval_sim.evaluate(callset, answers, 0.7, 1000, opt, genotype)
+        stats = eval_sim.statistics(callset, answers, opt, 2)
+        assert stats[("call", "DEL")] == (1, 1)
+        assert stats[("ans", "DEL")] == (1, 1)
+    # default layout unchanged (reference parity): 4 fields + 4 slots
+    assert len(eval_sim.load_ans(str(ans))["DEL"][0]) == 8
+
+
+def test_population_statistic_robust_inputs(tmp_path):
+    """ExcHet mid-INFO, a bare '.' sample, and fewer samples than the
+    default 100 must produce a correct table, not a crash (the reference
+    assumes ExcHet last, full GT fields, and exactly 100 samples)."""
+    from cutesv_tpu.tools import eval_forcecalling as fc
+
+    vcf = tmp_path / "pop.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+        "\tS1\tS2\tS3\n"
+        "chr1\t100\tv0\tA\t<DEL>\t30\tPASS\t"
+        "SVTYPE=DEL;SVLEN=-60;AF=0.25;HWE=1;ExcHet=0.5;AN=6\tGT"
+        "\t0/1\t.\t./.\n")
+    out = tmp_path / "pop.tsv"
+    fc.population_statistic(str(vcf), str(out))
+    row = out.read_text().strip().split("\t")
+    # S2 ('.') = 2 missing alleles, S3 ('./.') = 2; 4 of 6 alleles missing
+    assert row[0] == "1"
+    assert abs(float(row[1]) - 4 / 6) < 1e-5  # '%f' prints 6 decimals
+    assert float(row[4]) == 0.5  # ExcHet parsed despite trailing ;AN=
+
+
 def test_simulate_then_call_then_eval(tmp_path):
     """simulate -> call -> eval_sim closes the loop: planted SVs are
     recalled at the genotype level."""
