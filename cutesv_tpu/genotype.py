@@ -213,6 +213,18 @@ def support_inter_counts(reads_chrom, support_sets, windows_list):
     return np.bincount(flat_sv[mask], minlength=n_sv)
 
 
+def _coord_safe_cover_fn(cover_fn, sv_windows, p_end):
+    """Device cover kernels double coordinates into int32; a chromosome
+    beyond that budget falls back to the exact host sweep (same guard as
+    the batched pass, pipeline._batched_cover_multi)."""
+    if cover_fn is None or cover_fn is cover_counts:
+        return cover_counts
+    hi = int(np.max(p_end)) if len(p_end) else 0
+    if sv_windows:
+        hi = max(hi, int(max(w[1] for w in sv_windows)))
+    return cover_counts if hi + 2 > 1_000_000_000 else cover_fn
+
+
 def _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
                      cover_fn) -> list:
     """Vectorized DR/GT assignment when read identities are integer ranks
@@ -222,7 +234,12 @@ def _assign_gt_ranks(sv_windows, support_sets, reads_chrom,
     p_start = reads_chrom["start"][prim]
     p_end = reads_chrom["end"][prim]
     n_sv = len(sv_windows)
-    covers = (cover_fn or cover_counts)(sv_windows, p_start, p_end)
+    # duplicate support keys would count a covering primary per occurrence
+    # (DR could go negative); the string path dedups too
+    support_sets = [s if isinstance(s, (set, frozenset)) else set(s)
+                    for s in support_sets]
+    cover = _coord_safe_cover_fn(cover_fn, sv_windows, p_end)
+    covers = cover(sv_windows, p_start, p_end)
     inter = support_inter_counts(reads_chrom, support_sets, [sv_windows])
     table = gl_table()
     rows = []
@@ -255,7 +272,8 @@ def assign_gt_del_ins(sv_windows, support_sets, reads_chrom,
     p_name = [reads_chrom["name"][i] for i in np.nonzero(prim)[0]]
     name_to_interval = {n: (p_start[k], p_end[k])
                         for k, n in enumerate(p_name)}
-    covers = (cover_fn or cover_counts)(sv_windows, p_start, p_end)
+    cover = _coord_safe_cover_fn(cover_fn, sv_windows, p_end)
+    covers = cover(sv_windows, p_start, p_end)
     table = gl_table()
     rows = []
     for i, (s, e) in enumerate(sv_windows):

@@ -589,13 +589,8 @@ def _pair_cluster_slices_sharded(k1, k2, aux, keys, read_count, bias,
     n = len(k1)
     if n == 0:
         return []
-    # multi-process runs shard over this host's own chips only (global
-    # arrays would need cross-process sharding the stream cut doesn't do)
-    devices = (jax.local_devices() if jax.process_count() > 1
-               else jax.devices())
-    if len(devices) < n_shards:
-        devices = jax.devices("cpu")
-    if n_shards <= 1 or len(devices) < n_shards or n < 4 * n_shards:
+    devices = pmesh.pick_devices(n_shards)
+    if n_shards <= 1 or devices is None or n < 4 * n_shards:
         return _pair_cluster_slices(k1, k2, aux, keys, read_count, bias,
                                     break_on_k2)
     cuts = _gap_cuts(np.asarray(k1, np.int64), n_shards, bias)
@@ -757,7 +752,11 @@ def _chrom_batches(streams, bias):
 
 
 class _Facade:
-    """Row-indexable view over concatenated per-chromosome streams."""
+    """Concatenated view over per-chromosome streams for one genome batch:
+    offset positions for the cluster kernel plus the (chrom, local-row)
+    mapping the finish phase needs to route results back. Per-row
+    sequence access stays on the member streams (emission reads them per
+    chromosome)."""
 
     def __init__(self, members):
         self.pos = np.concatenate([s.pos + off for _, s, off in members])
@@ -768,30 +767,9 @@ class _Facade:
              for i, (_, s, _) in enumerate(members)])
         self._local = np.concatenate(
             [np.arange(len(s), dtype=np.int64) for _, s, _ in members])
-        self._members = members
-        if members[0][1].seq_len is not None:
-            self.seq_len = np.concatenate(
-                [s.seq_len for _, s, _ in members])
-        else:
-            self.seq_len = None
 
     def __len__(self):
         return len(self.pos)
-
-    def member(self, k):
-        return self._members[self._chrom[k]], int(self._local[k])
-
-    def name_of(self, k):
-        m, j = self.member(k)
-        return m[1].name_of(j)
-
-    def key_of(self, k):
-        m, j = self.member(k)
-        return m[1].key_of(j)
-
-    def seq_of(self, k):
-        m, j = self.member(k)
-        return m[1].seq_of(j)
 
 
 def resolve_indel_multi_start(streams, is_ins: bool, read_count: int,
@@ -951,13 +929,8 @@ def _cluster_stream_sharded(stream, read_count: int, bias: int,
     n = len(stream)
     if n == 0:
         return None
-    # multi-process runs shard over this host's own chips only (global
-    # arrays would need cross-process sharding the stream cut doesn't do)
-    devices = (jax.local_devices() if jax.process_count() > 1
-               else jax.devices())
-    if len(devices) < n_shards:
-        devices = jax.devices("cpu")
-    if n_shards <= 1 or len(devices) < n_shards or n < 4 * n_shards:
+    devices = pmesh.pick_devices(n_shards)
+    if n_shards <= 1 or devices is None or n < 4 * n_shards:
         return _cluster_stream(stream, read_count, bias)
     cuts = _gap_cuts(np.asarray(stream.pos), n_shards, bias)
     if cuts is None:
@@ -978,7 +951,6 @@ def _cluster_stream_sharded(stream, read_count: int, bias: int,
         nv[k, 0] = m
     mesh = pmesh.make_mesh(n_shards, devices=devices)
     fn = sharded_cluster_structure(mesh, bias, read_count, shard_rows)
-    import jax.numpy as jnp
     cid_s, pos_s, len_s, sidx_s, nk_s = jax.device_get(fn(
         jnp.asarray(pos), jnp.asarray(length), jnp.asarray(rid),
         jnp.asarray(nv)))

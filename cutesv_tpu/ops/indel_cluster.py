@@ -19,6 +19,8 @@ reference's numpy exactly.
 """
 from __future__ import annotations
 
+import functools
+
 from functools import partial
 
 import jax
@@ -106,9 +108,6 @@ def compact_cluster_outputs(cid, pos, length, stream_idx, cap_out: int):
         return jax.lax.slice(x, (0,), (cap_out,))
 
     return dict(pos=sl(pos), length=sl(length), packed=sl(packed))
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)

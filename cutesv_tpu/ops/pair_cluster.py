@@ -10,6 +10,8 @@ sums reproduce the reference's Python arithmetic.
 """
 from __future__ import annotations
 
+import functools
+
 from functools import partial
 
 import jax
@@ -64,9 +66,6 @@ def pair_cluster_structure(k1, k2, aux, rid, n_valid, bias, read_count,
         stream_idx=idx[order2],
         n_kept=jnp.sum(kept.astype(jnp.int32)),
     )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)

@@ -4,9 +4,11 @@ The reference parallelizes over genome intervals with a process pool and
 pickle files (cuteSV:1026-1076). The TPU-native equivalent shards the
 merged per-chromosome signature stream across a 1-D device mesh
 ("genome" axis): each chip owns one contiguous bin of the sorted stream,
-cluster boundaries are decided locally after a one-element halo exchange
-(``ppermute`` of each shard's last position to its right neighbor), global
-cluster ids come from an exclusive scan of per-shard boundary counts, and
+cluster boundaries are decided locally after receiving the previous
+shards' last valid position (an ``all_gather`` of each shard's last/count
+— one scalar pair per shard on the wire, the moral equivalent of a halo
+exchange), global cluster ids come from an exclusive scan of per-shard
+boundary counts, and
 per-cluster statistics are combined with ``psum`` so clusters spanning bin
 boundaries are exact. Genotype cover counting shards the SV axis with read
 tiles resident per chip.
@@ -16,6 +18,8 @@ collectives ride ICI on real hardware and compile/execute identically on
 the virtual CPU mesh used in tests and the driver's multi-chip dry run.
 """
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +34,24 @@ def make_mesh(n_devices: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n_devices]), ("genome",))
 
 
-import functools
+def pick_devices(n_shards: int):
+    """Device set for an ``n_shards`` genome mesh, shared by every sharded
+    entry point: this host's own chips in a multi-process run (global
+    arrays would need cross-process sharding the stream cuts don't do),
+    all devices otherwise; falls back to the CPU backend when the primary
+    platform has fewer than ``n_shards`` devices. Returns None when no
+    backend offers ``n_shards`` devices — callers then run their serial
+    kernel."""
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
+    if len(devices) < n_shards:
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError:
+            return None
+    if len(devices) < n_shards:
+        return None
+    return devices
 
 
 @functools.lru_cache(maxsize=8)
@@ -129,7 +150,8 @@ def sharded_cover_counts(mesh: Mesh):
 
 def full_sharded_step(mesh: Mesh, max_cluster_bias: int = 200):
     """The combined per-bin device step used by the multi-chip dry run:
-    cluster segmentation + sizes + genotype cover counts in one jit."""
+    cluster segmentation + sizes + genotype cover counts, composed from
+    the two jitted shard_maps above (one compilation each)."""
     n = mesh.devices.size
     cluster = sharded_cluster_sizes(mesh, max_cluster_bias)
     cover = sharded_cover_counts(mesh)

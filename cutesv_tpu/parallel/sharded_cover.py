@@ -16,17 +16,20 @@ from cutesv_tpu.parallel import mesh as pmesh
 
 @lru_cache(maxsize=4)
 def _fns(n_shards: int):
-    import jax
-
-    # multi-process runs shard over this host's own chips only
-    devices = (jax.local_devices() if jax.process_count() > 1
-               else jax.devices())
+    devices = pmesh.pick_devices(n_shards)
+    if devices is None:
+        return None
     mesh = pmesh.make_mesh(n_shards, devices=devices)
     return mesh, pmesh.sharded_cover_counts(mesh)
 
 
 def make_sharded_cover(n_shards: int):
-    mesh, fn = _fns(n_shards)
+    """Sharded cover-count callable, or None when no backend offers
+    ``n_shards`` devices (callers fall back to a serial kernel)."""
+    pair = _fns(n_shards)
+    if pair is None:
+        return None
+    mesh, fn = pair
 
     def cover(sv_windows, read_starts, read_ends) -> np.ndarray:
         import jax.numpy as jnp

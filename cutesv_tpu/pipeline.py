@@ -256,12 +256,13 @@ def _cover_fn(cfg: Config):
     if cfg.engine not in ("device", "auto"):
         return None
     import jax
-    n_local = len(jax.local_devices() if jax.process_count() > 1
-                  else jax.devices())
-    if cfg.n_shards > 1 and n_local >= cfg.n_shards:
-        # SV axis sharded over the genome mesh, reads replicated
+    if cfg.n_shards > 1:
+        # SV axis sharded over the genome mesh, reads replicated;
+        # make_sharded_cover returns None when too few devices exist
         from cutesv_tpu.parallel.sharded_cover import make_sharded_cover
-        return make_sharded_cover(cfg.n_shards)
+        cover = make_sharded_cover(cfg.n_shards)
+        if cover is not None:
+            return cover
     if jax.default_backend() in ("tpu", "axon"):
         # VMEM-resident Pallas kernel on TPU hardware
         from cutesv_tpu.ops.pallas_sweep import cover_counts_pallas

@@ -290,3 +290,69 @@ def test_batched_cover_giant_chromosome_host_fallback():
     exp = [int(np.sum((starts <= s) & (ends >= e)))
            for s, e in (j["window"] for j in jobs)]
     assert got["counts"].tolist() == exp
+
+
+def test_assign_gt_giant_chromosome_host_fallback():
+    """The per-chromosome genotype path (assign_gt_del_ins) must apply
+    the same int32-coordinate-budget guard as the batched pass: beyond
+    2^30 bp the device cover kernel would double-and-wrap int32, so the
+    exact host sweep runs instead."""
+    from cutesv_tpu.genotype import assign_gt_del_ins
+
+    rng = random.Random(7)
+    n = 200
+    starts = np.sort(np.array([rng.randrange(0, 2_000_000_000)
+                               for _ in range(n)], np.int64))
+    ends = starts + np.array([rng.randrange(5_000, 40_000)
+                              for _ in range(n)], np.int64)
+    census = {"start": starts, "end": ends,
+              "is_primary": np.ones(n, np.int8),
+              "name": np.arange(n, dtype=np.int64)}
+
+    def exploding_cover(*a):  # the device kernel must NOT be called
+        raise AssertionError("device cover kernel used beyond int32 budget")
+
+    windows = []
+    for _ in range(25):
+        s = rng.randrange(0, 1_990_000_000)
+        windows.append((s, s + rng.randrange(100, 30_000)))
+    rows = assign_gt_del_ins(windows, [set() for _ in windows], census,
+                             cover_fn=exploding_cover)
+    exp = [int(np.sum((starts <= s) & (ends >= e))) for s, e in windows]
+    assert [r[1] for r in rows] == exp  # DR == exact host cover counts
+
+
+def test_assign_gt_ranks_duplicate_support_keys():
+    """Duplicate read ranks in a support collection count once (DV and
+    the covers intersection), matching the string-identity path — and DR
+    can never go negative from double-counting."""
+    from cutesv_tpu.genotype import assign_gt_del_ins
+
+    census = {"start": np.array([100, 500], np.int64),
+              "end": np.array([9_000, 9_500], np.int64),
+              "is_primary": np.array([1, 1], np.int8),
+              "name": np.array([7, 8], np.int64)}
+    # both primaries cover the window; support lists rank 7 three times
+    rows_dup = assign_gt_del_ins([(1000, 2000)], [[7, 7, 7]], census)
+    rows_set = assign_gt_del_ins([(1000, 2000)], [{7}], census)
+    assert rows_dup == rows_set
+    dv, dr = rows_dup[0][0], rows_dup[0][1]
+    assert (dv, dr) == (1, 1)
+
+    # string-identity census agrees
+    census_s = {"start": census["start"], "end": census["end"],
+                "is_primary": census["is_primary"],
+                "name": ["r7", "r8"]}
+    rows_s = assign_gt_del_ins([(1000, 2000)], [["r7", "r7", "r7"]],
+                               census_s)
+    assert rows_s[0][:2] == [1, 1]
+    assert rows_s[0] == rows_dup[0]
+
+
+def test_make_sharded_cover_too_few_devices():
+    """make_sharded_cover with more shards than any backend has devices
+    returns None (callers fall back to a serial kernel) instead of
+    building an undersized mesh."""
+    from cutesv_tpu.parallel.sharded_cover import make_sharded_cover
+
+    assert make_sharded_cover(512) is None
