@@ -13,4 +13,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CUTESV_TEST_PLATFORM overrides the CPU pin for real-hardware sweeps,
+# e.g. CUTESV_TEST_PLATFORM=axon runs the device-parity suites on the
+# actual TPU chip (axon is this environment's TPU plugin name).
+jax.config.update("jax_platforms",
+                  os.environ.get("CUTESV_TEST_PLATFORM", "cpu"))
