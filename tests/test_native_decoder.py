@@ -29,7 +29,10 @@ def _random_cigar(rng, read_len):
     body = []
     while remaining > 60:
         m = rng.randrange(30, min(remaining - 20, 2000))
-        body.append((0, m))
+        # aligned block: mostly M, sometimes the =/X spelling (same
+        # query+ref consumption, REFCHANGEOP parity must hold)
+        r0 = rng.random()
+        body.append((0 if r0 < 0.8 else (7 if r0 < 0.9 else 8), m))
         remaining -= m
         r = rng.random()
         if r < 0.25:
@@ -39,6 +42,12 @@ def _random_cigar(rng, read_len):
                 remaining -= ln
         elif r < 0.5:
             body.append((2, rng.randrange(1, 150)))  # deletion
+        elif r < 0.6:
+            # ref skip (RNA-style N): advances ref, consumes no query,
+            # and resets the reference's sig_start like a deletion would
+            body.append((3, rng.randrange(1, 500)))
+        elif r < 0.65:
+            body.append((6, rng.randrange(1, 30)))  # pad: consumes neither
     body.append((0, remaining))
     ops.extend(body)
     if rng.random() < 0.3:
