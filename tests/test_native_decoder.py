@@ -83,6 +83,10 @@ def _random_sa(rng):
             cig += "%dM" % m
         if rng.random() < 0.5:
             cig += "%dD%dM" % (rng.randrange(1, 100), rng.randrange(50, 500))
+        if rng.random() < 0.15:
+            # N is NOT counted in the SA ref span (acquire_clip_pos only
+            # sums M/D/=/X, cuteSV:478-480) — pin the exclusion
+            cig += "%dN%dM" % (rng.randrange(1, 400), rng.randrange(30, 200))
         if b:
             cig += "%dS" % b
         mq = rng.choice([0, 10, 20, 45, 60])
