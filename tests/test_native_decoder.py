@@ -105,8 +105,11 @@ def _make_random_bam(path, rng, n_reads=300):
         qlen = _qlen(cigar)
         seq = "".join(rng.choice("ACGT") for _ in range(qlen))
         flag = rng.choice([0, 0, 0, 16, 16, 2048, 2064, 256, 272, 0,
-                           99, 147, 83, 163, 2304])
-        mapq = rng.choice([0, 10, 20, 30, 60, 60])
+                           99, 147, 83, 163, 2304,
+                           # duplicate / QC-fail combinations: detect_flag
+                           # maps unrecognized flags to 0 (cuteSV:32-48)
+                           1024, 1040, 528, 2560])
+        mapq = rng.choice([0, 10, 20, 30, 60, 60, 255])
         tags = {}
         if rng.random() < 0.5:
             tags["SA"] = _random_sa(rng)
