@@ -12,3 +12,12 @@ from tests.test_reference_differential import (  # noqa: F401 (fixture)
 @pytest.mark.parametrize("engine", ["host", "device"])
 def test_resolver_differential_wide(ref, tmp_path, seed, action, engine):
     test_resolvers_match_reference(ref, tmp_path, seed, action, engine)
+
+
+from tests.test_reference_differential import (  # noqa: F401,E402 (fixture)
+    refmain, test_extraction_matches_reference)
+
+
+@pytest.mark.parametrize("seed", range(40, 80))
+def test_extraction_differential_wide(refmain, tmp_path, seed):
+    test_extraction_matches_reference(refmain, tmp_path, seed)
