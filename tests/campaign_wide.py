@@ -21,3 +21,22 @@ from tests.test_reference_differential import (  # noqa: F401,E402 (fixture)
 @pytest.mark.parametrize("seed", range(40, 80))
 def test_extraction_differential_wide(refmain, tmp_path, seed):
     test_extraction_matches_reference(refmain, tmp_path, seed)
+
+
+from tests.test_reference_differential import (  # noqa: F401,E402 (fixtures)
+    reffc, test_force_calling_matches_reference,
+    test_vcf_emission_matches_reference)
+
+
+@pytest.mark.parametrize("seed", range(50, 70))
+def test_force_calling_differential_wide(ref, reffc, tmp_path, seed):
+    test_force_calling_matches_reference(ref, reffc, tmp_path, seed)
+
+
+@pytest.mark.parametrize("seed", range(30, 50))
+@pytest.mark.parametrize("report_readid,ignore_sequence",
+                         [(False, False), (True, False), (False, True)])
+def test_vcf_emission_differential_wide(ref, tmp_path, seed, report_readid,
+                                        ignore_sequence):
+    test_vcf_emission_matches_reference(ref, tmp_path, seed, report_readid,
+                                        ignore_sequence)
