@@ -247,6 +247,71 @@ def test_rans_order1_roundtrip():
         assert rans_decode(enc) == data
 
 
+def test_cram_bzip2_blocks_pipeline_fallback(tmp_path, monkeypatch):
+    """EXTERNAL blocks compressed with bzip2 (method 2 — legal CRAM 3.0,
+    producible by htslib) are the python reader's territory: the native
+    decoder reports unsupported, the pipeline transparently retries with
+    the python reader, and the calls equal the BAM run byte-for-byte."""
+    import bz2
+    import struct
+    import zlib
+
+    from cutesv_tpu.io import cram as cram_mod
+    from cutesv_tpu.io import native
+    from cutesv_tpu.io.cram_codecs import write_itf8
+    from cutesv_tpu.io.fasta import write_fasta
+    from cutesv_tpu.pipeline import run_pipeline
+
+    orig_write_block = cram_mod.write_block
+
+    def bz_block(out, method, content_type, content_id, data,
+                 rans_order=0):
+        if content_type == cram_mod.CT_EXTERNAL and len(data) > 16:
+            comp = bz2.compress(data)
+            blob = bytearray([2, content_type])  # method 2 = bzip2
+            blob += write_itf8(content_id)
+            blob += write_itf8(len(comp))
+            blob += write_itf8(len(data))
+            blob += comp
+            blob += struct.pack("<I", zlib.crc32(bytes(blob)))
+            out.write(bytes(blob))
+            return len(blob)
+        return orig_write_block(out, method, content_type, content_id,
+                                data, rans_order)
+
+    rng = random.Random(13)
+    seqs = simdata.make_reference(rng, {"chr1": 40_000})
+    plans = [simdata.read_with_del(seqs["chr1"], 0, start, 15_000, 90,
+                                   3000 - (15_090 - start), "d%02d" % i)
+             for i, start in enumerate(range(12_200, 14_600, 250))]
+    plans += [simdata.plain_read(seqs["chr1"], 0, 300 * i, 2500,
+                                 "p%03d" % i) for i in range(60)]
+    bam, fa, cram = (tmp_path / n for n in ("b.bam", "b.fa", "b.cram"))
+    simdata.write_bam(str(bam), [("chr1", 40_000)], plans)
+    write_fasta(str(fa), seqs)
+    with monkeypatch.context() as m:
+        m.setattr(cram_mod, "write_block", bz_block)
+        with BamReader(str(bam)) as r:
+            with CramWriter(str(cram), r.references) as w:
+                for rec in r:
+                    w.write(rec)
+    assert b"BZh" in cram.read_bytes()  # bzip2 blocks really present
+    with pytest.raises(native.NativeUnsupported):
+        native.decode(str(cram), Config(input=str(cram)),
+                      reference=str(fa))
+    bodies = {}
+    for name, inp in (("bam", bam), ("cram", cram)):
+        out = tmp_path / ("out_%s.vcf" % name)
+        cfg = Config(input=str(inp), reference=str(fa), output=str(out),
+                     work_dir=str(tmp_path / ("wd_" + name)),
+                     genotype=True, min_support=3, decoder="auto")
+        run_pipeline(cfg, [])
+        bodies[name] = [l for l in out.read_text().splitlines()
+                        if not l.startswith("##")]
+    assert bodies["cram"] == bodies["bam"]
+    assert any("DEL" in l for l in bodies["bam"])
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_corrupt_cram_python_reader_raises_not_crash(tmp_path, seed):
     """Byte-flipped CRAMs through the PYTHON reader (the fallback path
