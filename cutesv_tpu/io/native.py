@@ -138,7 +138,8 @@ def _fetch(lib, handle, field: int):
 
 class NativeUnsupported(IOError):
     """The native decoder met a feature it does not implement (status 10,
-    e.g. a bzip2/lzma CRAM block); callers fall back to the Python path."""
+    e.g. a legacy lzma-"alone" CRAM block or a CRAM 2.x file); callers
+    fall back to the Python path."""
 
 
 def _call_args(cfg, bed_ids, reference):

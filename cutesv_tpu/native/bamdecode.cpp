@@ -12,6 +12,7 @@
 // C ABI at the bottom; consumed by cutesv_tpu/io/native.py via ctypes.
 
 #include <libdeflate.h>
+#include <lzma.h>
 
 #include <algorithm>
 #include <array>

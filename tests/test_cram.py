@@ -247,28 +247,26 @@ def test_rans_order1_roundtrip():
         assert rans_decode(enc) == data
 
 
-def test_cram_bzip2_blocks_pipeline_fallback(tmp_path, monkeypatch):
-    """EXTERNAL blocks compressed with bzip2 (method 2 — legal CRAM 3.0,
-    producible by htslib) are the python reader's territory: the native
-    decoder reports unsupported, the pipeline transparently retries with
-    the python reader, and the calls equal the BAM run byte-for-byte."""
-    import bz2
+def _write_recompressed_cram(tmp_path, monkeypatch, method_byte, compress,
+                             magic):
+    """Build a BAM + CRAM pair where every sizable EXTERNAL block in the
+    CRAM is recompressed with `compress` and tagged `method_byte` —
+    htslib-producible CRAM 3.0 layouts outside our writer's default
+    method set (gzip/rANS)."""
     import struct
     import zlib
 
     from cutesv_tpu.io import cram as cram_mod
-    from cutesv_tpu.io import native
     from cutesv_tpu.io.cram_codecs import write_itf8
     from cutesv_tpu.io.fasta import write_fasta
-    from cutesv_tpu.pipeline import run_pipeline
 
     orig_write_block = cram_mod.write_block
 
-    def bz_block(out, method, content_type, content_id, data,
-                 rans_order=0):
+    def alt_block(out, method, content_type, content_id, data,
+                  rans_order=0):
         if content_type == cram_mod.CT_EXTERNAL and len(data) > 16:
-            comp = bz2.compress(data)
-            blob = bytearray([2, content_type])  # method 2 = bzip2
+            comp = compress(data)
+            blob = bytearray([method_byte, content_type])
             blob += write_itf8(content_id)
             blob += write_itf8(len(comp))
             blob += write_itf8(len(data))
@@ -290,15 +288,18 @@ def test_cram_bzip2_blocks_pipeline_fallback(tmp_path, monkeypatch):
     simdata.write_bam(str(bam), [("chr1", 40_000)], plans)
     write_fasta(str(fa), seqs)
     with monkeypatch.context() as m:
-        m.setattr(cram_mod, "write_block", bz_block)
+        m.setattr(cram_mod, "write_block", alt_block)
         with BamReader(str(bam)) as r:
             with CramWriter(str(cram), r.references) as w:
                 for rec in r:
                     w.write(rec)
-    assert b"BZh" in cram.read_bytes()  # bzip2 blocks really present
-    with pytest.raises(native.NativeUnsupported):
-        native.decode(str(cram), Config(input=str(cram)),
-                      reference=str(fa))
+    assert magic in cram.read_bytes()  # alt-compressed blocks present
+    return bam, fa, cram
+
+
+def _pipeline_bodies(tmp_path, bam, fa, cram):
+    from cutesv_tpu.pipeline import run_pipeline
+
     bodies = {}
     for name, inp in (("bam", bam), ("cram", cram)):
         out = tmp_path / ("out_%s.vcf" % name)
@@ -308,6 +309,54 @@ def test_cram_bzip2_blocks_pipeline_fallback(tmp_path, monkeypatch):
         run_pipeline(cfg, [])
         bodies[name] = [l for l in out.read_text().splitlines()
                         if not l.startswith("##")]
+    return bodies
+
+
+@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+def test_cram_bzip2_xz_blocks_native_decode(tmp_path, monkeypatch, codec):
+    """EXTERNAL blocks compressed with bzip2 (method 2) or xz-framed
+    LZMA (method 3) — legal CRAM 3.0, producible by htslib — decode
+    through the NATIVE decoder directly, and the pipeline VCF equals
+    the BAM run byte-for-byte."""
+    import bz2
+    import lzma
+
+    from cutesv_tpu.io import native
+
+    method_byte, compress, magic = {
+        "bzip2": (2, bz2.compress, b"BZh"),
+        "xz": (3, lambda d: lzma.compress(d, format=lzma.FORMAT_XZ),
+               b"\xfd7zXZ\x00"),
+    }[codec]
+    bam, fa, cram = _write_recompressed_cram(tmp_path, monkeypatch,
+                                             method_byte, compress, magic)
+    # the native decoder handles these methods itself — no fallback
+    store = native.decode(str(cram), Config(input=str(cram)),
+                          reference=str(fa))
+    assert store is not None
+    bodies = _pipeline_bodies(tmp_path, bam, fa, cram)
+    assert bodies["cram"] == bodies["bam"]
+    assert any("DEL" in l for l in bodies["bam"])
+
+
+def test_cram_lzma_alone_blocks_pipeline_fallback(tmp_path, monkeypatch):
+    """LZMA blocks in the legacy "alone" container (no .xz framing —
+    python's lzma module accepts it, liblzma's buffer API does not) are
+    the python reader's territory: the native decoder reports
+    unsupported, the pipeline transparently retries with the python
+    reader, and the calls equal the BAM run byte-for-byte."""
+    import lzma
+
+    from cutesv_tpu.io import native
+
+    bam, fa, cram = _write_recompressed_cram(
+        tmp_path, monkeypatch, 3,
+        lambda d: lzma.compress(d, format=lzma.FORMAT_ALONE),
+        b"\x5d\x00\x00")
+    with pytest.raises(native.NativeUnsupported):
+        native.decode(str(cram), Config(input=str(cram)),
+                      reference=str(fa))
+    bodies = _pipeline_bodies(tmp_path, bam, fa, cram)
     assert bodies["cram"] == bodies["bam"]
     assert any("DEL" in l for l in bodies["bam"])
 
