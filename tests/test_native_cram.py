@@ -217,3 +217,101 @@ def test_pipeline_native_cram_requires_reference(tmp_path):
     _bam_to_cram(bam, cram)
     with pytest.raises(native.NativeUnsupported):
         native.decode(str(cram), Config(input=str(cram)))
+
+
+def _recompress_external(monkeypatch, method_byte, compress):
+    """Monkeypatch cram.write_block so sizable EXTERNAL blocks are
+    recompressed with `compress` and tagged `method_byte` (htslib can
+    emit bzip2/lzma EXTERNAL blocks; our writer's default set is
+    gzip/rANS)."""
+    import struct
+    import zlib
+
+    from cutesv_tpu.io import cram as cram_mod
+    from cutesv_tpu.io.cram_codecs import write_itf8
+
+    orig = cram_mod.write_block
+
+    def alt_block(out, method, content_type, content_id, data,
+                  rans_order=0):
+        if content_type == cram_mod.CT_EXTERNAL and len(data) > 16:
+            comp = compress(data)
+            blob = bytearray([method_byte, content_type])
+            blob += write_itf8(content_id)
+            blob += write_itf8(len(comp))
+            blob += write_itf8(len(data))
+            blob += comp
+            blob += struct.pack("<I", zlib.crc32(bytes(blob)))
+            out.write(bytes(blob))
+            return len(blob)
+        return orig(out, method, content_type, content_id, data,
+                    rans_order)
+
+    monkeypatch.setattr(cram_mod, "write_block", alt_block)
+
+
+@pytest.mark.parametrize("seed,codec", [(20, "bzip2"), (21, "xz"),
+                                        (22, "bzip2"), (23, "xz")])
+def test_native_cram_bzip2_xz_matches_native_bam(tmp_path, monkeypatch,
+                                                 seed, codec):
+    """bzip2 (method 2) and xz-framed LZMA (method 3) EXTERNAL blocks
+    decode natively to the same signature tensors as the BAM."""
+    import bz2
+    import lzma
+
+    method_byte, compress = {
+        "bzip2": (2, bz2.compress),
+        "xz": (3, lambda d: lzma.compress(d, format=lzma.FORMAT_XZ)),
+    }[codec]
+    rng = random.Random(seed)
+    bam = tmp_path / "z.bam"
+    cram = tmp_path / "z.cram"
+    fa = tmp_path / "z.fa"
+    _make_random_bam(str(bam), rng, n_reads=120)
+    with BamReader(str(bam)) as r:
+        lengths = r.references
+    ref_seqs = _random_ref(rng, lengths)
+    write_fasta(str(fa), ref_seqs)
+    _recompress_external(monkeypatch, method_byte, compress)
+    _bam_to_cram(bam, cram, ref_seqs=ref_seqs)
+    cfg = Config(input=str(bam), min_support=3)
+    nd_bam = native.decode(str(bam), cfg)
+    nd_cram = native.decode(str(cram), cfg, reference=str(fa))
+    _assert_same_decode(nd_bam, nd_cram)
+
+
+@pytest.mark.parametrize("seed,codec", [(30, "bzip2"), (31, "xz"),
+                                        (32, "bzip2"), (33, "xz"),
+                                        (34, "bzip2"), (35, "xz")])
+def test_corrupt_bzip2_xz_cram_raises_not_crash(tmp_path, monkeypatch,
+                                                seed, codec):
+    """Byte-flipped CRAMs whose EXTERNAL blocks use the bzip2/xz native
+    paths must fail cleanly (typed error or clean decode when flips land
+    in ignored bytes) — mirrors the gzip/rANS corrupt fuzz above."""
+    import bz2
+    import lzma
+
+    method_byte, compress = {
+        "bzip2": (2, bz2.compress),
+        "xz": (3, lambda d: lzma.compress(d, format=lzma.FORMAT_XZ)),
+    }[codec]
+    rng = random.Random(seed)
+    bam = tmp_path / "y.bam"
+    cram = tmp_path / "y.cram"
+    fa = tmp_path / "y.fa"
+    _make_random_bam(str(bam), rng, n_reads=40)
+    with BamReader(str(bam)) as r:
+        lengths = r.references
+    write_fasta(str(fa), _random_ref(rng, lengths))
+    _recompress_external(monkeypatch, method_byte, compress)
+    _bam_to_cram(bam, cram)
+    raw = bytearray(cram.read_bytes())
+    for _ in range(rng.randrange(1, 40)):
+        raw[rng.randrange(len(raw))] = rng.randrange(256)
+    cram.write_bytes(bytes(raw))
+    try:
+        nd = native.decode(str(cram), Config(input=str(cram)),
+                           reference=str(fa))
+        assert nd.n_records >= 0
+    except IOError:
+        pass
