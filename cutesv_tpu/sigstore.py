@@ -390,38 +390,53 @@ def _write_reads_sigs(store: SigStore, work_dir: str):
 
 
 def write_old_sigs_native(store: SigStore, work_dir: str):
-    """Legacy .sigs text from a native (columnar) store. Streams are
-    already in the reference's merged sort order; chrom groups concatenate
-    in chrom-rank order."""
+    """Legacy .sigs text from a store alone (no raw candidates dict):
+    used for native decodes and for ``--resume`` runs, where only the
+    store survives. Streams are already in the reference's merged sort
+    order and chrom groups concatenate in chrom order (rank order on
+    native stores, sorted-string order on oracle stores — the same
+    order), so the bytes match :func:`write_old_sigs`. Handles both
+    store flavors: columnar rank-keyed streams and oracle tuple rows
+    with string read names."""
     names = store.names
+    name_of = (lambda r: r) if names is None else (
+        lambda r: names[int(r)])
+
+    def indel_rows(stream, with_seq):
+        if hasattr(stream, "pos"):       # native columnar stream
+            for k in range(len(stream)):
+                row = (int(stream.pos[k]), int(stream.length[k]),
+                       names[int(stream.rid[k])])
+                yield row + (stream.seq_of(k),) if with_seq else row
+        else:                             # oracle tuple rows
+            for row in stream:
+                base = (row[0], row[1], name_of(row[2]))
+                yield base + (row[3],) if with_seq else base
 
     with open(os.path.join(work_dir, "DEL.sigs"), "w") as fh:
         for chrom, stream in store.sigs["DEL"].items():
-            for k in range(len(stream)):
-                fh.write("DEL\t%s\t%d\t%d\t%s\n" % (
-                    chrom, stream.pos[k], stream.length[k],
-                    names[int(stream.rid[k])]))
+            for pos, ln, q in indel_rows(stream, False):
+                fh.write("DEL\t%s\t%d\t%d\t%s\n" % (chrom, pos, ln, q))
     with open(os.path.join(work_dir, "INS.sigs"), "w") as fh:
         for chrom, stream in store.sigs["INS"].items():
-            for k in range(len(stream)):
-                fh.write("INS\t%s\t%d\t%d\t%s\t%s\n" % (
-                    chrom, stream.pos[k], stream.length[k],
-                    names[int(stream.rid[k])], stream.seq_of(k)))
+            for pos, ln, q, seq in indel_rows(stream, True):
+                fh.write("INS\t%s\t%d\t%d\t%s\t%s\n" % (chrom, pos, ln,
+                                                        q, seq))
     with open(os.path.join(work_dir, "DUP.sigs"), "w") as fh:
         for chrom, rows in store.sigs["DUP"].items():
             for p1, p2, rid in rows:
                 fh.write("DUP\t%s\t%d\t%d\t%s\n" % (chrom, p1, p2,
-                                                    names[rid]))
+                                                    name_of(rid)))
     with open(os.path.join(work_dir, "INV.sigs"), "w") as fh:
         for chrom, rows in store.sigs["INV"].items():
             for st, b1, b2, rid in rows:
                 fh.write("INV\t%s\t%s\t%d\t%d\t%s\n" % (chrom, st, b1, b2,
-                                                        names[rid]))
+                                                        name_of(rid)))
     with open(os.path.join(work_dir, "TRA.sigs"), "w") as fh:
         for chrom, rows in store.sigs["TRA"].items():
             for ty, p1, chr2, p2, rid in rows:
                 fh.write("TRA\t%s\t%s\t%d\t%s\t%d\t%s\n" % (
-                    chrom, ty, p1, chr2, p2, names[rid]))
+                    chrom, ty, p1, chr2, p2, name_of(rid)))
     _write_reads_sigs(store, work_dir)
 
 

@@ -236,3 +236,38 @@ def test_emission_flags(tmp_path):
     capped = run(max_size=300)  # drops the 500bp DEL at emission
     assert len(capped) == 1
     assert "SVLEN=-120" in capped[0][7]
+
+
+@pytest.mark.parametrize("decoder", ["python", "native"])
+def test_resume_write_old_sigs_byte_identical(tmp_path, decoder):
+    """--resume --write_old_sigs regenerates the six legacy .sigs files
+    byte-identically from the checkpoint alone, for BOTH store flavors
+    (oracle tuple rows and native columnar streams) — the resumed path
+    has no raw candidates dict, only the store."""
+    rng = random.Random(9)
+    ref = simdata.make_reference(rng, {"c": 30_000})
+    chrom = ref["c"]
+    plans = [simdata.read_with_del(chrom, 0, start, 15_000, 80,
+                                   3000 - (15_000 - start), "g%d" % i)
+             for i, start in enumerate(range(12_100, 14_700, 250))]
+    bam, fa = tmp_path / "g.bam", tmp_path / "g.fa"
+    simdata.write_bam(str(bam), [("c", 30_000)], plans)
+    simdata.write_ref_fasta(str(fa), ref)
+    wd = tmp_path / "wd"
+    wd.mkdir()
+    cfg = Config(input=str(bam), reference=str(fa),
+                 output=str(tmp_path / "o1.vcf"), work_dir=str(wd),
+                 genotype=True, min_support=3, retain_work_dir=True,
+                 write_old_sigs=True, decoder=decoder, engine="host")
+    run_pipeline(cfg, [])
+    direct = {n: (wd / (n + ".sigs")).read_bytes()
+              for n in ("DEL", "INS", "DUP", "INV", "TRA", "reads")}
+    for n in direct:
+        (wd / (n + ".sigs")).unlink()
+    cfg2 = Config(input=str(bam), reference=str(fa),
+                  output=str(tmp_path / "o2.vcf"), work_dir=str(wd),
+                  genotype=True, min_support=3, resume=True,
+                  write_old_sigs=True, decoder=decoder, engine="host")
+    run_pipeline(cfg2, [])
+    for n, blob in direct.items():
+        assert (wd / (n + ".sigs")).read_bytes() == blob, n
