@@ -159,13 +159,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
     """Dest names of options literally present on the command line (exact
-    option string or ``--opt=value`` form)."""
+    option string, ``--opt=value`` form, or an unambiguous long-option
+    abbreviation — argparse accepts those, so the preset override must
+    recognize them too)."""
+    long_opts = [opt for action in parser._actions
+                 for opt in action.option_strings if opt.startswith("--")]
+    dest_of = {opt: action.dest for action in parser._actions
+               for opt in action.option_strings}
     provided = set()
-    for action in parser._actions:
-        for opt in action.option_strings:
-            if any(tok == opt or tok.startswith(opt + "=")
-                   for tok in argv):
-                provided.add(action.dest)
+    for tok in argv:
+        name = tok.split("=", 1)[0]
+        if name in dest_of:
+            provided.add(dest_of[name])
+        elif name.startswith("--") and len(name) > 2:
+            matches = [o for o in long_opts if o.startswith(name)]
+            if len(matches) == 1:  # unambiguous abbreviation
+                provided.add(dest_of[matches[0]])
     return provided
 
 

@@ -20,9 +20,10 @@ single-host setup (used by tests/smoke runs).
 
 Division of labor across hosts:
 
-* every host decodes its own shard of the input (the BGZF stream is
-  split by block ranges, each host keeps records whose chromosome hashes
-  into its bucket — decode is embarrassingly parallel),
+* every host decodes the (shared) input and keeps the signature streams
+  of the chromosomes that hash into its bucket (`chrom_bucket`); the
+  census/read tables stay complete on every host because TRA genotyping
+  replays coverage on mate chromosomes,
 * device steps (cluster kernels, cover counts) run under ``shard_map``
   over the global mesh, so per-host shards combine exactly like the
   single-host --n_shards path,

@@ -135,3 +135,23 @@ def test_preset_does_not_override_explicit_flags():
         assert cfg.max_cluster_bias_INS == 555          # explicit wins
         assert cfg.diff_ratio_merging_INS == 0.9        # preset fills rest
         assert cfg.max_cluster_bias_DEL == 1000
+
+
+def test_preset_does_not_override_abbreviated_explicit_flags():
+    """argparse accepts unambiguous long-option abbreviations; an
+    abbreviated explicit flag must also win over --preset (and an
+    ambiguous prefix marks nothing — argparse rejects it anyway)."""
+    from cutesv_tpu.cli import (_explicit_dests, args_to_config,
+                                build_parser)
+
+    parser = build_parser()
+    argv = ["i.bam", "r.fa", "o.vcf", "wd", "--preset", "ccs",
+            "--diff_ratio_merging_D=0.42", "--remain_read", "0.5"]
+    args = parser.parse_args(argv)
+    cfg = args_to_config(args, explicit=_explicit_dests(parser, argv))
+    assert cfg.diff_ratio_merging_DEL == 0.42
+    assert cfg.remain_reads_ratio == 0.5
+    assert cfg.diff_ratio_merging_INS == 0.9   # preset fills the rest
+    assert cfg.max_cluster_bias_INS == 1000
+    dests = _explicit_dests(parser, ["--max_cluster_bias_"])
+    assert not any(d.startswith("max_cluster_bias") for d in dests)
