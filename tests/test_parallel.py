@@ -289,3 +289,47 @@ def test_distributed_two_process_cli(tmp_path):
     assert not (tmp_path / "mp1.vcf").exists()  # only host 0 emits
     assert _vcf_body(tmp_path / "mp0.vcf") == _vcf_body(
         tmp_path / "ref.vcf")
+
+
+def test_distributed_device_sharded_two_process_cli(tmp_path):
+    """Distributed x device-engine x sharded kernels combined: a real
+    2-process jax.distributed run where each process resolves its
+    chromosome bucket through the JAX cluster/genotype kernels over a
+    LOCAL 4-device genome mesh (pick_devices restricts to
+    jax.local_devices() under multi-process — a global mesh would hang:
+    the hosts resolve different chromosomes, so shard_map collectives
+    would never line up). Byte-identical to the single-process sharded
+    device run."""
+    import os
+    import subprocess
+    import sys
+
+    base = _distributed_fixture(tmp_path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    extra = ["--genotype", "-s", "3", "--engine", "device",
+             "--n_shards", "4"]
+    serial = subprocess.run(
+        [sys.executable, "-m", "cutesv_tpu.cli"] + base
+        + [str(tmp_path / "ref.vcf"), str(tmp_path / "ws")] + extra,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=240)
+    assert serial.returncode == 0, serial.stdout.decode()[-2000:]
+    port = 21000 + (os.getpid() % 10000)
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cutesv_tpu.cli"] + base
+            + [str(tmp_path / ("mp%d.vcf" % i)),
+               str(tmp_path / ("wm%d" % i))] + extra
+            + ["--distributed", "--coordinator", "localhost:%d" % port,
+               "--num_processes", "2", "--process_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    assert procs[0].returncode == 0, outs[0].decode()[-2000:]
+    assert procs[1].returncode == 0, outs[1].decode()[-2000:]
+    assert not (tmp_path / "mp1.vcf").exists()  # only host 0 emits
+    assert _vcf_body(tmp_path / "mp0.vcf") == _vcf_body(
+        tmp_path / "ref.vcf")
