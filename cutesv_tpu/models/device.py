@@ -119,6 +119,18 @@ class IndelStream:
                    np.asarray(rid, np.int64), names_table=names_table,
                    seq_len=seq_len, seq_blob=seq_blob, seq_off=seq_off)
 
+    def select(self, keep: np.ndarray) -> "IndelStream":
+        """Row-filtered copy (both storage modes)."""
+        rows = None
+        if self._rows is not None:
+            rows = [r for r, k in zip(self._rows, keep) if k]
+        return IndelStream(
+            self.pos[keep], self.length[keep], self.rid[keep], rows=rows,
+            names_table=self._names_table,
+            seq_len=None if self.seq_len is None else self.seq_len[keep],
+            seq_blob=self._seq_blob,
+            seq_off=None if self._seq_off is None else self._seq_off[keep])
+
 
 def _cluster_stream_dispatch(stream: IndelStream, read_count: int,
                              bias: int):

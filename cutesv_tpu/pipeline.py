@@ -515,6 +515,11 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     in the reference's DEL, INS, INV, DUP, TRA submission order."""
     action = cfg.genotype
     results: Dict[str, List] = {}
+    # resolution-side sentinel filter (the reference's seeded cluster loops
+    # silently discard (0,0)-coordinate rows; stage 2 keeps them)
+    sig = {t: {c: sigstore.drop_sentinel_rows(t, s)
+               for c, s in store.sigs[t].items()}
+           for t in sigstore.SVTYPES}
     names = store.names  # rank -> string (native decode); None on oracle path
     # engine=host always means the numpy oracle — including on native
     # (rank-identity) stores, whose columnar streams are materialized to
@@ -543,23 +548,23 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         # emission and dispatch latency is paid once, not per stage
         early_k = getattr(store, "early_kernels", None) or {}
         del_state = device_models.resolve_indel_multi_start(
-            list(store.sigs["DEL"].items()), False, cfg.min_support,
+            list(sig["DEL"].items()), False, cfg.min_support,
             cfg.max_cluster_bias_DEL, n_shards=cfg.n_shards,
             early={c: h for (t, c), h in early_k.items() if t == "DEL"})
         ins_state = device_models.resolve_indel_multi_start(
-            list(store.sigs["INS"].items()), True, cfg.min_support,
+            list(sig["INS"].items()), True, cfg.min_support,
             cfg.max_cluster_bias_INS, n_shards=cfg.n_shards,
             early={c: h for (t, c), h in early_k.items() if t == "INS"})
         inv_states = {
             chrom: device_models.resolve_pair_start(
                 sigs, True, cfg.min_support, cfg.max_cluster_bias_INV,
                 cfg.n_shards)
-            for chrom, sigs in store.sigs["INV"].items()}
+            for chrom, sigs in sig["INV"].items()}
         dup_states = {
             chrom: device_models.resolve_pair_start(
                 sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.n_shards)
-            for chrom, sigs in store.sigs["DUP"].items()}
+            for chrom, sigs in sig["DUP"].items()}
         device_models.prefetch_counts(
             del_state, ins_state, *inv_states.values(),
             *dup_states.values())
@@ -589,15 +594,15 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                                cfg.diff_ratio_merging_DEL,
                                cfg.max_cluster_bias_DEL, min_sup5,
                                cfg.remain_reads_ratio, action, names=names)
-            for chrom, sigs in store.sigs["DEL"].items()}
+            for chrom, sigs in sig["DEL"].items()}
         ins_res = {
             chrom: resolve_ins(rows_of(sigs), chrom, cfg.min_support,
                                cfg.diff_ratio_merging_INS,
                                cfg.max_cluster_bias_INS, min_sup5,
                                cfg.remain_reads_ratio, action, names=names)
-            for chrom, sigs in store.sigs["INS"].items()}
+            for chrom, sigs in sig["INS"].items()}
     inv_res, dup_res = {}, {}
-    for chrom, sigs in store.sigs["INV"].items():
+    for chrom, sigs in sig["INV"].items():
         if use_device:
             inv_res[chrom] = device_models.resolve_pair_finish(
                 inv_states[chrom], sigs, True, chrom, cfg.min_support,
@@ -607,7 +612,7 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             inv_res[chrom] = resolve_inv(
                 sigs, chrom, cfg.min_support, cfg.max_cluster_bias_INV,
                 cfg.min_size, cfg.max_size, action, names=names)
-    for chrom, sigs in store.sigs["DUP"].items():
+    for chrom, sigs in sig["DUP"].items():
         if use_device:
             dup_res[chrom] = device_models.resolve_pair_finish(
                 dup_states[chrom], sigs, False, chrom, cfg.min_support,
@@ -630,33 +635,33 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         specs.append(_two_windows_cover_spec(dup_res, (5, 6, 7, 8, 9)))
     if specs:
         _batched_cover_multi(specs, store, cfg)
-    for chrom in store.sigs["DEL"]:
+    for chrom in sig["DEL"]:
         cands, jobs = del_res[chrom]
         if action and not filled:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "DEL"))
         add(chrom, cands)
-    for chrom in store.sigs["INS"]:
+    for chrom in sig["INS"]:
         cands, jobs = ins_res[chrom]
         if action and not filled:
             cands = _fill_gt_del_ins(cands, jobs, store, chrom, cfg)
         log.info("Finished %s:%s." % (chrom, "INS"))
         add(chrom, cands)
-    for chrom in store.sigs["INV"]:
+    for chrom in sig["INV"]:
         cands, jobs = inv_res[chrom]
         if action and not use_device:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 8, 9, 10)
         log.info("Finished %s:%s." % (chrom, "INV"))
         add(chrom, cands)
-    for chrom in store.sigs["DUP"]:
+    for chrom in sig["DUP"]:
         cands, jobs = dup_res[chrom]
         if action and not use_device:
             cands = _fill_gt_two_windows(cands, jobs, store, chrom,
                                          cfg, 5, 6, 7, 8, 9)
         log.info("Finished %s:%s." % (chrom, "DUP"))
         add(chrom, cands)
-    for chrom, sigs in store.sigs["TRA"].items():
+    for chrom, sigs in sig["TRA"].items():
         cands = host_models.resolve_tra(
             sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
             cfg.max_cluster_bias_TRA, store.read_tables,

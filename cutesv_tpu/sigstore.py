@@ -161,16 +161,21 @@ def prepare_snapshot(snap: dict, is_ins: bool):
         nid = snap["name_id"][order]
         keep = _dedup_mask(px2, ln, lrank, sq)
         px2, ln, lrank, nid = px2[keep], ln[keep], lrank[keep], nid[keep]
+        # dispatch mirrors resolution's sentinel filter (drop_sentinel_rows)
+        # so the early kernel's rows equal the filtered store stream;
+        # the fingerprint stays unfiltered (it validates store identity)
+        live = ~(((px2 >> 1) == 0) & (ln == 0))
         return (dict(pos=px2, length=ln, name_id=nid),
-                dict(pos=px2 >> 1, length=ln, rid=lrank))
+                dict(pos=(px2 >> 1)[live], length=ln[live], rid=lrank[live]))
     pos, ln = snap["pos"], snap["length"]
     order = np.lexsort((lrank, ln, pos))
     pos, ln, lrank = pos[order], ln[order], lrank[order]
     nid = snap["name_id"][order]
     keep = _dedup_mask(pos, ln, lrank)
     pos, ln, lrank, nid = pos[keep], ln[keep], lrank[keep], nid[keep]
+    live = ~((pos == 0) & (ln == 0))
     return (dict(pos=pos, length=ln, name_id=nid),
-            dict(pos=pos, length=ln, rid=lrank))
+            dict(pos=pos[live], length=ln[live], rid=lrank[live]))
 
 
 def build_store_native(nd, cfg, early=None) -> SigStore:
@@ -351,6 +356,38 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
                                              nm[lo:hi])
         lo = int(hi)
     return store
+
+
+# per-type positions of the two coordinates the reference's sentinel test
+# inspects (semi_*_cluster[-1][0] == [-1][1] == 0 over the RESOLVER row
+# layout; for TRA the layout is [pos1, pos2, rid, type] built from row
+# fields 1 and 3, for INV [bp1, bp2, rid, strand] from fields 1 and 2)
+_SENTINEL_COORDS = {"DEL": (0, 1), "INS": (0, 1), "DUP": (0, 1),
+                    "INV": (1, 2), "TRA": (1, 3)}
+
+
+def drop_sentinel_rows(svtype: str, stream):
+    """Drop signature rows whose two sentinel-checked coordinates are both
+    zero, as the reference's resolution loops do.
+
+    The reference seeds every per-chromosome cluster loop with a [0, 0, …]
+    sentinel and restarts the cluster whenever the LAST element is
+    (0, 0)-valued (cuteSV_resolveINDEL.py:62-83/272-298,
+    cuteSV_resolveDUP.py:36-58, cuteSV_resolveINV.py:57-80,
+    cuteSV_resolveTRA.py:65-88). Because merged streams are sorted, a REAL
+    row matching the sentinel pattern always sits at the front of its
+    cluster segment, so the restart (or the flush's sentinel `pass`)
+    silently discards it — i.e. resolution never sees such rows, though
+    stage 2 keeps them (.sigs files include them). Resolution-side filter
+    only; the store is left intact.
+    """
+    i, j = _SENTINEL_COORDS[svtype]
+    if hasattr(stream, "select"):            # columnar IndelStream
+        keep = ~((stream.pos == 0) & (stream.length == 0))
+        return stream if bool(keep.all()) else stream.select(keep)
+    if any(r[i] == 0 and r[j] == 0 for r in stream):
+        return [r for r in stream if not (r[i] == 0 and r[j] == 0)]
+    return stream
 
 
 def save_store(store: SigStore, work_dir: str):
