@@ -61,7 +61,91 @@ TARGETS = [
         "find_in_list", "find_in_indel_list", "force_calling_chrom",
         "solve_fc",
     ]),
+    # benchmark/eval tool family (SURVEY.md section 2.2)
+    ("benchmarks.eval_sim", [
+        "pase_info", "phase_GT", "load_callset", "eval", "statistics",
+        "load_ans", "load_gt", "main_ctrl",
+    ]),
+    ("benchmarks.eval_BND", [
+        "pase_info", "phase_GT", "load_callset", "eval", "main_ctrl",
+    ]),
+    ("benchmarks.eval_trio", [
+        "pase_info", "phase_GT", "load_callset", "eva_record",
+        "statistics_true_possitive", "main_ctrl",
+    ]),
+    ("benchmarks.eval_forcecalling", [
+        "population_statistic", "compare_callsets", "pre_cmrg",
+    ]),
+    ("benchmarks.multi_platform", [
+        "pase_info", "phase_GT", "load_callset", "eva_record",
+        "statistics", "main_ctrl",
+    ]),
+    ("benchmarks.sta_venn", [
+        "pase_info", "load_callset", "eva_record", "statistics",
+        "main_ctrl",
+    ]),
+    ("benchmarks.vcf2bedpe", ["phase_bnd", "main_ctrl"]),
+    ("benchmarks.cmp_NA19240", [
+        "pase_base_info", "load_base", "load_cuteSV", "load_sniffles",
+        "load_pbsv", "load_svim", "cmp_callsets", "main_ctrl",
+    ]),
+    ("ref_diploid", ["call_gt", "main_ctrl"]),
 ]
+
+
+# Lines that cannot execute in any real run — excluded from the actionable
+# report (still listed in the summary count). Keys: (module, lineno).
+KNOWN_DEAD = {}
+
+
+def _add_dead(mod, lines, why):
+    for ln in lines:
+        KNOWN_DEAD[(mod, ln)] = why
+
+
+_add_dead("ref_cutesv_main", [510, 511],
+          "'-' strand SA append cannot raise; try/except is vestigial")
+_add_dead("cuteSV.cuteSV_resolveINDEL", [45, 251],
+          "resolution_* is only dispatched for chromosomes present in the "
+          "sigindex (cuteSV:1113-1189)")
+_add_dead("cuteSV.cuteSV_resolveINDEL", [268, 269],
+          "INS store rows always carry the seq field (write path "
+          "cuteSV:736); the short-row except is defensive")
+_add_dead("cuteSV.cuteSV_resolveDUP", [20], "chromosome always indexed")
+_add_dead("cuteSV.cuteSV_resolveINV", [34], "chromosome always indexed")
+_add_dead("cuteSV.cuteSV_resolveTRA", [32], "chromosome always indexed")
+_add_dead("cuteSV.cuteSV_genotype", list(range(670, 703)),
+          "load_valuable_chr has no callers anywhere in the reference")
+_add_dead("cuteSV.cuteSV_genotype", [119, 121],
+          "overlap_cover: sv-close events carry sort code 0 and process "
+          "before read-open (code 1) at equal positions, so no open sv "
+          "can have end == the read start (:119); and the sv-open branch "
+          "always initializes overlap_dict[idx] (:126-127), so the "
+          "read-side init (:121) never runs")
+_add_dead("cuteSV.cuteSV_resolveTRA", [155, 227],
+          "generate_semi_tra_cluster's else-return guards a BND type "
+          "outside A-D; extraction only emits A-D (cuteSV:97-188)")
+_add_dead("cuteSV.cuteSV_genotype", [537, 538],
+          "generate_pvcf DEL tests i[12]=='<DEL>' but i[12] is the STRAND "
+          "slot (solve_fc row layout, cuteSV_forcecalling.py:673-676); "
+          "the symbolic-DEL rebuild arm is unreachable")
+_add_dead("cuteSV.cuteSV_forcecalling", [162],
+          "check_same_variant's INS/DEL arm: find_in_list is only called "
+          "for DUP/INV/TRA/BND records (solve_fc:620-626)")
+_add_dead("cuteSV.cuteSV_forcecalling", [38],
+          "parse_to_int fallthrough needs a non-None/str/list/tuple/int "
+          "value; pysam INFO yields none such")
+_add_dead("cuteSV.cuteSV_forcecalling", [132],
+          "parse_sigs_chrom's short-row '<INS>' assignment is overwritten "
+          "unconditionally on the next line (:133)")
+_add_dead("cuteSV.cuteSV_forcecalling", list(range(649, 658)),
+          "solve_fc: reads_info is keyed over chrom_list which contains "
+          "every svs_dict chromosome (force_calling_chrom:556-565)")
+# debug prints gated on pos == debug_pos (constant -1)
+_add_dead("cuteSV.cuteSV_forcecalling",
+          [275, 296, 297, 321, 322, 333, 363, 364, 376, 377,
+           406, 407, 432, 433, 444, 474, 475, 443, 473],
+          "debug print gated on pos == debug_pos (constant -1)")
 
 
 def _tracer_factory(hits):
@@ -164,6 +248,26 @@ def _ensure_modules():
     _KEEPALIVE.extend([ref_gen, main_gen, fc_gen])
     sys.path.insert(0, td.REF_SRC)
     import cuteSV.cuteSV_genotype  # noqa: F401
+    if "vcf" not in sys.modules:  # pyvcf3 stub (vcf2bedpe/diploid import)
+        m = types.ModuleType("vcf")
+        m.Reader = td._FakePyvcfReader
+        sys.modules["vcf"] = m
+    import benchmarks.cmp_NA19240  # noqa: F401
+    import benchmarks.eval_BND  # noqa: F401
+    import benchmarks.eval_forcecalling  # noqa: F401
+    import benchmarks.eval_sim  # noqa: F401
+    import benchmarks.eval_trio  # noqa: F401
+    import benchmarks.multi_platform  # noqa: F401
+    import benchmarks.sta_venn  # noqa: F401
+    import benchmarks.vcf2bedpe  # noqa: F401
+    import importlib.machinery
+    import importlib.util
+    dip = os.path.join(td.REF_SRC, "cuteSV", "diploid_calling.py")
+    loader = importlib.machinery.SourceFileLoader("ref_diploid", dip)
+    spec = importlib.util.spec_from_loader("ref_diploid", loader)
+    mod = importlib.util.module_from_spec(spec)
+    loader.exec_module(mod)
+    sys.modules["ref_diploid"] = mod
 
 
 def report():
@@ -171,6 +275,7 @@ def report():
     with open(OUT) as fh:
         cov = {k: set(v) for k, v in json.load(fh).items()}
     total_missing = 0
+    total_dead = 0
     for modname, funcs in TARGETS:
         mod = sys.modules.get(modname)
         if mod is None:
@@ -192,14 +297,22 @@ def report():
                         lines.add(ln)
             lines.discard(func.__code__.co_firstlineno)  # def line
             missing = sorted(lines - executed)
-            covered = len(lines) - len(missing)
-            tag = "FULL" if not missing else "%d/%d" % (covered, len(lines))
+            dead = [ln for ln in missing if (modname, ln) in KNOWN_DEAD]
+            missing = [ln for ln in missing if (modname, ln) not in
+                       KNOWN_DEAD]
+            covered = len(lines) - len(missing) - len(dead)
+            tag = "FULL" if not missing else "%d/%d" % (
+                covered, len(lines) - len(dead))
+            if dead:
+                tag += "  (+%d known-dead)" % len(dead)
             print("== %s.%s: %s" % (modname, name, tag))
             total_missing += len(missing)
+            total_dead += len(dead)
             for ln in missing:
                 text = src[ln - 1].rstrip() if ln - 1 < len(src) else "?"
                 print("   %5d  %s" % (ln, text))
-    print("TOTAL UNEXECUTED LINES: %d" % total_missing)
+    print("TOTAL UNEXECUTED LINES: %d  (+%d known-dead, see KNOWN_DEAD)"
+          % (total_missing, total_dead))
 
 
 if __name__ == "__main__":

@@ -674,6 +674,28 @@ class _FakeVariantFile:
         pass
 
 
+class _SerialPool:
+    """multiprocessing.Pool stand-in running map_async in-process. The
+    reference's force_calling_chrom forks a real Pool
+    (cuteSV_forcecalling.py:555-567); forking a JAX-threaded pytest
+    process can deadlock the child, and the serial form is
+    deterministic with identical results (each map_async gets a
+    single-element list)."""
+
+    def __init__(self, processes=None):
+        pass
+
+    def map_async(self, fn, iterable):
+        res = [fn(x) for x in iterable]
+        return types.SimpleNamespace(get=lambda: res)
+
+    def close(self):
+        pass
+
+    def join(self):
+        pass
+
+
 @pytest.fixture(scope="module")
 def reffc(ref):
     sys.modules["pysam"].VariantFile = _FakeVariantFile
@@ -683,6 +705,7 @@ def reffc(ref):
     try:
         import cuteSV.cuteSV_forcecalling as rfc
         import cuteSV.cuteSV_genotype as rgen
+        rfc.Pool = _SerialPool
         yield types.SimpleNamespace(fc=rfc, gen=rgen)
     finally:
         sys.path.remove(REF_SRC)
