@@ -487,9 +487,17 @@ class CramReader:
         if magic != CRAM_MAGIC:
             raise ValueError("not a CRAM file")
         self.version = tuple(self._fh.read(2))
-        if self.version[0] not in (2, 3):
-            raise ValueError("unsupported CRAM major version %d"
-                             % self.version[0])
+        if self.version[0] != 3:
+            # CRAM 2.x containers/blocks carry no CRC32 fields and differ
+            # in the record-counter width; parsing them with the 3.0
+            # layout would desync. With no validation source for the 2.x
+            # layout in this environment (no htslib, no 2.x corpus), an
+            # explicit error beats a wrong decode.
+            raise ValueError(
+                "unsupported CRAM major version %d (only CRAM 3.0 is "
+                "supported; re-encode legacy files with e.g. "
+                "'samtools view -C -O cram,version=3.0')"
+                % self.version[0])
         self._fh.read(20)  # file id
         self._ref_seqs = None
         self._ref_path = reference

@@ -81,10 +81,13 @@ def test_native_cram_matches_native_bam(tmp_path, seed, ref_based, kwargs):
     _assert_same_decode(nd_bam, nd_cram)
 
 
-def test_native_cram_unsupported_falls_back(tmp_path):
-    """A CRAM the native decoder rejects (major version 2) raises
-    NativeUnsupported, and the pipeline transparently retries with the
-    Python reader."""
+def test_native_cram_v2_clear_error_both_decoders(tmp_path):
+    """CRAM major version 2: the native decoder raises NativeUnsupported,
+    the pipeline retries with the Python reader, and the Python reader
+    raises a designed error with a re-encode hint — 2.x containers carry
+    no CRCs and a different counter width, so parsing them with the 3.0
+    layout would desync (the retry path itself stays covered by
+    test_cram.py::test_cram_lzma_alone_blocks_pipeline_fallback)."""
     rng = random.Random(3)
     bam = tmp_path / "g.bam"
     cram = tmp_path / "g.cram"
@@ -96,7 +99,7 @@ def test_native_cram_unsupported_falls_back(tmp_path):
     _bam_to_cram(bam, cram)
     raw = bytearray(cram.read_bytes())
     assert raw[:4] == b"CRAM" and raw[4] == 3
-    raw[4] = 2  # pretend CRAM 2.x; layout is otherwise readable
+    raw[4] = 2  # pretend CRAM 2.x
     cram.write_bytes(bytes(raw))
     with pytest.raises(native.NativeUnsupported):
         native.decode(str(cram), Config(input=str(cram)),
@@ -105,9 +108,8 @@ def test_native_cram_unsupported_falls_back(tmp_path):
     from cutesv_tpu.pipeline import decode_bam
     cfg = Config(input=str(cram), reference=str(fa), decoder="auto",
                  min_support=3)
-    store, _, references, n_records = decode_bam(cfg)
-    assert n_records > 0
-    assert references == lengths
+    with pytest.raises(ValueError, match="major version 2.*version=3.0"):
+        decode_bam(cfg)
 
 
 @pytest.mark.parametrize("seed", range(8))
