@@ -650,3 +650,42 @@ def test_cmp_na19240_caller_missing_type(tmp_path, caplog):
     with caplog.at_level(logging.INFO):
         compare.cmp_na19240([base_p, "cutesv:" + call_p])
     assert _msgs(caplog, ["Camp count"])  # ours completes
+
+
+def test_vcf_header_matches_reference(refmain, tmp_path):
+    """Generation_VCF_header (cuteSV_Description.py:265-305) vs our
+    vcf_header: byte-identical modulo the three environment-dependent
+    lines (##source version, ##fileDate, ##CommandLine prefix)."""
+    import io as _io
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import cuteSV.cuteSV_Description as rdesc
+    finally:
+        sys.path.remove(REF_SRC)
+    from cutesv_tpu.vcf import vcf_header
+
+    contigs = [("chr1", 248_956_422), ("chrM", 16_569)]
+    argv = ["in.bam", "ref.fa", "out.vcf", "wd", "--genotype"]
+    buf = _io.StringIO()
+    rdesc.Generation_VCF_header(buf, contigs, "HG002", argv)
+    ref_lines = buf.getvalue().splitlines(keepends=True)
+    our_lines = vcf_header(contigs, "HG002", argv).splitlines(keepends=True)
+
+    def env_dependent(l):
+        return l.startswith(("##source=", "##fileDate="))
+
+    ref_core = [l for l in ref_lines if not env_dependent(l)]
+    our_core = [l for l in our_lines if not env_dependent(l)]
+    # CommandLine: same argv echo, different tool name prefix
+    for lines in (ref_core, our_core):
+        for i, l in enumerate(lines):
+            if l.startswith("##CommandLine="):
+                lines[i] = l.split(None, 1)[-1]
+    # the reference writes the #CHROM line separately at the merge stage
+    # (cuteSV:1222-1224); ours folds it into the header
+    ref_core.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                    "FORMAT\tHG002\n")
+    assert our_core == ref_core
+    assert any(l.startswith("##source=") for l in our_lines)
+    assert any(l.startswith("##fileDate=") for l in our_lines)
