@@ -35,6 +35,7 @@ TARGETS = [
         "detect_flag", "analysis_inv", "analysis_bnd",
         "analysis_split_read", "acquire_clip_pos", "organize_split_signal",
         "generate_combine_sigs", "parse_read",
+        "process_process_sigs_type", "remove_duplicates_sorted",
     ]),
     ("cuteSV.cuteSV_resolveINDEL", [
         "resolution_DEL", "generate_del_cluster", "resolution_INS",

@@ -689,3 +689,122 @@ def test_vcf_header_matches_reference(refmain, tmp_path):
     assert our_core == ref_core
     assert any(l.startswith("##source=") for l in our_lines)
     assert any(l.startswith("##fileDate=") for l in our_lines)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_stage2_merge_matches_reference(refmain, tmp_path, seed):
+    """Stage-2 merge/sort/dedup/index (process_process_sigs_type,
+    cuteSV:750-857) driven on real per-PID spill pickles vs our
+    build_store + write_old_sigs: the six legacy .sigs files are
+    byte-identical and every per-chromosome pickle block equals our
+    store's stream after the resolver-row projection."""
+    import pickle
+
+    import cutesv_tpu.extract as extract
+    from cutesv_tpu import sigstore
+    from cutesv_tpu.io.bam import BamReader
+    from test_native_decoder import _make_random_bam
+
+    rng = random.Random(900 + seed)
+    bam = tmp_path / "x.bam"
+    _make_random_bam(str(bam), rng, n_reads=300)
+    from cutesv_tpu.config import Config
+    cfg = Config(input=str(bam), min_support=3)
+
+    candidates = extract.new_candidate_dict()
+    census_rows = []
+    reader = BamReader(str(bam))
+    chrom_names = [x for x, _ in reader.references]
+    lengths = dict(reader.references)
+    for rec in reader:
+        if rec.ref_id < 0 or rec.flag & 4 or rec.flag in (256, 272):
+            continue
+        chrom = chrom_names[rec.ref_id]
+        extract.extract_read(rec, candidates, chrom, cfg.min_size,
+                             cfg.min_mapq, cfg.max_split_parts,
+                             cfg.min_read_len, cfg.min_siglength,
+                             cfg.merge_del_threshold,
+                             cfg.merge_ins_threshold, cfg.max_size)
+        if rec.mapq >= cfg.min_mapq:
+            census_rows.append((rec.pos, rec.reference_end,
+                                1 if rec.flag in (0, 16) else 0,
+                                rec.qname, chrom))
+    reader.close()
+
+    # --- reference side: per-PID spills (3 fake pids x 2 dumps each),
+    # exactly as single_pipe appends them (cuteSV:734-741)
+    ref_dir = str(tmp_path / "refwd") + os.sep
+    os.makedirs(ref_dir + "signatures")
+    pids = [111, 222, 333]
+    for svtype in ("DEL", "INS", "DUP", "INV", "TRA"):
+        rows = candidates[svtype]
+        for k, pid in enumerate(pids):
+            part = rows[k::3]
+            with open("%ssignatures/%s%s.pickle"
+                      % (ref_dir, pid, svtype), "ab") as fh:
+                half = len(part) // 2
+                pickle.dump(part[:half], fh)
+                pickle.dump(part[half:], fh)
+    # reads spills split into CONTIGUOUS chunks: the reference's stage-2
+    # sorts reads by chromosome only (stable, cuteSV:810), so the
+    # within-chromosome order is whatever order the PID spills
+    # concatenate in — a pool-scheduling artifact in the real reference
+    # (order-independent downstream: overlap_cover works on sets).
+    # Contiguous chunks emulate in-order tasks and pin the deterministic
+    # case; our census keeps file order, which then matches.
+    n3 = (len(census_rows) + 2) // 3
+    for k, pid in enumerate(pids):
+        part = census_rows[k * n3:(k + 1) * n3]
+        with open("%ssignatures/%sreads.pickle" % (ref_dir, pid),
+                  "ab") as fh:
+            pickle.dump(part, fh)
+    index = {}
+    reads_count = None
+    for svtype in ("DEL", "INS", "DUP", "INV", "TRA", "reads"):
+        t, idx, rc = refmain.process_process_sigs_type(
+            (svtype, ref_dir, pids, True))
+        index[t] = idx
+        if svtype == "reads":
+            reads_count = rc
+
+    # empty-stream dedup early return (cuteSV:959-960)
+    assert refmain.remove_duplicates_sorted([]) == []
+    assert sigstore._dedup_sorted([]) == []
+
+    # --- our side
+    our_dir = str(tmp_path / "ourwd")
+    os.makedirs(our_dir)
+    store = sigstore.build_store(candidates, census_rows, census_rows,
+                                 lengths)
+    sigstore.write_old_sigs(store, our_dir, candidates)
+
+    # legacy .sigs byte parity (all six files)
+    for name in ("DEL", "INS", "DUP", "INV", "TRA", "reads"):
+        ref_bytes = open(os.path.join(ref_dir, name + ".sigs"),
+                         "rb").read()
+        our_bytes = open(os.path.join(our_dir, name + ".sigs"),
+                         "rb").read()
+        assert our_bytes == ref_bytes, name
+
+    # per-chromosome pickle blocks equal our store streams
+    for svtype in ("DEL", "INS", "DUP", "INV", "TRA"):
+        assert set(index[svtype]) == set(store.sigs[svtype]), svtype
+        with open(os.path.join(ref_dir, svtype + ".pickle"), "rb") as fh:
+            for chrom, off in index[svtype].items():
+                fh.seek(off)
+                rows = pickle.load(fh)
+                projected = [sigstore._to_resolver_row(svtype, r)
+                             for r in rows]
+                assert projected == list(store.sigs[svtype][chrom]), (
+                    svtype, chrom)
+    # reads stream: same per-chrom grouping and counts as our census
+    assert set(reads_count) == set(store.census)
+    with open(os.path.join(ref_dir, "reads.pickle"), "rb") as fh:
+        for chrom, off in index["reads"].items():
+            fh.seek(off)
+            rows = pickle.load(fh)
+            assert len(rows) == reads_count[chrom]
+            cen = store.census[chrom]
+            ours = list(zip(cen["start"].tolist(), cen["end"].tolist(),
+                            cen["is_primary"].tolist(), cen["name"]))
+            assert [tuple(r[:4]) for r in rows] == ours, chrom
