@@ -152,3 +152,21 @@ def test_simulate_then_call_then_eval(tmp_path):
         assert total >= 8 and tp == total, (svtype, tp, total)
         fn, t2 = s2[("ans", svtype)]
         assert fn == t2, (svtype, fn, t2)
+
+
+def test_console_script_targets_resolve():
+    """Every [project.scripts] target (incl. the reference-named `cuteSV`
+    alias) imports and is callable."""
+    import importlib
+    import os
+    import tomllib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as fh:
+        cfg = tomllib.load(fh)
+    scripts = cfg["project"]["scripts"]
+    assert "cuteSV" in scripts and "cutesv-tpu" in scripts
+    for name, target in scripts.items():
+        mod_name, _, func = target.partition(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, func)), name
