@@ -145,6 +145,8 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
         nd = sd.join()
     finally:
         sd.free()
+    _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
+                             nd.chroms)
     early_fp = {(t, nd.chroms[c]): fp
                 for (t, c), fp in fingerprints.items()}
     store = sigstore.build_store_native(nd, cfg, early=early_fp)
@@ -203,10 +205,44 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
                         "without overlap", exc_info=True)
     nd = native_io.decode(cfg.input, cfg, bed_ids,
                           reference=cfg.reference if is_cram else None)
+    _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
+                             nd.chroms)
     store = sigstore.build_store_native(nd, cfg)
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]
     return store, None, references, nd.n_records
+
+
+def _check_coordinate_sorted(chr_ids, starts, chrom_names) -> None:
+    """Reject inputs that are not coordinate-sorted.
+
+    The reference cannot even open such files (pysam.fetch needs a .bai,
+    and indexing requires coordinate order, cuteSV:1013); we stream, so
+    without this check an unsorted BAM would silently produce output
+    whose order-sensitive pieces (the TRA count_coverage replay's
+    fetch-order early exits, reads.sigs) differ from the sorted run."""
+    ch = np.asarray(chr_ids)
+    if len(ch) < 2:
+        return
+    st = np.asarray(starts)
+    step = np.diff(ch)
+    same = step == 0
+    bad = np.flatnonzero(same & (np.diff(st) < 0))
+    if len(bad):
+        k = int(bad[0]) + 1
+        raise ValueError(
+            "input is not coordinate-sorted (%s:%d after %s:%d); "
+            "sort it first, e.g. 'samtools sort'"
+            % (chrom_names[int(ch[k])], int(st[k]),
+               chrom_names[int(ch[k - 1])], int(st[k - 1])))
+    run_starts = ch[np.r_[0, np.flatnonzero(step != 0) + 1]].tolist()
+    if len(set(run_starts)) != len(run_starts):
+        seen = set()
+        rep = next(c for c in run_starts if c in seen or seen.add(c))
+        raise ValueError(
+            "input is not coordinate-sorted (%s appears in more than one "
+            "block); sort it first, e.g. 'samtools sort'"
+            % chrom_names[int(rep)])
 
 
 def _decode_bam_python(cfg: Config):
@@ -220,10 +256,30 @@ def _decode_bam_python(cfg: Config):
     chrom_names = [n for n, _ in reader.references]
     chrom_lengths = {n: l for n, l in reader.references}
     n_records = 0
+    prev_ref = -1
+    prev_pos = -1
+    seen_refs = set()
     for rec in reader:
         if rec.ref_id < 0 or rec.flag & 0x4:
             continue
         n_records += 1
+        if rec.ref_id != prev_ref:
+            if rec.ref_id in seen_refs:
+                raise ValueError(
+                    "input is not coordinate-sorted (%s appears in more "
+                    "than one block); sort it first, e.g. 'samtools sort'"
+                    % chrom_names[rec.ref_id])
+            seen_refs.add(rec.ref_id)
+            prev_ref = rec.ref_id
+            prev_pos = rec.pos
+        elif rec.pos < prev_pos:
+            raise ValueError(
+                "input is not coordinate-sorted (%s:%d after %s:%d); "
+                "sort it first, e.g. 'samtools sort'"
+                % (chrom_names[rec.ref_id], rec.pos,
+                   chrom_names[rec.ref_id], prev_pos))
+        else:
+            prev_pos = rec.pos
         chrom = chrom_names[rec.ref_id]
         pos_start = rec.pos
         pos_end = rec.reference_end

@@ -143,3 +143,47 @@ def test_include_bed_no_matching_chrom(tmp_path):
             bodies[decoder] = [l for l in out.read_text().splitlines()
                                if not l.startswith("#")]
         assert bodies["python"] == bodies["native"] == []
+
+
+def test_unsorted_bam_rejected_both_decoders(tmp_path):
+    """Unsorted inputs are rejected with a clear message by BOTH decode
+    paths: the reference cannot even open them (pysam.fetch requires a
+    coordinate-sorted index, cuteSV:1013); we stream, so without the
+    guard an unsorted BAM would silently produce output whose
+    order-sensitive pieces differ from the sorted run."""
+    import random
+
+    import pytest
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.io.bam import BamWriter
+    from cutesv_tpu.pipeline import _decode_bam_native, _decode_bam_python
+
+    refs = [("chr1", 100_000), ("chr2", 100_000)]
+    rng = random.Random(0)
+
+    def write(path, order):
+        with BamWriter(path, refs) as w:
+            for ref_id, pos in order:
+                seq = "".join(rng.choice("ACGT") for _ in range(600))
+                w.write("r%d_%d" % (ref_id, pos), 0, ref_id, pos, 60,
+                        [(0, 600)], seq)
+
+    # descending position within a chromosome
+    bad1 = str(tmp_path / "bad1.bam")
+    write(bad1, [(0, 5000), (0, 9000), (0, 7000)])
+    # chromosome appearing in two blocks
+    bad2 = str(tmp_path / "bad2.bam")
+    write(bad2, [(0, 5000), (1, 1000), (0, 6000)])
+    ok = str(tmp_path / "ok.bam")
+    write(ok, [(0, 5000), (0, 9000), (1, 1000)])
+
+    for path in (bad1, bad2):
+        cfg = Config(input=path, min_support=3)
+        with pytest.raises(ValueError, match="not coordinate-sorted"):
+            _decode_bam_python(cfg)
+        with pytest.raises(ValueError, match="not coordinate-sorted"):
+            _decode_bam_native(cfg)
+    cfg = Config(input=ok, min_support=3)
+    assert _decode_bam_python(cfg)[3] == 3
+    assert _decode_bam_native(cfg)[3] == 3

@@ -66,9 +66,14 @@ def test_streaming_pipeline_identical(tmp_path, monkeypatch):
 
 
 def test_streaming_identical_on_unsorted_bam(tmp_path, monkeypatch):
-    """On a coordinate-UNSORTED BAM the progress counter over-reports
-    completion; the fingerprint validation must reject stale snapshots so
-    the streaming path still matches the plain path byte-for-byte."""
+    """Coordinate-UNSORTED BAMs are rejected with a clear message by both
+    the streaming and plain decode paths (session 6): the reference
+    cannot even open them (pysam.fetch needs a coordinate-sorted index),
+    and accepting them made the order-sensitive pieces (TRA
+    count_coverage replay order, reads.sigs) silently differ from the
+    sorted run. The stale-snapshot fingerprint logic this fixture used
+    to exercise is covered by
+    test_snapshot_prepare_validation_and_early_resolve."""
     import random as _random
 
     rng = _random.Random(3)
@@ -95,7 +100,8 @@ def test_streaming_identical_on_unsorted_bam(tmp_path, monkeypatch):
     simdata.write_bam(str(bam), [("chrA", 90_000), ("chrB", 90_000)],
                       plans, sort=False)
     simdata.write_ref_fasta(str(fa), ref)
-    outs = {}
+    import pytest
+
     for label, flag in (("stream", "1"), ("plain", "0")):
         monkeypatch.setenv("CUTESV_STREAM_DISPATCH", flag)
         out = tmp_path / ("u_%s.vcf" % label)
@@ -104,10 +110,8 @@ def test_streaming_identical_on_unsorted_bam(tmp_path, monkeypatch):
         cfg = Config(input=str(bam), reference=str(fa), output=str(out),
                      work_dir=str(wd), genotype=True, min_support=3,
                      engine="device", decoder="native")
-        run_pipeline(cfg, ["x"])
-        outs[label] = [ln for ln in out.read_text().splitlines()
-                       if not ln.startswith("##")]
-    assert outs["stream"] == outs["plain"]
+        with pytest.raises(ValueError, match="not coordinate-sorted"):
+            run_pipeline(cfg, ["x"])
 
 
 def test_snapshot_prepare_validation_and_early_resolve(tmp_path):
