@@ -366,6 +366,15 @@ def extract_read(rec: BamRecord, out: Dict[str, list], chrom: str,
         pos_start = rec.pos
         pos_end = rec.reference_end
         cig = rec.cigar
+        if not cig:
+            # the reference crashes on read.cigartuples[0] here
+            # (cuteSV:614); a designed error beats an IndexError, and the
+            # native decoder raises its status-6 equivalent at the same
+            # point
+            raise ValueError(
+                "mapped record '%s' passes --min_mapq but has no CIGAR; "
+                "its coordinates cannot be interpreted (re-align or fix "
+                "the input)" % rec.qname)
         hardclip_left = hardclip_right = 0
         if cig[0][0] == 4:
             softclip_left = cig[0][1]

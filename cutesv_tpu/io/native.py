@@ -173,7 +173,10 @@ def _check_status(status: int, path: str):
     if status != 0:
         detail = {1: "cannot open file", 2: "not BGZF data",
                   3: "bad BAM header", 4: "malformed record",
-                  5: "truncated file"}.get(status, "")
+                  5: "truncated file",
+                  6: "mapped record without a CIGAR passes --min_mapq "
+                     "(its coordinates cannot be interpreted; re-align "
+                     "or fix the input)"}.get(status, "")
         raise IOError("native BAM decode failed (status %d%s) for %s"
                       % (status, ": " + detail if detail else "", path))
 

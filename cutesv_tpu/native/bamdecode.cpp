@@ -736,6 +736,8 @@ struct BedRegions {
   }
 };
 
+struct NoCigarError {};
+
 struct Worker {
   const Params& P;
   const BedRegions& bed;
@@ -890,12 +892,17 @@ struct Worker {
     int64_t softclip_left = 0, softclip_right = 0;
     int64_t hardclip_left = 0, hardclip_right = 0;
 
-    // CIGAR intra-read signatures (cuteSV:614-658)
+    // CIGAR intra-read signatures (cuteSV:614-658). A mapped record that
+    // passes the mapq gate but has NO cigar cannot be processed (the
+    // reference crashes on read.cigartuples[0] here); raise the designed
+    // no-CIGAR error instead of silently treating it as signature-free,
+    // which would diverge from the python oracle.
     struct IS { int64_t pos, len, soff, slen; };
     struct DS { int64_t pos, len; };
     std::vector<IS> ins_sigs;
     std::vector<DS> del_sigs;
-    if (mapq >= P.min_mapq && n_ops > 0) {
+    if (mapq >= P.min_mapq && n_ops == 0) throw NoCigarError{};
+    if (mapq >= P.min_mapq) {
       uint32_t v0 = rd_u32(ops_p);
       if ((v0 & 0xF) == 4) softclip_left = v0 >> 4;
       else if ((v0 & 0xF) == 5) hardclip_left = v0 >> 4;
@@ -1110,6 +1117,8 @@ struct Decoder {
   // shared parallel record processing (BAM chunks and CRAM-synthesized
   // chunks go through the same path): thread-local collectors are merged
   // in range order so global row order equals input record order
+  int fail_status = 4;  // process_recs failure detail (6 = no CIGAR)
+
   bool process_recs(const char* base,
                     const std::vector<std::pair<size_t, int32_t>>& recs) {
     // allow oversubscription: record parsing is latency-bound (cold
@@ -1118,11 +1127,13 @@ struct Decoder {
         std::max<int64_t>(P.n_threads, 1),
         4 * (int64_t)std::max(1u, std::thread::hardware_concurrency()));
     bool failed = false;
+    bool nocigar = false;
     if (n_workers <= 1 || recs.size() < 512) {
       Worker w(P, bed, header_chroms);
       try {
         for (auto& r : recs)
           w.process_record(base + r.first, r.second);
+      } catch (const NoCigarError&) { failed = true; nocigar = true;
       } catch (...) { failed = true; }
       {
         std::lock_guard<std::mutex> g(snap_mu);
@@ -1135,6 +1146,7 @@ struct Decoder {
       std::vector<std::thread> ts;
       size_t per = (recs.size() + n_workers - 1) / n_workers;
       std::atomic<bool> err{false};
+      std::atomic<bool> err_nocigar{false};
       for (int t = 0; t < n_workers; t++) {
         ws.emplace_back(new Worker(P, bed, header_chroms));
         size_t lo = t * per, hi = std::min(recs.size(), (t + 1) * per);
@@ -1144,11 +1156,14 @@ struct Decoder {
             for (size_t i = lo; i < hi; i++)
               w->process_record(base + recs[i].first,
                                 recs[i].second);
+          } catch (const NoCigarError&) { err = true;
+            err_nocigar = true;
           } catch (...) { err = true; }
         });
       }
       for (auto& t : ts) t.join();
       failed = err;
+      nocigar = err_nocigar;
       {
         std::lock_guard<std::mutex> g(snap_mu);
         for (auto& w : ws) C.merge_from(w->C);
@@ -1156,6 +1171,9 @@ struct Decoder {
       for (auto& w : ws) { t_seq += w->t_seq;
         t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa; }
     }
+    if (nocigar) fail_status = 6;  // designed no-CIGAR status; a throw
+                                   // here would terminate (the caller
+                                   // holds a joinable prefetch thread)
     if (!failed && !recs.empty()) {
       // refID of the last merged record: chromosomes below it are final
       int32_t refid = rd_i32(base + recs.back().first);
@@ -1243,7 +1261,7 @@ struct Decoder {
       }
       if (!process_recs(A.data(), recs)) {
         prefetch.join();
-        return bail(4);
+        return bail(fail_status);
       }
       prefetch.join();
       if (rd.inflate_bad.load(std::memory_order_relaxed)) return bail(5);
@@ -1446,6 +1464,8 @@ static int run_guarded(Decoder& d, const char* path, const char* ref_path,
                        bool is_cram) {
   try {
     return is_cram ? cram_run(d, path, ref_path) : d.run(path);
+  } catch (const NoCigarError&) {
+    return 6;
   } catch (...) {
     return 4;
   }

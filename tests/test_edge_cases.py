@@ -187,3 +187,42 @@ def test_unsorted_bam_rejected_both_decoders(tmp_path):
     cfg = Config(input=ok, min_support=3)
     assert _decode_bam_python(cfg)[3] == 3
     assert _decode_bam_native(cfg)[3] == 3
+
+
+def test_mapped_record_without_cigar(tmp_path):
+    """A mapped record that passes --min_mapq but carries no CIGAR: the
+    reference crashes on read.cigartuples[0] (cuteSV:614); both our
+    decoders raise a designed error instead (python ValueError, native
+    status 6) — previously the native decoder silently treated it as
+    signature-free, an engine-dependent divergence. Low-mapq CIGAR-less
+    records flow through both decoders (the reference never touches
+    their cigar either)."""
+    import random
+
+    import pytest
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.io.bam import BamWriter
+    from cutesv_tpu.pipeline import _decode_bam_native, _decode_bam_python
+
+    rng = random.Random(0)
+
+    def write(path, nocigar_mapq):
+        with BamWriter(path, [("chr1", 100_000)]) as w:
+            seq = "".join(rng.choice("ACGT") for _ in range(600))
+            w.write("good", 0, 0, 1000, 60, [(0, 600)], seq)
+            w.write("nocigar", 0, 0, 2000, nocigar_mapq, [], seq)
+
+    bad = str(tmp_path / "bad.bam")
+    write(bad, 60)
+    cfg = Config(input=bad, min_support=3, engine="host")
+    with pytest.raises(ValueError, match="no CIGAR"):
+        _decode_bam_python(cfg)
+    with pytest.raises(IOError, match="without a CIGAR"):
+        _decode_bam_native(cfg)
+
+    lowq = str(tmp_path / "lowq.bam")
+    write(lowq, 0)  # below --min_mapq: tolerated, like the reference
+    cfg = Config(input=lowq, min_support=3, engine="host")
+    assert _decode_bam_python(cfg)[3] == 2
+    assert _decode_bam_native(cfg)[3] == 2
