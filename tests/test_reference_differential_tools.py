@@ -288,9 +288,11 @@ def _venn_sets(tmp_path, n, with_filter_victim=False):
                                        ";RE=9" % (t, ln, pos + ln),
                                        "0/1:4,9"))
         if idx == 0:
-            # a type the others lack: eva_record's svtype-missing continue
-            lines.append(_vcf_line("chr2", 5_000, "only%d" % idx, "<INV>",
-                                   "PRECISE;SVTYPE=INV;SVLEN=400;END=5400"
+            # a type the others lack (DUP: the shared edge records carry
+            # DEL/INV/BND, so DUP stays exclusive): eva_record's
+            # svtype-missing continue
+            lines.append(_vcf_line("chr2", 5_000, "only%d" % idx, "<DUP>",
+                                   "PRECISE;SVTYPE=DUP;SVLEN=400;END=5400"
                                    ";RE=6", "1/1:4,9"))
             # same type, disjoint chromosome: the chrom-missing continue
             lines.append(_vcf_line("chrZ", 6_000, "lone%d" % idx, "<INS>",
