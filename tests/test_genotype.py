@@ -356,3 +356,15 @@ def test_make_sharded_cover_too_few_devices():
     from cutesv_tpu.parallel.sharded_cover import make_sharded_cover
 
     assert make_sharded_cover(512) is None
+
+
+def test_call_gt_tra_unknown_contig_degrades():
+    """An SA-tag contig absent from the BAM header: the reference would
+    kill the whole chromosome task (bare except, cuteSV:1193); ours
+    degrades that breakend's genotype to the unresolvable form."""
+    from cutesv_tpu.genotype import ReadTable, call_gt_tra
+
+    tables = {"chr1": ReadTable([100], [900], [1], ["r1"])}
+    out = call_gt_tra(tables, {"chr1": 10_000}, 500, 777, "chr1",
+                      "chrUnknown", {"r1"}, 50, 500)
+    assert out == (1, ".", "./.", ".,.,.", ".", ".")

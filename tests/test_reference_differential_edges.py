@@ -1109,3 +1109,31 @@ def test_fc_parse_to_int_pysam_typed(reffc):
     assert reffc.fc.parse_to_int(("8", "9")) == 8 == _first_int("8,9")
     assert reffc.fc.parse_to_int("12") == 12 == _first_int("12")
     assert reffc.fc.parse_to_int(5) == 5 == _first_int(5)
+
+
+def test_tra_iteration_cap_high_primary_ratio_ungenotypes(ref, tmp_path):
+    """count_coverage hitting gt_round with >20% primaries returns
+    status=-1 and the TRA row is emitted ungenotyped ('./.', DR '.',
+    cuteSV_resolveTRA.py:275-281) — the only path that leaves a
+    genotyped run with dotted TRA fields."""
+    tra = [("B", 5000 + 2 * k, "chr2", 40_000 + 3 * k, "s%d" % k)
+           for k in range(4)]
+    case = _store_case({"TRA": {"chr1": tra}}, n_reads=0)
+    sigs, reads, census, tables, lengths = case
+    # many primaries overlapping the pos1 window but none covering it
+    # (they start inside): iteration hits gt_round with ratio 1.0
+    rows = sorted(
+        [(4960 + k % 80, 9000 + k, 1, "p%03d" % k) for k in range(80)]
+        + [(0, 120_000, 1, "s%d" % k) for k in range(4)])
+    reads["chr1"] = [r + ("chr1",) for r in rows]
+    census["chr1"] = dict(
+        start=np.array([r[0] for r in rows], np.int64),
+        end=np.array([r[1] for r in rows], np.int64),
+        is_primary=np.array([r[2] for r in rows], np.int8),
+        name=[r[3] for r in rows])
+    tables["chr1"] = ReadTable([r[0] for r in rows], [r[1] for r in rows],
+                               [r[2] for r in rows], [r[3] for r in rows])
+    exp = _run_both(ref, tmp_path, (sigs, reads, census, tables, lengths),
+                    dict(min_support=4, gt_round=30))
+    rows_out = [r for rows_ in exp.values() for r in rows_]
+    assert any(r[7] == "./." for r in rows_out), rows_out
