@@ -35,10 +35,10 @@ class IndelStream:
 
     ``pos``/``length`` int64 arrays; ``rid`` int read identities whose
     numeric order equals read-name string order. Two storage modes share
-    one row API (``name_of``/``key_of``/``seq_of``): tuple-backed (oracle
-    path, string identities) and array-backed (native decode path,
-    rank-id identities). Plain attributes only, so signature checkpoints
-    pickle cleanly.
+    one row API (``seq_of``/``names_of``/``keys_of``): tuple-backed
+    (oracle path, string identities) and array-backed (native decode
+    path, rank-id identities). Plain attributes only, so signature
+    checkpoints pickle cleanly.
     """
 
     def __init__(self, pos, length, rid, rows=None, names_table=None,
@@ -54,16 +54,6 @@ class IndelStream:
 
     def __len__(self):
         return len(self.pos)
-
-    def name_of(self, k):
-        if self._rows is not None:
-            return self._rows[k][2]
-        return self._names_table[int(self.rid[k])]
-
-    def key_of(self, k):
-        if self._rows is not None:
-            return self._rows[k][2]
-        return int(self.rid[k])
 
     def seq_of(self, k):
         if self._rows is not None:

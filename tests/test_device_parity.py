@@ -212,3 +212,30 @@ def test_multi_chrom_batched_ins(seed=0):
     for c in per:
         assert multi[c][0] == per[c][0]
         assert multi[c][1] == per[c][1]
+
+
+def test_indel_stream_select_and_sentinel_filter():
+    """drop_sentinel_rows over BOTH IndelStream storage modes: the
+    columnar (native) mode goes through IndelStream.select, the
+    tuple-backed mode through row filtering; no-op streams are returned
+    unchanged (same object)."""
+    import numpy as np
+
+    from cutesv_tpu.models.device import IndelStream
+    from cutesv_tpu.sigstore import drop_sentinel_rows
+
+    # columnar mode with a sentinel-shaped row
+    names = ["ra", "rb", "rc"]
+    s = IndelStream.from_arrays([0, 50, 90], [0, 40, 41], [0, 1, 2], names)
+    out = drop_sentinel_rows("DEL", s)
+    assert list(out.pos) == [50, 90] and list(out.rid) == [1, 2]
+    assert out.names_of(np.array([0, 1])) == ["rb", "rc"]
+    # clean stream: same object back
+    clean = IndelStream.from_arrays([50, 90], [40, 41], [0, 1], names)
+    assert drop_sentinel_rows("DEL", clean) is clean
+    # tuple mode (INS with sequences)
+    rows = [(0, 0, "ra", ""), (70, 33, "rb", "A" * 33)]
+    t = IndelStream.from_tuples(rows, is_ins=True)
+    out2 = drop_sentinel_rows("INS", t)
+    assert list(out2.pos) == [70] and out2.seq_of(0) == "A" * 33
+    assert out2.tuples() == [rows[1]]
