@@ -21,7 +21,8 @@ class Config:
 
     # ---- runtime ----------------------------------------------------------
     threads: int = 16          # host-side decode / emit parallelism
-    batches: int = 10_000_000  # genome bin size (device sharding unit)
+    batches: int = 10_000_000  # cuteSV-compat flag; no-op (single streaming
+    #                            decode pass replaces interval batching)
     sample: str = "NULL"
     retain_work_dir: bool = False
     write_old_sigs: bool = False

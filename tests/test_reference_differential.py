@@ -86,7 +86,10 @@ def ref():
                                    tra=rtra)
         yield ns
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
 
 
 def _write_ref_store(tmp, sigs, reads_by_chrom):
@@ -501,7 +504,10 @@ def refmain():
         loader.exec_module(mod)
         yield mod
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
 
 
 class _PysamView:
@@ -708,7 +714,10 @@ def reffc(ref):
         rfc.Pool = _SerialPool
         yield types.SimpleNamespace(fc=rfc, gen=rgen)
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
 
 
 def _canon_fc(result):
@@ -909,7 +918,10 @@ def test_eval_sim_matches_reference(tmp_path, seed, mode):
     try:
         import benchmarks.eval_sim as reval
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import eval_sim as oureval
 
     ans_p, gt_p, vcf_p = _truth_and_calls(str(tmp_path), seed)
@@ -981,7 +993,10 @@ def test_eval_bnd_matches_reference(tmp_path, caplog, seed, numeric):
     try:
         import benchmarks.eval_BND as rbnd
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import compare
 
     rng = random.Random(800 + seed)
@@ -1052,7 +1067,10 @@ def test_eval_trio_matches_reference(tmp_path, caplog, seed):
     try:
         import benchmarks.eval_trio as rtrio
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import compare
 
     rng = random.Random(seed)
@@ -1137,7 +1155,10 @@ def test_eval_forcecalling_matches_reference(tmp_path, seed):
     try:
         import benchmarks.eval_forcecalling as rfceval
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import eval_forcecalling as ourfceval
 
     rng = random.Random(seed)
@@ -1191,7 +1212,10 @@ def test_concordance_matches_multi_platform(tmp_path, caplog, seed):
     try:
         import benchmarks.multi_platform as rmp
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import compare
 
     rng = random.Random(seed)
@@ -1286,7 +1310,10 @@ def test_vcf2bedpe_matches_reference(tmp_path, seed):
     try:
         import benchmarks.vcf2bedpe as rbedpe
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import vcf2bedpe as ourbedpe
 
     rng = random.Random(seed)
@@ -1329,7 +1356,10 @@ def test_concordance_matches_sta_venn(tmp_path, caplog, seed):
     try:
         import benchmarks.sta_venn as rsv
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import compare
 
     rng = random.Random(seed)
@@ -1497,7 +1527,10 @@ def test_cmp_na19240_matches_reference(tmp_path, caplog, seed):
     try:
         import benchmarks.cmp_NA19240 as rna
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.tools import compare
 
     rng = random.Random(seed)

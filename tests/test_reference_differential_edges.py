@@ -359,7 +359,10 @@ def refgen(ref):
         import cuteSV.cuteSV_genotype as rgen
         yield rgen
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
 
 
 def test_cal_gl_grid_matches_reference(refgen):

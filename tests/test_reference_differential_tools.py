@@ -36,7 +36,10 @@ def _import_bench(name):
         import importlib
         return importlib.import_module("benchmarks.%s" % name)
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
 
 
 def _msgs(caplog, needles):
@@ -664,7 +667,10 @@ def test_vcf_header_matches_reference(refmain, tmp_path):
     try:
         import cuteSV.cuteSV_Description as rdesc
     finally:
-        sys.path.remove(REF_SRC)
+        try:  # at interpreter shutdown sys may already be torn down
+            sys.path.remove(REF_SRC)
+        except Exception:
+            pass
     from cutesv_tpu.vcf import vcf_header
 
     contigs = [("chr1", 248_956_422), ("chrM", 16_569)]
