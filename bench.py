@@ -45,16 +45,33 @@ def _codes_to_str(codes):
     return (np.frombuffer(b"ACGT", np.uint8)[codes]).tobytes().decode()
 
 
+def _revcomp_codes(codes):
+    return (3 - codes)[::-1]
+
+
+def _sa(chrom, pos0, strand, cig):
+    return "%s,%d,%s,%s,60,0;" % (chrom, pos0 + 1, strand, cig)
+
+
 def build_dataset(genome_mb: int, seed: int = 0):
     """Synthesize ref.fa + sim.bam under CACHE; returns paths.
 
+    All-type corpus ("at2"): CIGAR DEL/INS carriers + HiFi-like noise
+    indels, SA-tag split-read junction reads (with their supplementary
+    records) for DUP / INV (both ++ and -- signatures) / cross-chrom BND,
+    mixed mapq (some reads below min_mapq), secondary alignments, and
+    stray sub-min_support junction noise -- every resolver and the
+    split-read state machine contribute to the headline number
+    (round-1 verdict: the old CIGAR-only corpus exercised neither).
+
     Deliberately self-contained rather than delegating to
     tools/simulate.py: the exact byte layout here keys the on-disk
-    dataset cache and the recorded baseline rates — changing the
-    generator would silently invalidate cross-round bench comparisons.
+    dataset cache and the recorded baseline rates -- changing the
+    generator would silently invalidate cross-round bench comparisons
+    (which is why the tag carries the corpus revision).
     """
     os.makedirs(CACHE, exist_ok=True)
-    tag = "g%dmb4chr_c%dx" % (genome_mb, COVERAGE)
+    tag = "g%dmb4chr_c%dx_at2" % (genome_mb, COVERAGE)
     if READ_LEN != 20000:
         tag += "_rl%d" % READ_LEN
     bam = os.path.join(CACHE, "sim_%s.bam" % tag)
@@ -69,31 +86,142 @@ def build_dataset(genome_mb: int, seed: int = 0):
     n = genome_mb * 1_000_000 // n_chroms  # per chromosome
     chrom_names = ["chr%d" % (i + 1) for i in range(n_chroms)]
 
-    step = READ_LEN // COVERAGE
-    n_reads = 0
-    n_sv_total = 0
-    with BamWriter(bam, [(c, n) for c in chrom_names]) as w,             open(fa, "w") as fa_out:
-      for chrom_id, chrom_name in enumerate(chrom_names):
-        ref_codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    # reference first: junction reads need the partner chromosome's bases
+    refs = [rng.integers(0, 4, size=n, dtype=np.uint8)
+            for _ in range(n_chroms)]
 
-        # planted SVs: every 50 kb, alternating DEL/INS, len 60-400, het
-        sv_loci = []
+    # ---- plant SV sites -------------------------------------------------
+    # every 50 kb cycling DEL,INS,DUP,INV; TRA every 500 kb (offset 25 kb)
+    junctions = {c: [] for c in range(n_chroms)}
+    n_sv_total = 0
+
+    def jread(qname, cid, pos, cig, seq_codes, tags, flag=0):
+        junctions[cid].append((pos, qname, flag, cig,
+                               _codes_to_str(seq_codes), tags))
+
+    def dup_pair(qname, cid, p, L, jit):
+        """Tandem-dup junction: primary 1000M1000S at p+L-1000 with a
+        backward SA jump to p -> DUP sig (p+jit, p+L+jit)."""
+        chrom = chrom_names[cid]
+        ref = refs[cid]
+        a, b = p + L - 1000 + jit, p + jit
+        seq = np.concatenate([ref[a:a + 1000], ref[b:b + 1000]])
+        jread(qname, cid, a, [(0, 1000), (4, 1000)], seq,
+              {"SA": _sa(chrom, b, "+", "1000S1000M")})
+        jread(qname, cid, b, [(4, 1000), (0, 1000)], seq,
+              {"SA": _sa(chrom, a, "+", "1000M1000S")}, flag=2048)
+
+    def inv_pair(qname, cid, x, L, jit, form):
+        """Inversion junction; form '++' -> sig (x+jit, x+L+jit) strand ++,
+        form '--' -> same breakpoints strand --."""
+        chrom = chrom_names[cid]
+        ref = refs[cid]
+        if form == "++":
+            a = x - 1000 + jit            # primary: [a, a+1000) '+'
+            b = x + L - 1000 + jit        # SA: [b, b+1000) '-'
+            seq = np.concatenate([ref[a:a + 1000],
+                                  _revcomp_codes(ref[b:b + 1000])])
+            jread(qname, cid, a, [(0, 1000), (4, 1000)], seq,
+                  {"SA": _sa(chrom, b, "-", "1000M1000S")})
+            jread(qname, cid, b, [(0, 1000), (4, 1000)],
+                  _revcomp_codes(seq),
+                  {"SA": _sa(chrom, a, "+", "1000M1000S")}, flag=2064)
+        else:
+            a = x + jit                   # SA: [a, a+1000) '-'
+            b = x + L + jit               # primary: [b, b+1000) '+'
+            seq = np.concatenate([_revcomp_codes(ref[a:a + 1000]),
+                                  ref[b:b + 1000]])
+            jread(qname, cid, b, [(4, 1000), (0, 1000)], seq,
+                  {"SA": _sa(chrom, a, "-", "1000S1000M")})
+            jread(qname, cid, a, [(4, 1000), (0, 1000)],
+                  _revcomp_codes(seq),
+                  {"SA": _sa(chrom, b, "+", "1000S1000M")}, flag=2064)
+
+    def tra_pair(qname, cid_a, p, cid_b, q, jit):
+        """Cross-chromosome breakend: chrA [p-1000,p) '+' then chrB
+        [q, q+1000) '+'."""
+        a = p - 1000 + jit
+        b = q + jit
+        seq = np.concatenate([refs[cid_a][a:a + 1000],
+                              refs[cid_b][b:b + 1000]])
+        jread(qname, cid_a, a, [(0, 1000), (4, 1000)], seq,
+              {"SA": _sa(chrom_names[cid_b], b, "+", "1000S1000M")})
+        jread(qname, cid_b, b, [(4, 1000), (0, 1000)], seq,
+              {"SA": _sa(chrom_names[cid_a], a, "+", "1000M1000S")},
+              flag=2048)
+
+    sv_loci_by_chrom = {c: [] for c in range(n_chroms)}
+    for cid in range(n_chroms):
         p = 100_000
         k = 0
         while p < n - 100_000:
-            svlen = int(rng.integers(60, 400))
-            sv_loci.append((p, "DEL" if k % 2 == 0 else "INS", svlen))
+            t = ("DEL", "INS", "DUP", "INV")[k % 4]
+            if t in ("DEL", "INS"):
+                svlen = int(rng.integers(60, 400))
+                sv_loci_by_chrom[cid].append((p, t, svlen))
+            elif t == "DUP":
+                L = int(rng.integers(500, 2000))
+                for i in range(10):
+                    dup_pair("%s_dupJ%06d_%02d" % (chrom_names[cid], p, i),
+                             cid, p, L, i * 7)
+            else:  # INV: 5 ++ reads and 5 -- reads at the same locus
+                L = int(rng.integers(1000, 5000))
+                for i in range(5):
+                    inv_pair("%s_invP%06d_%02d" % (chrom_names[cid], p, i),
+                             cid, p, L, i * 7, "++")
+                    inv_pair("%s_invM%06d_%02d" % (chrom_names[cid], p, i),
+                             cid, p, L, i * 7, "--")
+            n_sv_total += 1
             k += 1
             p += 50_000
-        n_sv_total += len(sv_loci)
+        # TRA to the next chromosome, every 500 kb at offset 25 kb
+        q0 = 525_000
+        while q0 < n - 100_000:
+            cid_b = (cid + 1) % n_chroms
+            for i in range(10):
+                tra_pair("%s_traJ%06d_%02d" % (chrom_names[cid], q0, i),
+                         cid, q0, cid_b, q0 + 137, i * 3)
+            n_sv_total += 1
+            q0 += 500_000
+        # stray sub-min_support junction noise every ~200 kb
+        s0 = 137_500
+        while s0 < n - 100_000:
+            dup_pair("%s_strayJ%06d" % (chrom_names[cid], s0), cid, s0,
+                     777, 0)
+            s0 += 200_000
+    for cid in range(n_chroms):
+        junctions[cid].sort(key=lambda r: r[0])
+
+    step = READ_LEN // COVERAGE
+    n_reads = 0
+    with BamWriter(bam, [(c, n) for c in chrom_names]) as w, \
+            open(fa, "w") as fa_out:
+      for chrom_id, chrom_name in enumerate(chrom_names):
+        ref_codes = refs[chrom_id]
+        sv_loci = sv_loci_by_chrom[chrom_id]
         ins_seqs = {p: rng.integers(0, 4, size=l, dtype=np.uint8)
                     for p, t, l in sv_loci if t == "INS"}
+        extras = junctions[chrom_id]
+        ei = 0
 
         ridx = 0
         for start in range(0, n - READ_LEN, step):
+            # interleave junction records at their coordinate-sorted slot
+            while ei < len(extras) and extras[ei][0] <= start:
+                jp, jq, jf, jc, js, jt = extras[ei]
+                w.write(jq, jf, chrom_id, jp, 60, jc, js, jt)
+                n_reads += 1
+                ei += 1
             ridx += 1
             qname = "%s_r%06d" % (chrom_name, ridx)
             carrier = ridx % 2 == 0
+            # mixed mapq + occasional secondary alignments
+            mapq = 60
+            if ridx % 13 == 0:
+                mapq = 10        # below min_mapq: decoded, census-excluded
+            elif ridx % 11 == 0:
+                mapq = 20        # exactly at the default min_mapq gate
+            flag = 256 if ridx % 37 == 0 else 0
             # collect events inside the read: planted SVs (if carrier) and
             # noise indels
             events = []  # (ref_pos, kind, len)
@@ -102,7 +230,7 @@ def build_dataset(genome_mb: int, seed: int = 0):
                     if start + 500 < p < start + READ_LEN - 500:
                         events.append((p, t, l))
             # noise: ~6 small (1-9 bp, below min_siglength) + ~5 medium
-            # (10-30 bp) indels per read — HiFi-like signature density
+            # (10-30 bp) indels per read -- HiFi-like signature density
             for _ in range(6):
                 off = int(rng.integers(600, READ_LEN - 600))
                 events.append((start + off, "DEL" if rng.random() < 0.5
@@ -135,8 +263,13 @@ def build_dataset(genome_mb: int, seed: int = 0):
             cigar.append((0, end - cur))
             chunks.append(ref_codes[cur:end])
             seq = _codes_to_str(np.concatenate(chunks))
-            w.write(qname, 0, chrom_id, start, 60, cigar, seq)
+            w.write(qname, flag, chrom_id, start, mapq, cigar, seq)
             n_reads += 1
+        while ei < len(extras):
+            jp, jq, jf, jc, js, jt = extras[ei]
+            w.write(jq, jf, chrom_id, jp, 60, jc, js, jt)
+            n_reads += 1
+            ei += 1
 
         fa_out.write(">%s\n" % chrom_name)
         s = _codes_to_str(ref_codes)
@@ -179,7 +312,7 @@ def main():
         dt_native = min(dt_native, dt_n2)
 
     rate_file = os.path.join(
-        CACHE, "baseline_rate_%dmb%s.json"
+        CACHE, "baseline_rate_%dmb_at2%s.json"
         % (genome_mb, "" if READ_LEN == 20000 else "_rl%d" % READ_LEN))
     identical = None
     base_rate = None
@@ -216,8 +349,8 @@ def main():
 
     rate = n_reads / dt_native
     result = {
-        "metric": "synthetic %dMb 4-chrom %dx end-to-end calling reads/s "
-                  "(native+TPU vs reference-equivalent python)" % (
+        "metric": "synthetic %dMb 4-chrom %dx all-SV-type end-to-end calling "
+                  "reads/s (native+TPU vs reference-equivalent python)" % (
                       genome_mb, COVERAGE),
         "value": round(rate, 1),
         "unit": "reads/s",
