@@ -21,7 +21,7 @@ Reproduces cal_GL / overlap_cover / assign_gt / count_coverage semantics
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -323,35 +323,62 @@ class ReadTable:
         self.end = np.asarray(end, np.int64)
         self.prim = np.asarray(is_primary_flag, np.int8)
         self.names = names
+        self._sorted: Optional[bool] = None  # start ascending? (lazy)
+        self._max_len = 0
+
+    def _window(self, s, e):
+        """[lo, hi) provably containing every row overlapping [s, e),
+        via start-sortedness (file order on a coordinate-sorted BAM is
+        start order per chromosome); None when the table isn't sorted
+        (arbitrary tables in tests keep the exact full-scan path)."""
+        if self._sorted is None:
+            st = self.start
+            self._sorted = bool(st.size < 2 or np.all(st[1:] >= st[:-1]))
+            if self._sorted and st.size:
+                self._max_len = int(np.max(self.end - st))
+        if not self._sorted:
+            return None
+        hi = int(np.searchsorted(self.start, e, "left"))     # start < e
+        lo = int(np.searchsorted(self.start, s - self._max_len, "left"))
+        return lo, hi
 
     def fetch_idx(self, s, e):
-        idx = np.nonzero((self.start < e) & (self.end > s))[0]
-        return idx
+        w = self._window(s, e)
+        if w is None:
+            return np.nonzero((self.start < e) & (self.end > s))[0]
+        lo, hi = w
+        return lo + np.nonzero(self.end[lo:hi] > s)[0]
 
 
 def count_coverage_replay(table: ReadTable, s: int, e: int,
                           read_count: set, up_bound: int, itround: int) -> int:
-    """Exact replay of count_coverage (cuteSV_genotype.py:72-93)."""
-    status = 0
-    iteration = 0
-    primary_num = 0
-    for i in table.fetch_idx(s, e):
-        iteration += 1
-        if table.prim[i] != 1:
-            continue
-        primary_num += 1
-        if table.start[i] < s and table.end[i] > e:
-            read_count.add(table.names[i])
-            if len(read_count) >= up_bound:
-                status = 1
-                break
-        if iteration >= itround:
-            if float(primary_num / iteration) <= 0.2:
-                status = 1
-            else:
-                status = -1
-            break
-    return status
+    """Exact replay of count_coverage (cuteSV_genotype.py:72-93),
+    array-at-a-time: the fetch is a sorted-window slice instead of a
+    full-table scan, the primary/covering tests vectorize over the (at
+    most ``itround``) fetched rows, and only the handful of covering
+    rows walk the set-dedup up_bound early exit in order."""
+    idx = table.fetch_idx(s, e)
+    prim = table.prim[idx] == 1
+    pp = np.nonzero(prim)[0]
+    # the reference's non-primary `continue` skips its iteration-cap
+    # check, so the cap fires at the first PRIMARY row whose 1-based
+    # fetch position reaches itround (possibly past itround itself)
+    cap_at = -1
+    kth = int(np.searchsorted(pp, itround - 1, "left"))
+    if kth < pp.size:
+        cap_at = int(pp[kth])
+    lim = cap_at + 1 if cap_at >= 0 else idx.size
+    head = idx[:lim]
+    covering = prim[:lim] & (table.start[head] < s) & (table.end[head] > e)
+    for k in np.nonzero(covering)[0]:
+        # the reference checks the bound after each covering add and
+        # before its iteration-cap check, so up_bound wins ties
+        read_count.add(table.names[int(head[k])])
+        if len(read_count) >= up_bound:
+            return 1
+    if cap_at >= 0:
+        return 1 if float((kth + 1) / lim) <= 0.2 else -1
+    return 0
 
 
 def call_gt_tra(tables: Dict[str, ReadTable], chrom_lengths: Dict[str, int],

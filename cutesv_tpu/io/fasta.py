@@ -40,23 +40,40 @@ class FastaFile:
             buf = np.memmap(path, np.uint8, mode="r")
         self._buf = buf
         n = len(buf)
-        nl = np.flatnonzero(buf == 10)
-        starts = np.concatenate([np.zeros(1, np.int64), nl + 1])
-        starts = starts[starts < n] if n else starts[:0]
-        hdr_starts = starts[buf[starts] == ord(">")] if len(starts) \
-            else starts
+        # one equality pass for '>' bytes only (tiny result array), then a
+        # line-start filter via the preceding byte — the full-newline index
+        # the old code built was the dominant open cost on big genomes
+        gt = np.flatnonzero(buf == ord(">"))
+        if len(gt):
+            at_line_start = np.empty(len(gt), bool)
+            at_line_start[0] = gt[0] == 0
+            if len(gt) > 1:
+                at_line_start[1:] = buf[gt[1:] - 1] == 10
+            if gt[0] != 0:
+                at_line_start[0] = buf[gt[0] - 1] == 10
+            hdr_starts = gt[at_line_start]
+        else:
+            hdr_starts = gt
         self._order: List[str] = []
         self._regions: Dict[str, Tuple[int, int]] = {}
         self._lengths: Dict[str, int] = {}
         n_h = len(hdr_starts)
         for k in range(n_h):
             h = int(hdr_starts[k])
-            j = int(np.searchsorted(nl, h))
-            line_end = int(nl[j]) if j < len(nl) else n
+            data_end = int(hdr_starts[k + 1]) if k + 1 < n_h else n
+            # find the header's line end with bounded small-slice scans
+            line_end = data_end
+            probe = h
+            while probe < data_end:
+                win = np.flatnonzero(buf[probe:min(probe + 65536,
+                                                   data_end)] == 10)
+                if len(win):
+                    line_end = probe + int(win[0])
+                    break
+                probe += 65536
             name = bytes(buf[h + 1:line_end]).split()[0].decode("ascii") \
                 if line_end > h + 1 else ""
             data_start = min(line_end + 1, n)
-            data_end = int(hdr_starts[k + 1]) if k + 1 < n_h else n
             self._order.append(name)
             self._regions[name] = (data_start, max(data_end, data_start))
 
@@ -90,31 +107,43 @@ class FastaFile:
             raise KeyError(name)
         s, e = self._regions[name]
         arr = np.asarray(self._buf[s:e])
-        nl = np.flatnonzero(arr == 10)
-        if len(nl) == 0:
+        m = int(e - s)
+        if m == 0:
             return self.fetch(name)
-        w = int(nl[0])
+        head_nl = np.flatnonzero(arr[:65536] == 10)
+        if len(head_nl) == 0:
+            return self.fetch(name)
+        w = int(head_nl[0])
         if w <= 0:
             return self.fetch(name)
-        # every full line must be width w; only the final line (newline-
-        # terminated or a trailing piece) may be shorter
-        widths = np.diff(nl) - 1
-        tail = int(e - s) - (int(nl[-1]) + 1)
-        if tail > 0:
-            full = widths
-        else:
-            full = widths[:-1]
-            if len(widths) and int(widths[-1]) > w:
+        # uniform layout iff every full line is w bases + newline, i.e.
+        # bytes at offsets k*(w+1)+w are newlines; verify with a strided
+        # gather instead of a full newline index. The final line (tail)
+        # may be shorter, with or without a trailing newline.
+        n_full = m // (w + 1)
+        exp_nl = arr[w::w + 1]
+        if len(exp_nl) < n_full or not bool(np.all(exp_nl[:n_full] == 10)):
+            return self.fetch(name)
+        tail = arr[n_full * (w + 1):]
+        n_tail = len(tail)
+        if n_tail:
+            if n_tail > w + 1:
                 return self.fetch(name)
-        if len(full) and bool(np.any(full != w)):
+            trailing_nl = int(tail[-1]) == 10
+            if trailing_nl:
+                n_tail -= 1
+                tail = tail[:-1]
+            if bool(np.any(tail <= 32)):
+                return self.fetch(name)
+            n_nl = n_full + (1 if trailing_nl else 0)
+        else:
+            n_nl = n_full
+        # the eager path strips EVERY byte <= 32 (\r, spaces); the view's
+        # offset formula only accounts for the newlines — one count pass
+        # (no index materialization) proves they coincide
+        if int(np.count_nonzero(arr <= 32)) != n_nl:
             return self.fetch(name)
-        if tail > w:
-            return self.fetch(name)
-        # the eager path strips every byte <= 32 (\r, spaces); the view's
-        # offset formula only accounts for the newlines
-        if int(np.count_nonzero(arr <= 32)) != len(nl):
-            return self.fetch(name)
-        return _ChromView(arr, w, int(e - s) - len(nl))
+        return _ChromView(arr, w, m - n_nl)
 
     def __contains__(self, name: str) -> bool:
         return name in self._regions

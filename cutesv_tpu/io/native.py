@@ -217,7 +217,7 @@ def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
 
 
 _SNAP_FIELDS = ("pos", "length", "name_id", "name_lrank", "seq_len",
-                "seq_lrank")
+                "seq_lrank", "seq_off")
 
 
 class StreamingDecode:

@@ -375,17 +375,137 @@ def _stable_unique(items: Sequence) -> List:
     return out
 
 
+def _equality_codes(values: Sequence) -> np.ndarray:
+    """Equality-preserving integer codes for a homogeneous value list
+    (int ranks on the native path, strings on the oracle path)."""
+    arr = np.asarray(values)
+    _, inv = np.unique(arr, return_inverse=True)
+    return inv.astype(np.int64)
+
+
 def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
                 overlap_size: float, max_cluster_bias: int,
                 tables: Optional[Dict[str, ReadTable]],
                 chrom_lengths: Dict[str, int], action: bool, gt_round: int,
                 names: Optional[Sequence[str]] = None):
-    """TRA/BND resolution (resolution_TRA, cuteSV_resolveTRA.py:30-254).
+    """TRA/BND resolution (resolution_TRA, cuteSV_resolveTRA.py:30-254),
+    array-at-a-time.
 
-    ``sigs`` rows: (bnd_type, pos1:int, chr2, pos2:int, read_name) sorted by
-    (chr2, bnd_type, pos1, pos2, name). Keeps the reference's running-sum
-    sub-cluster averaging, including the double-counted first element.
-    """
+    ``sigs`` rows: (bnd_type, pos1:int, chr2, pos2:int, read_name) sorted
+    by (chr2, bnd_type, pos1, pos2, name). Cluster boundaries (chr2/type
+    change or pos1 gap), the p2-sorted sub-cluster segmentation and the
+    running sums — including the double-counted first element
+    (cuteSV_resolveTRA.py:113-124) — are numpy segment reductions; only
+    the per-cluster top-2 selection and candidate emission remain scalar.
+    Byte-equal to the reference's per-row loops (differential suite +
+    fuzz parity vs resolve_tra_oracle)."""
+    n = len(sigs)
+    if n == 0:
+        return []
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
+    ty = np.fromiter((ord(r[0][0]) for r in sigs), np.int16, n)
+    p1 = np.fromiter((r[1] for r in sigs), np.int64, n)
+    p2 = np.fromiter((r[3] for r in sigs), np.int64, n)
+    c2 = _equality_codes([r[2] for r in sigs])
+    rid = _equality_codes([r[4] for r in sigs])
+
+    # ---- cluster ids: break on chr2 change, type change, pos1 gap ----
+    new_cl = np.ones(n, bool)
+    if n > 1:
+        new_cl[1:] = ((c2[1:] != c2[:-1]) | (ty[1:] != ty[:-1])
+                      | (p1[1:] - p1[:-1] > max_cluster_bias))
+    cid = np.cumsum(new_cl) - 1
+    n_clusters = int(cid[-1]) + 1
+    csize = np.bincount(cid, minlength=n_clusters)
+
+    # ---- p2-sorted sub-cluster segments within each cluster ----------
+    order = np.lexsort((np.arange(n), p2, cid))  # stable, like sorted()
+    p1s, p2s, cids = p1[order], p2[order], cid[order]
+    rids = rid[order]
+    seg_new = np.ones(n, bool)
+    if n > 1:
+        seg_new[1:] = ((cids[1:] != cids[:-1])
+                       | (p2s[1:] - p2s[:-1] > max_cluster_bias))
+    sid = np.cumsum(seg_new) - 1
+    n_segs = int(sid[-1]) + 1
+    seg_starts = np.flatnonzero(seg_new)
+    sum_p1 = np.add.reduceat(p1s, seg_starts)
+    sum_p2 = np.add.reduceat(p2s, seg_starts)
+    cnt = np.diff(np.append(seg_starts, n))
+    # the reference seeds temp with the first (p2-sorted) element and
+    # then iterates it again: double-count it in its (first) segment
+    cl_first = np.flatnonzero(np.r_[True, cids[1:] != cids[:-1]])
+    first_seg = sid[cl_first]  # one per cluster, unique
+    sum_p1[first_seg] += p1s[cl_first]
+    sum_p2[first_seg] += p2s[cl_first]
+    cnt[first_seg] += 1
+
+    # ---- distinct support per segment and per cluster -----------------
+    o2 = np.lexsort((rids, sid))
+    sid2, rid2 = sid[o2], rids[o2]
+    fp = np.r_[True, (sid2[1:] != sid2[:-1]) | (rid2[1:] != rid2[:-1])]
+    seg_distinct = np.bincount(sid2[fp], minlength=n_segs)
+    o3 = np.lexsort((rid, cid))
+    cid3, rid3 = cid[o3], rid[o3]
+    fp3 = np.r_[True, (cid3[1:] != cid3[:-1]) | (rid3[1:] != rid3[:-1])]
+    cl_distinct = np.bincount(cid3[fp3], minlength=n_clusters)
+
+    candidates: List[list] = []
+    seg_hi = np.append(first_seg[1:], n_segs)
+    seg_row_hi = np.append(seg_starts[1:], n)
+
+    def emit(seg: int, bnd_type: str, chr_2: str):
+        p1_c = int(int(sum_p1[seg]) / int(cnt[seg]))
+        p2_c = int(int(sum_p2[seg]) / int(cnt[seg]))
+        # A/C mate positions are start-type (0-based) and need +1
+        # (cuteSV_resolveTRA.py:137-141)
+        mate = "%s:%s" % (chr_2, p2_c + (1 if bnd_type in ("A", "C") else 0))
+        alt = _BND_FMT[bnd_type] % mate
+        lo = int(seg_starts[seg])
+        hi = int(seg_row_hi[seg])
+        seg_names = [sigs[int(order[k])][4] for k in range(lo, hi)]
+        support = set(seg_names)
+        if action:
+            dv, dr, gt, gl, gq, qual = call_gt_tra(
+                tables, chrom_lengths, p1_c, p2_c, chr_1, chr_2, support,
+                max_cluster_bias, gt_round)
+        else:
+            dr, gt, gl, gq, qual = ".", "./.", ".,.,.", ".", "."
+        candidates.append([chr_1, alt, str(p1_c), chr_2, str(p2_c),
+                           str(len(support)), str(dr), str(gt), str(gl),
+                           str(gq), str(qual),
+                           ",".join(render(k)
+                                    for k in _stable_unique(seg_names))])
+
+    for c in range(n_clusters):
+        if csize[c] < read_count or cl_distinct[c] < read_count:
+            continue
+        s0, s1 = int(first_seg[c]), int(seg_hi[c])
+        row0 = int(order[cl_first[c]])
+        bnd_type = sigs[row0][0]
+        chr_2 = sigs[row0][2]
+        ds = seg_distinct[s0:s1]
+        top = np.argsort(-ds, kind="stable")  # stable, like list.sort
+        d0 = int(ds[top[0]])
+        if s1 - s0 > 1 and int(ds[top[1]]) >= 0.5 * read_count:
+            if d0 + int(ds[top[1]]) >= int(csize[c]) * overlap_size:
+                emit(s0 + int(top[0]), bnd_type, chr_2)
+                emit(s0 + int(top[1]), bnd_type, chr_2)
+        else:
+            if d0 >= int(csize[c]) * overlap_size:
+                emit(s0 + int(top[0]), bnd_type, chr_2)
+    return candidates
+
+
+def resolve_tra_oracle(sigs: Sequence, chr_1: str, read_count: int,
+                       overlap_size: float, max_cluster_bias: int,
+                       tables: Optional[Dict[str, ReadTable]],
+                       chrom_lengths: Dict[str, int], action: bool,
+                       gt_round: int,
+                       names: Optional[Sequence[str]] = None):
+    """Per-row loop form of :func:`resolve_tra` (the round-1
+    implementation), kept as the fuzz-parity oracle and the BND-storm
+    bench baseline (tools/bench_tra.py)."""
     candidates = []
     # group by chr2 (stream is sorted by chr2 first)
     i = 0

@@ -1370,7 +1370,7 @@ struct CBuf {
 };
 
 struct Snapshot {
-  std::vector<int64_t> pos, len, nameid, lrank, seqlen, sqrank;
+  std::vector<int64_t> pos, len, nameid, lrank, seqlen, sqrank, seqoff;
 };
 
 struct CResult {
@@ -1532,7 +1532,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
   Decoder* d = r->dec;
   Snapshot& s = r->snap;
   s.pos.clear(); s.len.clear(); s.nameid.clear();
-  s.lrank.clear(); s.seqlen.clear(); s.sqrank.clear();
+  s.lrank.clear(); s.seqlen.clear(); s.sqrank.clear(); s.seqoff.clear();
   std::vector<std::pair<int64_t, int64_t>> seq_spans;  // (off, len)
   {
     std::lock_guard<std::mutex> g(d->snap_mu);
@@ -1553,6 +1553,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.len.push_back(C.ins_len.v[i]);
         s.nameid.push_back(C.ins_name.v[i]);
         s.seqlen.push_back(C.ins_seq_len.v[i]);
+        s.seqoff.push_back(C.ins_seq_off.v[i]);
         seq_spans.push_back({C.ins_seq_off.v[i], C.ins_seq_len.v[i]});
       }
     }
@@ -1603,7 +1604,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
 }
 
 // fields: 0 pos (DEL pos / INS pos*2), 1 len, 2 name id, 3 local name
-// rank, 4 INS seq len, 5 INS local seq rank
+// rank, 4 INS seq len, 5 INS local seq rank, 6 INS seq blob offset
+// (global: the blob only appends, so snapshot offsets stay valid)
 int bamdecode_snapshot_get(CResult* r, int field, const void** data,
                            int64_t* len) {
   Snapshot& s = r->snap;
@@ -1619,6 +1621,7 @@ int bamdecode_snapshot_get(CResult* r, int field, const void** data,
     case 3: return set(s.lrank);
     case 4: return set(s.seqlen);
     case 5: return set(s.sqrank);
+    case 6: return set(s.seqoff);
     default: return 1;
   }
 }

@@ -806,6 +806,20 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
                                        cfg.process_id)
     stats = {}
     t0 = time.time()
+    # open + index the reference FASTA on a side thread: the emitter needs
+    # it only after resolve, and the open cost is page-in/IO wait that
+    # hides completely under the decode stage
+    fasta_box: List = []
+
+    def _open_fasta():
+        try:
+            fasta_box.append(FastaFile(cfg.reference))
+        except BaseException as exc:  # re-raised at emit time
+            fasta_box.append(exc)
+
+    import threading
+    fasta_thread = threading.Thread(target=_open_fasta, daemon=True)
+    fasta_thread.start()
     if cfg.resume and ckpt and os.path.exists(ckpt):
         log.info("Resuming from signature checkpoint %s" % ckpt)
         store = sigstore.load_store(cfg.work_dir)
@@ -863,7 +877,10 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
     stats["n_calls"] = sum(len(v) for v in results.values())
 
     t2 = time.time()
-    fasta = FastaFile(cfg.reference)
+    fasta_thread.join()
+    fasta = fasta_box[0]
+    if isinstance(fasta, BaseException):
+        raise fasta
     per_chrom = {}
     for chrom, rows in results.items():
         if chrom not in fasta:

@@ -146,26 +146,35 @@ def prepare_snapshot(snap: dict, is_ins: bool):
     LOCAL name/seq ranks are order-isomorphic to the final global ranks
     restricted to the same rows, so the resulting permutation equals the
     final store's — as long as no later read added rows to this
-    chromosome (validated by fingerprint in build_store_native).
+    chromosome. Signature rows are append-only, so build_store_native
+    validates a snapshot by raw row COUNT: equal count means the exact
+    same rows, and the store then reuses these columns instead of
+    re-sorting them.
 
-    Returns (fingerprint, dispatch): fingerprint = {pos (raw; INS pos*2),
-    length, name_id} post-sort+dedup for validation; dispatch = {pos
-    (INS: int(pos)), length, rid (local ranks)} for the cluster kernel.
-    """
+    Returns (store_cols, dispatch): store_cols = {pos (raw; INS pos*2),
+    length, name_id[, seq_off, seq_len], n_raw} post-sort+dedup, ready
+    to become the final per-chromosome store stream (rid = global
+    rank[name_id]); dispatch = {pos (INS: int(pos)), length, rid (local
+    ranks)} for the cluster kernel."""
     lrank = snap["name_lrank"]
+    n_raw = len(snap["pos"])
     if is_ins:
         px2, ln, sq = snap["pos"], snap["length"], snap["seq_lrank"]
         order = np.lexsort((sq, lrank, ln, px2 >> 1))
         px2, ln, lrank, sq = (px2[order], ln[order], lrank[order],
                               sq[order])
         nid = snap["name_id"][order]
+        soff = snap["seq_off"][order]
+        slen = snap["seq_len"][order]
         keep = _dedup_mask(px2, ln, lrank, sq)
         px2, ln, lrank, nid = px2[keep], ln[keep], lrank[keep], nid[keep]
+        soff, slen = soff[keep], slen[keep]
         # dispatch mirrors resolution's sentinel filter (drop_sentinel_rows)
         # so the early kernel's rows equal the filtered store stream;
-        # the fingerprint stays unfiltered (it validates store identity)
+        # the store columns stay unfiltered (store identity)
         live = ~(((px2 >> 1) == 0) & (ln == 0))
-        return (dict(pos=px2, length=ln, name_id=nid),
+        return (dict(pos=px2, length=ln, name_id=nid, seq_off=soff,
+                     seq_len=slen, n_raw=n_raw),
                 dict(pos=(px2 >> 1)[live], length=ln[live], rid=lrank[live]))
     pos, ln = snap["pos"], snap["length"]
     order = np.lexsort((lrank, ln, pos))
@@ -174,7 +183,7 @@ def prepare_snapshot(snap: dict, is_ins: bool):
     keep = _dedup_mask(pos, ln, lrank)
     pos, ln, lrank, nid = pos[keep], ln[keep], lrank[keep], nid[keep]
     live = ~((pos == 0) & (ln == 0))
-    return (dict(pos=pos, length=ln, name_id=nid),
+    return (dict(pos=pos, length=ln, name_id=nid, n_raw=n_raw),
             dict(pos=pos[live], length=ln[live], rid=lrank[live]))
 
 
@@ -224,59 +233,100 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
 
     store.early_valid = set()
 
-    def validate_early(svtype, ck_arr, fp_cols):
-        """Mark early snapshots whose fingerprint equals the final
-        sorted/deduped per-chrom columns."""
+    def early_cols(svtype, chr_col):
+        """{chrom_id: store_cols} for chromosomes whose streaming-decode
+        snapshot still matches the final arrays. Rows are append-only, so
+        an equal raw per-chromosome row count means the snapshot saw the
+        exact same rows — no sorted-column comparison needed, and the
+        store can reuse the snapshot's sorted/deduped columns instead of
+        re-sorting them."""
         if not early:
-            return
-        for chrom, lo, hi in per_chrom_slices(ck_arr):
-            fp = early.get((svtype, chrom))
-            if fp is None:
-                continue
-            cols = ("pos", "length", "name_id")
-            if all(hi - lo == len(fp[c]) and
-                   np.array_equal(col[lo:hi], fp[c])
-                   for c, col in zip(cols, fp_cols)):
-                store.early_valid.add((svtype, chrom))
+            return {}
+        cnts = np.bincount(chr_col, minlength=len(nd.chroms))
+        out = {}
+        for cid in range(len(nd.chroms)):
+            cols = early.get((svtype, nd.chroms[cid]))
+            if cols is not None and cols["n_raw"] == int(cnts[cid]):
+                out[cid] = cols
+                store.early_valid.add((svtype, nd.chroms[cid]))
+        return out
+
+    def merge_streams(ev, global_streams, make_early):
+        """Per-chrom streams in chromosome-rank order (the dict order the
+        all-global path produces), merging early and globally-sorted
+        chromosomes."""
+        out = {}
+        for cid in chrom_order:
+            name = nd.chroms[cid]
+            if cid in ev:
+                out[name] = make_early(ev[cid])
+            elif name in global_streams:
+                out[name] = global_streams[name]
+        return out
 
     # ---- DEL: key (chr, pos, len, name) --------------------------------
-    rid = rank[A["del_name"]]
-    ck = chrom_rank[A["del_chr"]]
-    order = np.lexsort((rid, A["del_len"], A["del_pos"], ck))
-    ck, pos, ln, rid = (ck[order], A["del_pos"][order], A["del_len"][order],
-                        rid[order])
-    ids = A["del_name"][order] if early else None
+    ev = early_cols("DEL", A["del_chr"])
+    if ev:
+        sel = ~np.isin(A["del_chr"],
+                       np.fromiter(ev, np.int64, len(ev)))
+        d_chr, d_pos, d_len, d_name = (A["del_chr"][sel], A["del_pos"][sel],
+                                       A["del_len"][sel], A["del_name"][sel])
+    else:
+        d_chr, d_pos, d_len, d_name = (A["del_chr"], A["del_pos"],
+                                       A["del_len"], A["del_name"])
+    rid = rank[d_name]
+    ck = chrom_rank[d_chr]
+    order = np.lexsort((rid, d_len, d_pos, ck))
+    ck, pos, ln, rid = ck[order], d_pos[order], d_len[order], rid[order]
     keep = _dedup_mask(ck, pos, ln, rid)
     ck, pos, ln, rid = ck[keep], pos[keep], ln[keep], rid[keep]
-    if early:
-        validate_early("DEL", ck, (pos, ln, ids[keep]))
-    store.sigs["DEL"] = {
+    dels = {
         chrom: IndelStream.from_arrays(pos[lo:hi], ln[lo:hi], rid[lo:hi],
                                        names_by_rank)
         for chrom, lo, hi in per_chrom_slices(ck)}
+    store.sigs["DEL"] = merge_streams(
+        ev, dels, lambda c: IndelStream.from_arrays(
+            c["pos"], c["length"], rank[c["name_id"]], names_by_rank))
 
     # ---- INS: key (chr, int(pos), len, name, seq) ----------------------
-    rid = rank[A["ins_name"]]
-    ck = chrom_rank[A["ins_chr"]]
-    sq = A["ins_seq_rank"]
-    ipos = A["ins_posx2"] >> 1
-    order = np.lexsort((sq, rid, A["ins_len"], ipos, ck))
-    ck, px2, ln, rid, sq = (ck[order], A["ins_posx2"][order],
-                            A["ins_len"][order], rid[order], sq[order])
-    soff, slen = A["ins_seq_off"][order], A["ins_seq_len"][order]
-    ids = A["ins_name"][order] if early else None
+    ev = early_cols("INS", A["ins_chr"])
+    if ev:
+        sel = ~np.isin(A["ins_chr"],
+                       np.fromiter(ev, np.int64, len(ev)))
+        i_chr, i_px2, i_len, i_name = (A["ins_chr"][sel],
+                                       A["ins_posx2"][sel],
+                                       A["ins_len"][sel],
+                                       A["ins_name"][sel])
+        i_sq, i_soff, i_slen = (A["ins_seq_rank"][sel],
+                                A["ins_seq_off"][sel],
+                                A["ins_seq_len"][sel])
+    else:
+        i_chr, i_px2, i_len, i_name = (A["ins_chr"], A["ins_posx2"],
+                                       A["ins_len"], A["ins_name"])
+        i_sq, i_soff, i_slen = (A["ins_seq_rank"], A["ins_seq_off"],
+                                A["ins_seq_len"])
+    rid = rank[i_name]
+    ck = chrom_rank[i_chr]
+    ipos = i_px2 >> 1
+    order = np.lexsort((i_sq, rid, i_len, ipos, ck))
+    ck, px2, ln, rid, sq = (ck[order], i_px2[order], i_len[order],
+                            rid[order], i_sq[order])
+    soff, slen = i_soff[order], i_slen[order]
     keep = _dedup_mask(ck, px2, ln, rid, sq)
     ck, px2, ln, rid = ck[keep], px2[keep], ln[keep], rid[keep]
     soff, slen = soff[keep], slen[keep]
-    if early:
-        validate_early("INS", ck, (px2, ln, ids[keep]))
     ipos = px2 >> 1  # resolution-time int(pos) truncation
-    store.sigs["INS"] = {
+    inss = {
         chrom: IndelStream.from_arrays(ipos[lo:hi], ln[lo:hi], rid[lo:hi],
                                        names_by_rank, seq_len=slen[lo:hi],
                                        seq_blob=nd.ins_seq_blob,
                                        seq_off=soff[lo:hi])
         for chrom, lo, hi in per_chrom_slices(ck)}
+    store.sigs["INS"] = merge_streams(
+        ev, inss, lambda c: IndelStream.from_arrays(
+            c["pos"] >> 1, c["length"], rank[c["name_id"]], names_by_rank,
+            seq_len=c["seq_len"], seq_blob=nd.ins_seq_blob,
+            seq_off=c["seq_off"]))
 
     # ---- DUP: key (chr, pos1, pos2, name); tuple rows ------------------
     rid = rank[A["dup_name"]]

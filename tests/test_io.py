@@ -174,6 +174,21 @@ def test_fasta_lazy_view_matches_eager(tmp_path):
         except IndexError:
             pass
 
+    # unterminated tails: partial and exactly-width final lines with no
+    # trailing newline keep the fast view
+    tails = tmp_path / "tails.fa"
+    with open(tails, "w") as fh:
+        fh.write(">t_part\nACGTACGT\nACGTACGT\nACG")
+        fh.write("\n>t_full\nACGTACGT\nACGTACGT")
+    fa3 = FastaFile(str(tails))
+    for name, seq in (("t_part", "ACGTACGTACGTACGTACG"),
+                      ("t_full", "ACGTACGTACGTACGT")):
+        view = fa3.fetch_lazy(name)
+        assert isinstance(view, _ChromView), name
+        assert len(view) == len(seq)
+        assert view[0:len(seq)] == seq == fa3.fetch(name)
+        assert view[len(seq) - 3:len(seq)] == seq[-3:]
+
     # ragged and whitespace layouts must fall back to the eager string
     odd = tmp_path / "odd.fa"
     with open(odd, "w") as fh:
