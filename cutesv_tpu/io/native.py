@@ -48,6 +48,8 @@ def get_lib():
     lib.bamdecode_start.argtypes = run_argtypes
     lib.bamdecode_poll.restype = ctypes.c_int32
     lib.bamdecode_poll.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_n_refs.restype = ctypes.c_int32
+    lib.bamdecode_n_refs.argtypes = [ctypes.c_void_p]
     lib.bamdecode_join.restype = ctypes.c_int
     lib.bamdecode_join.argtypes = [ctypes.c_void_p]
     lib.bamdecode_snapshot.restype = ctypes.c_int64
@@ -244,6 +246,11 @@ class StreamingDecode:
         """refID currently being decoded (chroms below it are complete
         modulo late SA rows); DONE when the run has finished."""
         return int(self._lib.bamdecode_poll(self._handle))
+
+    def n_refs(self) -> int:
+        """Header reference count; valid once poll() returned >= 0
+        (including DONE)."""
+        return int(self._lib.bamdecode_n_refs(self._handle))
 
     def snapshot(self, sv_type: str, chrom_id: int) -> Dict[str,
                                                             np.ndarray]:

@@ -1513,6 +1513,13 @@ int32_t bamdecode_poll(CResult* r) {
   return r->dec->progress.load(std::memory_order_acquire);
 }
 
+// number of header reference sequences; valid once poll() has returned
+// a non-negative value (the header parse completes before the progress
+// store that publishes the first refid, and before the DONE sentinel)
+int32_t bamdecode_n_refs(CResult* r) {
+  return (int32_t)r->dec->ref_lens.size();
+}
+
 int bamdecode_join(CResult* r) {
   if (r->th) {
     r->th->join();

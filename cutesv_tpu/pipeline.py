@@ -114,8 +114,14 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     try:
         while True:
             p = sd.poll()
-            if p == sd.DONE:
-                break
+            finished = p == sd.DONE
+            if finished:
+                # the run finished: every remaining chromosome's rows are
+                # final, so snapshot them too — their prepared columns
+                # become the store streams (no global re-sort) and their
+                # cluster kernels dispatch before the store is built
+                p = sd.n_refs()
+            pending = []
             for c in range(0, p):
                 if c in done:
                     continue
@@ -131,16 +137,25 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
                                          disp["rid"])
                     handle = device_models._cluster_stream_dispatch(
                         stream, cfg.min_support, bias)
-                    # the decode runs on native threads, so blocking here
-                    # for n_kept and starting the compaction + host copy
-                    # is free — resolve later finds the rows already local
-                    nk_comp = device_models._cluster_stream_compact(handle)
-                    if nk_comp is not None and nk_comp[1] is not None:
-                        import jax
-                        jax.tree_util.tree_map(
-                            lambda x: x.copy_to_host_async(), nk_comp[1])
-                    handles[(svtype, c)] = nk_comp
+                    pending.append((svtype, c, handle))
                     fingerprints[(svtype, c)] = fp
+            if finished and pending:
+                # decode is over, so blocking scalar reads are no longer
+                # hidden: start every n_kept copy async before the compact
+                # phase blocks on any (one tunnel round trip, not 2*k)
+                device_models.prefetch_counts(*[h for _, _, h in pending])
+            for svtype, c, handle in pending:
+                # mid-decode, blocking here for n_kept and starting the
+                # compaction + host copy is free (the decode runs on
+                # native threads) — resolve later finds the rows local
+                nk_comp = device_models._cluster_stream_compact(handle)
+                if nk_comp is not None and nk_comp[1] is not None:
+                    import jax
+                    jax.tree_util.tree_map(
+                        lambda x: x.copy_to_host_async(), nk_comp[1])
+                handles[(svtype, c)] = nk_comp
+            if finished:
+                break
             _time.sleep(0.02)
         nd = sd.join()
     finally:
