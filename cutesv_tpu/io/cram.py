@@ -61,6 +61,13 @@ def _gzip_compress(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
+# CRAM 3.1-only codec ids (hts-specs CRAMcodecs); not implemented here —
+# lazy block decompression means they only error when a needed block
+# actually uses one (typically they cover quality/name blocks)
+_V31_METHODS = {5: "rANS-Nx16", 6: "adaptive arithmetic coding",
+                7: "fqzcomp", 8: "name tokeniser"}
+
+
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     if method == RAW:
         out = data
@@ -72,6 +79,12 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         out = lzma.decompress(data)
     elif method == RANS:
         out = rans_decode(data)
+    elif method in _V31_METHODS:
+        raise ValueError(
+            "CRAM block uses the 3.1-only codec %s (method %d); this "
+            "build decodes the CRAM 3.0 codec set — re-encode with "
+            "'samtools view -C -O cram,version=3.0'"
+            % (_V31_METHODS[method], method))
     else:
         raise ValueError("unsupported CRAM block compression method %d"
                          % method)
@@ -98,7 +111,12 @@ def write_block(out, method: int, content_type: int, content_id: int,
     return len(blob)
 
 
-def read_block(buf: bytes, off: int):
+def read_block(buf: bytes, off: int, lazy: bool = False):
+    """Parse one block (CRC verified eagerly). ``lazy=True`` defers the
+    decompression: the dict carries ``comp`` instead of ``data``, so a
+    block whose content is never consumed (e.g. quality scores) never
+    pays its codec — which also means a CRAM 3.1 file whose 3.1-only
+    codecs cover only unneeded blocks decodes fine."""
     start = off
     try:
         method = buf[off]
@@ -117,9 +135,13 @@ def read_block(buf: bytes, off: int):
     if zlib.crc32(buf[start:off]) != crc:
         raise ValueError("CRAM block CRC mismatch")
     off += 4
-    return dict(method=method, content_type=content_type,
-                content_id=content_id,
-                data=_decompress(method, data, raw_size)), off
+    blk = dict(method=method, content_type=content_type,
+               content_id=content_id, raw_size=raw_size)
+    if lazy:
+        blk["comp"] = data
+    else:
+        blk["data"] = _decompress(method, data, raw_size)
+    return blk, off
 
 
 def _container_header_bytes(length: int, ref_id: int, start: int, span: int,
@@ -270,26 +292,45 @@ def huffman_canonical(symbols):
 
 
 class ExternalStream:
-    def __init__(self, data: bytes):
+    """One external block's byte stream. Constructed either eagerly from
+    bytes or lazily from an undecompressed block dict; a lazy stream only
+    pays its codec on the first materializing read — pure ``skip`` access
+    (discarded quality scores) never decompresses at all."""
+
+    def __init__(self, data: Optional[bytes] = None, block: Optional[dict]
+                 = None):
+        self._block = block
         self.data = data
         self.off = 0
 
+    def _ensure(self):
+        if self.data is None:
+            b = self._block
+            self.data = _decompress(b["method"], b["comp"], b["raw_size"])
+
     def read_itf8(self) -> int:
+        self._ensure()
         v, self.off = read_itf8(self.data, self.off)
         return v
 
     def read_bytes(self, n: int) -> bytes:
+        self._ensure()
         out = self.data[self.off:self.off + n]
         self.off += n
         return out
 
+    def skip_bytes(self, n: int) -> None:
+        self.off += n
+
     def read_until(self, stop: int) -> bytes:
+        self._ensure()
         end = self.data.index(stop, self.off)
         out = self.data[self.off:end]
         self.off = end + 1
         return out
 
     def read_byte(self) -> int:
+        self._ensure()
         b = self.data[self.off]
         self.off += 1
         return b
@@ -390,6 +431,21 @@ class Codec:
             return ext[self.content_id].read_bytes(length)
         raise ValueError("encoding %d cannot produce byte arrays"
                          % self.codec)
+
+    def skip_bytes(self, core, ext, length: Optional[int] = None) -> None:
+        """Advance past a byte array whose value is discarded (quality
+        scores). EXTERNAL streams advance without materializing (a lazy
+        block stays undecompressed); other encodings still consume their
+        inputs for stream alignment."""
+        if self.codec == 4:
+            n = self.len_codec.read_int(core, ext)
+            self.val_codec.skip_bytes(core, ext, length=n)
+            return
+        if self.codec == 1:
+            assert length is not None
+            ext[self.content_id].skip_bytes(length)
+            return
+        self.read_bytes(core, ext, length=length)
 
 
 # ---------------------------------------------------------------------------
@@ -570,11 +626,13 @@ class CramReader:
             core = None
             ext: Dict[int, ExternalStream] = {}
             for _ in range(sh["n_blocks"]):
-                blk, off = read_block(payload, off)
+                blk, off = read_block(payload, off, lazy=True)
                 if blk["content_type"] == CT_CORE:
-                    core = BitReader(blk["data"])
+                    core = BitReader(_decompress(blk["method"],
+                                                 blk["comp"],
+                                                 blk["raw_size"]))
                 else:
-                    ext[blk["content_id"]] = ExternalStream(blk["data"])
+                    ext[blk["content_id"]] = ExternalStream(block=blk)
             yield from self._decode_slice(hdr, sh, pres, series,
                                           tag_codecs, core, ext)
 
@@ -643,7 +701,7 @@ class CramReader:
                 seq = series["BA"].read_bytes(core, ext,
                                               length=rl).decode("ascii")
                 if cf & 1:
-                    series["QS"].read_bytes(core, ext, length=rl)
+                    series["QS"].skip_bytes(core, ext, length=rl)
                 yield BamRecord(qname=qname, flag=bf, ref_id=ref_id,
                                 pos=ap - 1, mapq=0, cigar=[], seq=seq,
                                 tags=tags)
@@ -672,19 +730,24 @@ class CramReader:
                     payload = series["BA"].read_bytes(core, ext, length=1)
                 elif fc == "B":
                     payload = series["BA"].read_bytes(core, ext, length=1)
-                    series["QS"].read_bytes(core, ext, length=1)
+                    series["QS"].skip_bytes(core, ext, length=1)
                 elif fc == "b":
                     payload = series["BB"].read_bytes(core, ext)
                 elif fc in ("q", "Q"):
-                    payload = series["QQ" if fc == "q" else "QS"].read_bytes(
-                        core, ext) if fc == "q" else \
-                        series["QS"].read_bytes(core, ext, length=1)
+                    # q/Q carry quality values only (ignored by
+                    # _reconstruct): skip without materializing
+                    if fc == "q":
+                        series["QQ"].skip_bytes(core, ext)
+                    else:
+                        series["QS"].skip_bytes(core, ext, length=1)
+                    payload = b""
+
                 else:
                     raise ValueError("unknown feature code %r" % fc)
                 features.append((fpos, fc, payload))
             mapq = series["MQ"].read_int(core, ext)
             if cf & 1:
-                series["QS"].read_bytes(core, ext, length=rl)
+                series["QS"].skip_bytes(core, ext, length=rl)
             if ref_id not in ref_cache:
                 ref_cache[ref_id] = self._ref_seq(ref_id)
             seq, cigar = self._reconstruct(ref_cache[ref_id], ap, rl,
@@ -820,7 +883,7 @@ class CramWriter:
     def __init__(self, path: str, references, max_slice: int = 1000,
                  ref_seqs=None, core_series: bool = False,
                  detached_mates: bool = False, multi_ref: bool = False,
-                 rans_order: int = 0):
+                 rans_order: int = 0, store_quals: bool = False):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -841,6 +904,7 @@ class CramWriter:
         self._core_series = core_series
         self._detached_mates = detached_mates
         self._multi_ref = multi_ref
+        self._store_quals = store_quals
         self.rans_order = rans_order
         self._pending: List[BamRecord] = []
         self._counter = 0
@@ -1022,7 +1086,8 @@ class CramWriter:
         max_end = 0
         for rec, tl, feats in zip(recs, rec_tag_rows, rec_feats):
             put_int("BF", rec.flag)
-            put_int("CF", 2 if self._detached_mates else 0)
+            put_int("CF", (2 if self._detached_mates else 0)
+                    | (1 if self._store_quals else 0))
             if self._multi_ref:
                 put_int("RI", rec.ref_id)
             put_int("RL", rec.query_length)
@@ -1038,6 +1103,8 @@ class CramWriter:
             put_int("TL", tl)
             if rec.flag & 4:
                 put_raw("BA", rec.seq.encode())
+                if self._store_quals:
+                    put_raw("QS", b"\xff" * rec.query_length)
             else:
                 if core is not None:
                     core.write_gamma(len(feats) + 1)
@@ -1075,6 +1142,8 @@ class CramWriter:
                     core.write_bits(rec.mapq & 0xFF, 8)
                 else:
                     put_int("MQ", rec.mapq)
+                if self._store_quals:
+                    put_raw("QS", b"\xff" * rec.query_length)
             if min_pos is None:
                 min_pos = ap
             max_end = max(max_end, rec.reference_end + 1)

@@ -63,6 +63,8 @@ def get_lib():
     lib.bamdecode_status.argtypes = [ctypes.c_void_p]
     lib.bamdecode_n_records.restype = ctypes.c_int64
     lib.bamdecode_n_records.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_err.restype = ctypes.c_char_p
+    lib.bamdecode_err.argtypes = [ctypes.c_void_p]
     lib.bamdecode_get.restype = ctypes.c_int
     lib.bamdecode_get.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.POINTER(ctypes.c_void_p),
@@ -138,6 +140,14 @@ def _fetch(lib, handle, field: int):
     return np.frombuffer(buf, dtype=dtype).copy()
 
 
+def _err_detail(lib, handle) -> str:
+    try:
+        msg = lib.bamdecode_err(handle)
+        return msg.decode("utf-8", "replace") if msg else ""
+    except Exception:
+        return ""
+
+
 class NativeUnsupported(IOError):
     """The native decoder met a feature it does not implement (status 10,
     e.g. a legacy lzma-"alone" CRAM block or a CRAM 2.x file); callers
@@ -168,19 +178,22 @@ def _call_args(cfg, bed_ids, reference):
     return params, ref_arg, bc_p, bs_p, be_p, n_bed, keepalive
 
 
-def _check_status(status: int, path: str):
+def _check_status(status: int, path: str, detail: str = ""):
     if status == 10:
         raise NativeUnsupported(
-            "native decode: unsupported CRAM feature in %s" % path)
+            "native decode: unsupported CRAM feature in %s%s"
+            % (path, ": " + detail if detail else ""))
     if status != 0:
-        detail = {1: "cannot open file", 2: "not BGZF data",
-                  3: "bad BAM header", 4: "malformed record",
-                  5: "truncated file",
-                  6: "mapped record without a CIGAR passes --min_mapq "
-                     "(its coordinates cannot be interpreted; re-align "
-                     "or fix the input)"}.get(status, "")
+        base = {1: "cannot open file", 2: "not BGZF data",
+                3: "bad BAM header", 4: "malformed record",
+                5: "truncated file",
+                6: "mapped record without a CIGAR passes --min_mapq "
+                   "(its coordinates cannot be interpreted; re-align "
+                   "or fix the input)"}.get(status, "")
+        if detail:
+            base = (base + " — " + detail) if base else detail
         raise IOError("native BAM decode failed (status %d%s) for %s"
-                      % (status, ": " + detail if detail else "", path))
+                      % (status, ": " + base if base else "", path))
 
 
 def _extract(lib, handle, path: str) -> NativeDecode:
@@ -212,7 +225,8 @@ def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
     handle = lib.bamdecode_run(path.encode(), ref_arg, params, bc_p, bs_p,
                                be_p, n_bed)
     try:
-        _check_status(lib.bamdecode_status(handle), path)
+        _check_status(lib.bamdecode_status(handle), path,
+                      _err_detail(lib, handle))
         return _extract(lib, handle, path)
     finally:
         lib.bamdecode_free(handle)
@@ -279,7 +293,8 @@ class StreamingDecode:
     def join(self) -> NativeDecode:
         """Wait for the decode thread, check status, extract everything."""
         status = self._lib.bamdecode_join(self._handle)
-        _check_status(status, self._path)
+        _check_status(status, self._path,
+                      _err_detail(self._lib, self._handle))
         return _extract(self._lib, self._handle, self._path)
 
     def free(self):

@@ -31,6 +31,8 @@
 #include <unordered_map>
 #include <vector>
 #include <chrono>
+#include <functional>
+#include <set>
 
 namespace {
 
@@ -1113,6 +1115,7 @@ struct Decoder {
   // record-order rows merged). INT32_MAX once the run is complete.
   std::mutex snap_mu;
   std::atomic<int32_t> progress{-1};
+  std::string err_msg;  // set on decode failure (see bamdecode_err)
 
   // shared parallel record processing (BAM chunks and CRAM-synthesized
   // chunks go through the same path): thread-local collectors are merged
@@ -1466,9 +1469,18 @@ static int run_guarded(Decoder& d, const char* path, const char* ref_path,
     return is_cram ? cram_run(d, path, ref_path) : d.run(path);
   } catch (const NoCigarError&) {
     return 6;
+  } catch (const std::exception& e) {
+    d.err_msg = e.what();
+    return 4;
   } catch (...) {
     return 4;
   }
+}
+
+// human-readable detail for the last failure (empty when none); valid
+// until bamdecode_free
+extern "C" const char* bamdecode_err(CResult* r) {
+  return r->dec->err_msg.c_str();
 }
 
 CResult* bamdecode_run(const char* path, const char* ref_path,

@@ -1,0 +1,140 @@
+"""CRAM 3.1 behavior: version-3.1 containers decode when they use the
+3.0 codec set; 3.1-only codecs on quality blocks are tolerated (lazy
+block decompression skips them); a 3.1-only codec on a NEEDED block
+raises the designed re-encode error — on both reader stacks.
+
+Reference capability being mirrored: pysam/htslib reads whatever CRAM
+version htslib supports (cuteSV:1013)."""
+import struct
+import zlib
+
+import pytest
+
+from cutesv_tpu.io.bam import BamReader
+from cutesv_tpu.io.cram import (CramReader, CramWriter, _W_IDS, read_itf8)
+from tests.test_cram import _fixture
+
+
+def _write_cram(tmp_path, name="c31.cram"):
+    bam, fa = _fixture(tmp_path)
+    cram = tmp_path / name
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    with CramWriter(str(cram), refs, store_quals=True) as w:
+        for rec in records:
+            w.write(rec)
+    return cram, fa, records
+
+
+def _set_version(path, minor):
+    raw = bytearray(path.read_bytes())
+    assert raw[:4] == b"CRAM" and raw[4] == 3
+    raw[5] = minor
+    path.write_bytes(bytes(raw))
+
+
+def _rewrite_block_method(path, content_id, method):
+    """Find every block with ``content_id`` across all containers and
+    in-place rewrite it: new method byte, same-size garbage payload,
+    fixed CRC. Sizes are unchanged, so container headers/landmarks stay
+    valid."""
+    raw = bytearray(path.read_bytes())
+    off = 6  # magic + version
+    off += 20  # file id
+    n_hit = 0
+    while off < len(raw):
+        # container header: int32 length + 7 varints + landmarks + crc
+        length = struct.unpack_from("<i", raw, off)[0]
+        o = off + 4
+        for _ in range(4):
+            _, o = read_itf8(raw, o)
+        for _ in range(2):  # ltf8 counter/bases: reuse itf8-compatible?
+            o = _skip_ltf8(raw, o)
+        _, o = read_itf8(raw, o)  # n_blocks
+        n_lm, o = read_itf8(raw, o)
+        for _ in range(n_lm):
+            _, o = read_itf8(raw, o)
+        o += 4  # header crc
+        payload_start = o
+        p = payload_start
+        end = payload_start + length
+        while p < end:
+            blk_start = p
+            p += 2  # method, ctype
+            cid, p = read_itf8(raw, p)
+            comp_size, p = read_itf8(raw, p)
+            _, p = read_itf8(raw, p)
+            data_start = p
+            p += comp_size
+            crc_at = p
+            p += 4
+            if cid == content_id and raw[blk_start + 1] == 4:  # external
+                raw[blk_start] = method
+                for k in range(data_start, data_start + comp_size):
+                    raw[k] = 0x5A
+                struct.pack_into(
+                    "<I", raw, crc_at,
+                    zlib.crc32(bytes(raw[blk_start:crc_at])))
+                n_hit += 1
+        off = end
+    assert n_hit > 0, "target block not found"
+    path.write_bytes(bytes(raw))
+
+
+def _skip_ltf8(buf, off):
+    b = buf[off]
+    n_extra = 0
+    while n_extra < 8 and (b << n_extra) & 0x80:
+        n_extra += 1
+    return off + 1 + n_extra
+
+
+def _read_all(cram, fa, use_native):
+    if use_native:
+        import numpy as np
+
+        from cutesv_tpu.config import Config
+        from cutesv_tpu.io import native as nio
+        cfg = Config(min_mapq=0, min_read_len=0, min_siglength=10)
+        nd = nio.decode(str(cram), cfg, None, reference=str(fa))
+        return nd.n_records, np.asarray(nd.arrays["all_start"]).tolist()
+    with CramReader(str(cram), reference=str(fa)) as cr:
+        recs = list(cr)
+    return len(recs), [r.pos for r in recs]
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_version_31_with_30_codecs_decodes(tmp_path, use_native):
+    cram, fa, records = _write_cram(tmp_path)
+    base = _read_all(cram, fa, use_native)
+    _set_version(cram, 1)
+    assert _read_all(cram, fa, use_native) == base
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_31_codec_on_quality_block_is_skipped(tmp_path, use_native):
+    """fqzcomp'd quality values never decompress (their values are
+    discarded), so the file still decodes."""
+    cram, fa, records = _write_cram(tmp_path)
+    base = _read_all(cram, fa, use_native)
+    _set_version(cram, 1)
+    _rewrite_block_method(cram, _W_IDS["QS"], 7)
+    assert _read_all(cram, fa, use_native) == base
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_31_codec_on_needed_block_designed_error(tmp_path, use_native):
+    cram, fa, records = _write_cram(tmp_path)
+    _set_version(cram, 1)
+    _rewrite_block_method(cram, _W_IDS["RN"], 5)
+    if use_native:
+        from cutesv_tpu.config import Config
+        from cutesv_tpu.io import native as nio
+        cfg = Config(min_mapq=0, min_read_len=0, min_siglength=10)
+        with pytest.raises(Exception, match="rANS-Nx16"):
+            nio.decode(str(cram), cfg, None, reference=str(fa))
+    else:
+        with pytest.raises(ValueError, match="rANS-Nx16"):
+            with CramReader(str(cram), reference=str(fa)) as cr:
+                list(cr)
