@@ -171,3 +171,52 @@ class BgzfWriter(io.RawIOBase):
         if self._owns:
             self._fh.close()
         super().close()
+
+
+def scan_block_table(path: str):
+    """Chain-scan BGZF block headers (payloads skipped): returns
+    (offsets, isizes) int64 arrays — each block's compressed file offset
+    and uncompressed size. This is the shared, communication-free basis
+    for sharded decode: every process scans the same file and derives
+    identical block-aligned byte ranges (the BGZF BSIZE chain is
+    deterministic). Cost is ~3 small reads per ~25 KB block.
+    """
+    import numpy as np
+
+    offs: list = []
+    isizes: list = []
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        fsize = fh.tell()
+        off = 0
+        while off < fsize:
+            fh.seek(off)
+            hdr = fh.read(12)
+            if len(hdr) < 12 or hdr[:2] != b"\x1f\x8b":
+                raise ValueError("not BGZF data at offset %d in %s"
+                                 % (off, path))
+            xlen = hdr[10] | (hdr[11] << 8)
+            extra = fh.read(xlen)
+            if len(extra) != xlen:
+                raise ValueError("truncated BGZF header in %s" % path)
+            bsize = None
+            o = 0
+            while o + 4 <= xlen:
+                slen = extra[o + 2] | (extra[o + 3] << 8)
+                if (extra[o] == 66 and extra[o + 1] == 67 and slen == 2
+                        and o + 6 <= xlen):
+                    bsize = extra[o + 4] | (extra[o + 5] << 8)
+                if o + 4 + slen > xlen:
+                    break
+                o += 4 + slen
+            if bsize is None:
+                raise ValueError("BGZF block without BSIZE in %s" % path)
+            total = bsize + 1
+            if off + total > fsize:
+                raise ValueError("truncated BGZF block in %s" % path)
+            fh.seek(off + total - 4)
+            isize = int.from_bytes(fh.read(4), "little")
+            offs.append(off)
+            isizes.append(isize)
+            off += total
+    return (np.asarray(offs, np.int64), np.asarray(isizes, np.int64))

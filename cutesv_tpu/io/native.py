@@ -85,6 +85,7 @@ _DTYPES = {  # field id -> numpy dtype (None = raw bytes)
     55: np.int64,
     60: np.int32, 61: np.int64, 62: np.int64, 63: np.int8, 64: np.int64,
     70: np.int32, 71: np.int64, 72: np.int64, 73: np.int8, 74: np.int64,
+    80: np.int64, 81: np.int64,
 }
 
 
@@ -101,6 +102,11 @@ class NativeDecode:
     n_records: int
     arrays: Dict[str, np.ndarray]
     ins_seq_blob: bytes
+    # sharded decode: uncompressed offsets (relative to the byte_range
+    # start) of the first discovered record boundary and of the first
+    # record NOT owned by this shard (== the next shard's first)
+    first_u: int = 0
+    next_u: int = 0
 
     def ins_seq(self, i: int) -> str:
         off = self.arrays["ins_seq_off"][i]
@@ -154,11 +160,12 @@ class NativeUnsupported(IOError):
     fall back to the Python path."""
 
 
-def _call_args(cfg, bed_ids, reference):
-    params = (ctypes.c_int64 * 9)(
+def _call_args(cfg, bed_ids, reference, byte_range=None):
+    rng_start, rng_ulen = byte_range if byte_range else (0, 0)
+    params = (ctypes.c_int64 * 11)(
         cfg.min_size, cfg.min_mapq, cfg.max_split_parts, cfg.min_read_len,
         cfg.min_siglength, cfg.merge_del_threshold, cfg.merge_ins_threshold,
-        cfg.max_size, getattr(cfg, "threads", 2))
+        cfg.max_size, getattr(cfg, "threads", 2), rng_start, rng_ulen)
     keepalive = []
     if bed_ids is not None and len(bed_ids[0]):
         bc = np.ascontiguousarray(bed_ids[0], np.int32)
@@ -212,16 +219,24 @@ def _extract(lib, handle, path: str) -> NativeDecode:
     return NativeDecode(names=names, name_rank=name_rank, chroms=chroms,
                         ref_lengths=ref_lengths,
                         n_records=lib.bamdecode_n_records(handle),
-                        arrays=arrays, ins_seq_blob=ins_seq_blob)
+                        arrays=arrays, ins_seq_blob=ins_seq_blob,
+                        first_u=int(_fetch(lib, handle, 80)[0]),
+                        next_u=int(_fetch(lib, handle, 81)[0]))
 
 
-def decode(path: str, cfg, bed_ids=None, reference=None) -> NativeDecode:
+def decode(path: str, cfg, bed_ids=None, reference=None,
+           byte_range=None) -> NativeDecode:
     """Run the native decoder (BAM, or CRAM when ``reference`` names the
     FASTA). ``bed_ids``: optional (chr_id, start, end) int arrays in
-    header chrom-id space (already ±1000-padded)."""
+    header chrom-id space (already ±1000-padded). ``byte_range``:
+    optional (compressed_block_offset, uncompressed_len) pair for
+    sharded decode — records whose uncompressed start offset relative to
+    the range start is < uncompressed_len are decoded (0 len =
+    unbounded); the result carries ``first_u``/``next_u`` boundary
+    offsets for cross-shard agreement checks."""
     lib = get_lib()
     params, ref_arg, bc_p, bs_p, be_p, n_bed, _ka = _call_args(
-        cfg, bed_ids, reference)
+        cfg, bed_ids, reference, byte_range)
     handle = lib.bamdecode_run(path.encode(), ref_arg, params, bc_p, bs_p,
                                be_p, n_bed)
     try:

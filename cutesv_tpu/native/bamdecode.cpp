@@ -50,6 +50,12 @@ struct Params {
   int64_t merge_ins_threshold;
   int64_t max_size;
   int64_t n_threads;
+  // sharded decode (multi-host): seek to this compressed offset (a BGZF
+  // block boundary; <=0 = whole file) and own records whose uncompressed
+  // start offset (relative to the range start) is < range_ulen (<=0 =
+  // unbounded)
+  int64_t range_start = 0;
+  int64_t range_ulen = 0;
 };
 
 template <class T>
@@ -1102,6 +1108,49 @@ struct Worker {
 
 };
 
+// --- sharded-decode record-boundary discovery -------------------------
+// A BAM record start is identified by validating its fixed fields and
+// chaining: refID/pos ranges, l_read_name, a size lower bound implied by
+// n_cigar/l_seq, and the qname NUL. Chained over up to 4 records this is
+// statistically unambiguous, and the caller cross-checks neighbouring
+// shards' boundaries for exact agreement.
+inline bool bam_rec_plausible(const char* d, size_t len, size_t p,
+                              int32_t n_ref) {
+  if (len - p < 4) return true;  // ran out: earlier links vouch
+  int64_t bs = (int64_t)(int32_t)rd_i32(d + p);
+  if (bs < 32 || bs > (64 << 20)) return false;
+  size_t have = len - p - 4;
+  if (have < 32) return true;  // partial fixed block at buffer end
+  const char* q = d + p + 4;
+  int32_t refid = rd_i32(q), pos = rd_i32(q + 4);
+  uint8_t l_rn = (uint8_t)q[8];
+  uint16_t n_cig = (uint16_t)((uint8_t)q[12] | ((uint8_t)q[13] << 8));
+  int32_t l_seq = rd_i32(q + 16);
+  int32_t nref2 = rd_i32(q + 20), npos = rd_i32(q + 24);
+  if (refid < -1 || refid >= n_ref) return false;
+  if (pos < -1 || npos < -1) return false;
+  if (nref2 < -1 || nref2 >= n_ref) return false;
+  if (l_rn < 1) return false;
+  if (l_seq < 0 || l_seq > (1 << 29)) return false;
+  int64_t bs_min = 32 + (int64_t)l_rn + 4 * (int64_t)n_cig +
+                   ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq;
+  if (bs < bs_min) return false;
+  if (have >= 32u + l_rn && q[32 + l_rn - 1] != '\0') return false;
+  return true;
+}
+
+inline bool bam_chain_valid(const char* d, size_t len, size_t p,
+                            int32_t n_ref, int depth = 4) {
+  for (int k = 0; k < depth; k++) {
+    if (len - p < 4) return true;
+    if (!bam_rec_plausible(d, len, p, n_ref)) return false;
+    int64_t bs = (int64_t)(int32_t)rd_i32(d + p);
+    if ((uint64_t)(4 + bs) > len - p) return true;  // partial tail
+    p += 4 + (size_t)bs;
+  }
+  return true;
+}
+
 struct Decoder {
   Params P;
   Collector C;
@@ -1116,6 +1165,11 @@ struct Decoder {
   std::mutex snap_mu;
   std::atomic<int32_t> progress{-1};
   std::string err_msg;  // set on decode failure (see bamdecode_err)
+  // sharded decode outputs, in uncompressed offsets relative to the
+  // range start (global when range_start<=0): first record boundary
+  // discovered, and the first record NOT owned (the next host's first)
+  int64_t first_u = 0;
+  int64_t next_u = 0;
 
   // shared parallel record processing (BAM chunks and CRAM-synthesized
   // chunks go through the same path): thread-local collectors are merged
@@ -1243,12 +1297,60 @@ struct Decoder {
     auto t_rec0 = std::chrono::steady_clock::now();
     constexpr size_t GAP = 1 << 20;  // holds any partial trailing record
     RawBuf A, B;
-    A.ensure(chunk.size() - off);
-    memcpy(A.data(), chunk.data() + off, chunk.size() - off);
-    A.start = 0;
-    A.len = chunk.size() - off;
+    bool ranged = P.range_start > 0;
+    uint64_t uA;  // uncompressed offset of A.data()+A.start (range-local)
+    if (!ranged) {
+      A.ensure(chunk.size() - off);
+      memcpy(A.data(), chunk.data() + off, chunk.size() - off);
+      A.start = 0;
+      A.len = chunk.size() - off;
+      uA = off;
+      first_u = (int64_t)off;
+    } else {
+      // reset the reader onto the (block-aligned) range start, then find
+      // the first record boundary by validated chaining
+      if (rd.rat.joinable()) rd.rat.join();
+      rd.ra_active = false;
+      rd.eof = false;
+      rd.truncated = false;
+      if (fseek(f, (long)P.range_start, SEEK_SET) != 0) return bail(5);
+      std::string first;
+      bool stream_ended = false;
+      if (!rd.next_chunk(first, 1024)) stream_ended = true;
+      size_t b = 0;
+      bool found = false;
+      int32_t nref_i = (int32_t)header_chroms.size();
+      while (!stream_ended) {
+        for (; b < first.size(); b++) {
+          if (bam_chain_valid(first.data(), first.size(), b, nref_i)) {
+            found = true;
+            break;
+          }
+        }
+        if (found) break;
+        std::string more;
+        if (!rd.next_chunk(more, 1024)) { stream_ended = true; break; }
+        first += more;
+        if (first.size() > (256u << 20)) return bail(4);
+      }
+      if (!found) {
+        // range holds no record boundary (tiny tail range)
+        first_u = next_u = (int64_t)first.size();
+        if (rd.rat.joinable()) rd.rat.join();
+        fclose(f);
+        return 0;
+      }
+      first_u = (int64_t)b;
+      A.ensure(first.size() - b);
+      memcpy(A.data(), first.data() + b, first.size() - b);
+      A.start = 0;
+      A.len = first.size() - b;
+      uA = b;
+    }
     chunk.clear();
     chunk.shrink_to_fit();
+    uint64_t ulen = P.range_ulen > 0 ? (uint64_t)P.range_ulen : UINT64_MAX;
+    bool stopped = false;
     bool have_next = false;
     std::thread prefetch([&]() { have_next = rd.next_chunk_raw(B, GAP); });
     for (;;) {
@@ -1259,6 +1361,13 @@ struct Decoder {
         if (A.len - p < 4) break;
         int32_t bs = rd_i32(A.data() + p);
         if (bs < 0 || A.len - p < 4 + (size_t)bs) break;
+        uint64_t u_rec = uA + (p - A.start);
+        if (u_rec >= ulen) {
+          // first record of the next shard: not ours
+          stopped = true;
+          next_u = (int64_t)u_rec;
+          break;
+        }
         recs.push_back({p + 4, bs});
         p += 4 + (size_t)bs;
       }
@@ -1267,12 +1376,16 @@ struct Decoder {
         return bail(fail_status);
       }
       prefetch.join();
+      if (stopped) break;
       if (rd.inflate_bad.load(std::memory_order_relaxed)) return bail(5);
       if (!have_next) {
-        // a partial record at end-of-stream means the file was cut
-        if (A.len - p != 0) return bail(5);
+        // a partial record at end-of-stream means the file was cut —
+        // unless an uncompressed-length budget truncated the last shard
+        if (A.len - p != 0 && ulen == UINT64_MAX) return bail(5);
+        next_u = (int64_t)(uA + (p - A.start));
         break;
       }
+      uA += p - A.start;
       size_t leftover = A.len - p;
       if (leftover <= GAP) {
         memcpy(B.data() + GAP - leftover, A.data() + p, leftover);
@@ -1408,6 +1521,8 @@ static CResult* bamdecode_setup(const char* path, const int64_t* params,
   d->P.merge_ins_threshold = params[6];
   d->P.max_size = params[7];
   d->P.n_threads = params[8];
+  d->P.range_start = params[9];
+  d->P.range_ulen = params[10];
   r->status = -1;
   r->nrank = nullptr;
   // BED regions must be registered after header parse for chrom ids, so the
@@ -1664,6 +1779,8 @@ int bamdecode_get(CResult* r, int field, const void** data, int64_t* len) {
     case 3: return set(r->chrom_blob->data(), (int64_t)r->chrom_blob->size());
     case 4: return set(r->chrom_off->data(), (int64_t)r->chrom_off->size());
     case 5: return set(r->ref_lens->data(), (int64_t)r->ref_lens->size());
+    case 80: { *data = &r->dec->first_u; *len = 1; return 0; }
+    case 81: { *data = &r->dec->next_u; *len = 1; return 0; }
     case 10: return set(C.del_chr.v.data(), (int64_t)C.del_chr.v.size());
     case 11: return set(C.del_pos.v.data(), (int64_t)C.del_pos.v.size());
     case 12: return set(C.del_len.v.data(), (int64_t)C.del_len.v.size());

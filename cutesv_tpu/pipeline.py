@@ -218,6 +218,19 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
             # python-reader fallback
             log.warning("streaming decode dispatch failed; decoding "
                         "without overlap", exc_info=True)
+    if cfg.distributed and not is_cram:
+        import jax
+        if jax.process_count() > 1:
+            # multi-host: inflate only this host's byte range, then
+            # exchange the (small) signature partials
+            from cutesv_tpu.parallel.distributed import decode_sharded
+            nd = decode_sharded(cfg, bed_ids)
+            _check_coordinate_sorted(nd.arrays["all_chr"],
+                                     nd.arrays["all_start"], nd.chroms)
+            store = sigstore.build_store_native(nd, cfg)
+            references = [(nd.chroms[i], int(nd.ref_lengths[i]))
+                          for i in range(len(nd.ref_lengths))]
+            return store, None, references, nd.n_records
     nd = native_io.decode(cfg.input, cfg, bed_ids,
                           reference=cfg.reference if is_cram else None)
     _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
@@ -756,36 +769,18 @@ def _filter_store_chroms(store: sigstore.SigStore, keep) -> sigstore.SigStore:
 
 def _gather_results(results: Dict[str, List]):
     """Multi-host merge: allgather each host's per-chromosome candidate
-    rows (pickled, padded to the max length) onto every process; host 0
-    returns the merged dict, other hosts return None and skip the VCF
-    emit (reference stage-4 is serial too, cuteSV:1218-1247)."""
-    import pickle
-
+    rows onto every process; host 0 returns the merged dict, other hosts
+    return None and skip the VCF emit (reference stage-4 is serial too,
+    cuteSV:1218-1247)."""
     import jax
-    import jax.numpy as jnp
-    from jax.experimental import multihost_utils
 
-    blob = pickle.dumps(results)
-    # gather the length as two int32 halves: jnp.asarray silently
-    # truncates int64 without jax_enable_x64, which would corrupt the
-    # merge for per-host pickles over 2 GiB
-    n = np.array([len(blob) >> 31, len(blob) & 0x7FFFFFFF], np.int32)
-    halves = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(n))
-    ).reshape(-1, 2).astype(np.int64)
-    lens = (halves[:, 0] << 31) | halves[:, 1]
-    cap = int(lens.max())
-    padded = np.zeros(cap, np.uint8)
-    padded[:len(blob)] = np.frombuffer(blob, np.uint8)
-    gathered = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(padded)))
+    from cutesv_tpu.parallel.distributed import allgather_obj
+
+    parts = allgather_obj(results)
     if jax.process_index() != 0:
         return None
     merged: Dict[str, List] = {}
-    lens = lens.reshape(-1)
-    gathered = gathered.reshape(jax.process_count(), cap)
-    for k in range(jax.process_count()):
-        part = pickle.loads(gathered[k, :int(lens[k])].tobytes())
+    for part in parts:
         for chrom, rows in part.items():
             merged.setdefault(chrom, []).extend(rows)
     return merged

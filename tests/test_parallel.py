@@ -289,6 +289,9 @@ def test_distributed_two_process_cli(tmp_path):
     assert not (tmp_path / "mp1.vcf").exists()  # only host 0 emits
     assert _vcf_body(tmp_path / "mp0.vcf") == _vcf_body(
         tmp_path / "ref.vcf")
+    # decode went down the sharded byte-range path on both processes
+    assert all(b"sharded decode: shard" in o for o in outs), \
+        outs[0].decode()[-1500:]
 
 
 def test_distributed_device_sharded_two_process_cli(tmp_path):

@@ -1,0 +1,70 @@
+"""Sharded (byte-range) native decode: block-aligned ranges over the
+compressed BAM, record-boundary discovery by validated chaining, exact
+cross-shard boundary agreement, and a merge that reproduces the
+whole-file decode bit-for-bit (VERDICT #2; reference counterpart:
+density-adaptive interval tasks, cuteSV:1026-1076)."""
+import numpy as np
+import pytest
+
+from cutesv_tpu.config import Config
+from cutesv_tpu.io import native as nio
+from cutesv_tpu.parallel.distributed import (check_shard_boundaries,
+                                             merge_partial_decodes,
+                                             plan_shard_ranges)
+from tests.test_e2e_alltypes import _build
+
+
+def _decode_whole_and_parts(bam, cfg, n):
+    whole = nio.decode(str(bam), cfg, None)
+    ranges = plan_shard_ranges(str(bam), n)
+    parts = [nio.decode(str(bam), cfg, None, byte_range=(start, ulen))
+             for start, ulen, _ in ranges]
+    return whole, ranges, parts
+
+
+@pytest.mark.parametrize("n", [2, 4, 7])
+def test_sharded_decode_union_bit_identical(tmp_path, n):
+    bam, fa = _build(tmp_path)
+    cfg = Config(input=str(bam), reference=str(fa), min_support=3)
+    whole, ranges, parts = _decode_whole_and_parts(bam, cfg, n)
+    # disjoint coverage: every shard reports where it stopped, and it
+    # must equal where its successor started
+    check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
+    assert sum(p.n_records for p in parts) == whole.n_records
+    assert any(p.n_records for p in parts[1:]), "split degenerated"
+    merged = merge_partial_decodes(parts)
+    assert merged.names == whole.names
+    assert np.array_equal(merged.name_rank, whole.name_rank)
+    assert merged.chroms == whole.chroms
+    assert merged.ins_seq_blob == whole.ins_seq_blob
+    assert set(merged.arrays) == set(whole.arrays)
+    for key in whole.arrays:
+        assert np.array_equal(merged.arrays[key], whole.arrays[key]), key
+
+
+def test_boundary_mismatch_is_fatal(tmp_path):
+    bam, fa = _build(tmp_path)
+    cfg = Config(input=str(bam), reference=str(fa), min_support=3)
+    whole, ranges, parts = _decode_whole_and_parts(bam, cfg, 2)
+    reports = [(p.first_u, p.next_u) for p in parts]
+    bad = [(reports[0][0], reports[0][1] + 8)] + reports[1:]
+    with pytest.raises(RuntimeError, match="boundary mismatch"):
+        check_shard_boundaries(ranges, bad)
+
+
+def test_sharded_store_identical(tmp_path):
+    """The merged partials feed build_store_native to the exact same
+    store (spot check: VCF-level identity via the resolvers)."""
+    from cutesv_tpu import sigstore
+
+    bam, fa = _build(tmp_path)
+    cfg = Config(input=str(bam), reference=str(fa), genotype=True,
+                 min_support=3, engine="host")
+    whole, ranges, parts = _decode_whole_and_parts(bam, cfg, 4)
+    merged = merge_partial_decodes(parts)
+    s1 = sigstore.build_store_native(whole, cfg)
+    s2 = sigstore.build_store_native(merged, cfg)
+    from cutesv_tpu.pipeline import resolve_all
+    r1 = resolve_all(s1, cfg)
+    r2 = resolve_all(s2, cfg)
+    assert r1 == r2 and r1
