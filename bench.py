@@ -296,7 +296,9 @@ def run_once(bam, fa, engine, decoder, outdir):
 
 
 def main():
-    genome_mb = int(os.environ.get("BENCH_MB", "100"))
+    # 200 Mb default: the remote-TPU tunnel adds O(1s) weather noise
+    # per run, which amortizes better over the longer corpus
+    genome_mb = int(os.environ.get("BENCH_MB", "200"))
     bam, fa, info = build_dataset(genome_mb)
     n_reads = info["n_reads"]
     outdir = os.path.join(CACHE, "out")

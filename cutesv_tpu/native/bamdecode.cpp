@@ -1349,7 +1349,10 @@ struct Decoder {
     }
     chunk.clear();
     chunk.shrink_to_fit();
-    uint64_t ulen = P.range_ulen > 0 ? (uint64_t)P.range_ulen : UINT64_MAX;
+    // >0: budget; 0: unbounded; <0: own nothing (an empty shard still
+    // reports its discovered boundary for the cross-shard check)
+    uint64_t ulen = P.range_ulen > 0 ? (uint64_t)P.range_ulen
+                    : (P.range_ulen < 0 ? 0 : UINT64_MAX);
     bool stopped = false;
     bool have_next = false;
     std::thread prefetch([&]() { have_next = rd.next_chunk_raw(B, GAP); });

@@ -100,7 +100,8 @@ def plan_shard_ranges(path: str, n: int):
     * range_ulen — uncompressed byte budget: records whose uncompressed
       start offset (relative to range_start) is below it belong to this
       shard; 0 (unbounded) for the last shard so truncated-file
-      detection stays active,
+      detection stays active; -1 (own nothing) for shards left empty
+      when the file has fewer blocks than shards,
     * u_base — global uncompressed offset of range_start, turning the
       decoder's relative boundary reports into global coordinates for
       the cross-shard agreement check.
@@ -119,13 +120,18 @@ def plan_shard_ranges(path: str, n: int):
         splits.append(min(max(idx, splits[-1]), n_blocks))
     splits.append(n_blocks)
     del total_c
+    import os as _os
+
+    fsize = _os.path.getsize(path)
     ranges = []
     for k in range(n):
         b0, b1 = splits[k], splits[k + 1]
-        start = int(offs[b0]) if b0 < n_blocks else int(cum_u[-1])
+        start = int(offs[b0]) if b0 < n_blocks else fsize
         ulen = int(cum_u[b1] - cum_u[b0])
         if k == n - 1:
             ulen = 0  # unbounded: keep cut-file detection live
+        elif ulen == 0:
+            ulen = -1  # empty shard: own nothing (0 would mean unbounded)
         ranges.append((start, ulen, int(cum_u[b0])))
     return ranges
 

@@ -68,3 +68,29 @@ def test_sharded_store_identical(tmp_path):
     r1 = resolve_all(s1, cfg)
     r2 = resolve_all(s2, cfg)
     assert r1 == r2 and r1
+
+
+def test_more_shards_than_blocks(tmp_path):
+    """A tiny BAM (fewer BGZF blocks than shards) must not duplicate
+    records: empty shards own nothing (ulen -1), and the union still
+    equals the whole-file decode."""
+    import random
+
+    from tests import simdata
+
+    rng = random.Random(9)
+    ref = simdata.make_reference(rng, {"chr1": 20_000})
+    plans = [simdata.plain_read(ref["chr1"], 0, s, 2000, "t%03d" % i)
+             for i, s in enumerate(range(0, 17_000, 600))]
+    plans.append(simdata.read_with_del(ref["chr1"], 0, 8_000, 9_000, 120,
+                                       2000, "d1"))
+    bam = tmp_path / "tiny.bam"
+    simdata.write_bam(str(bam), [("chr1", 20_000)], plans)
+    cfg = Config(min_support=1)
+    whole, ranges, parts = _decode_whole_and_parts(bam, cfg, 6)
+    check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
+    assert sum(p.n_records for p in parts) == whole.n_records
+    merged = merge_partial_decodes(parts)
+    for key in whole.arrays:
+        assert np.array_equal(merged.arrays[key], whole.arrays[key]), key
+    assert merged.names == whole.names
