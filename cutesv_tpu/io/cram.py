@@ -30,8 +30,9 @@ from cutesv_tpu.io.cram_codecs import (rans_decode, rans_encode_o0,
 
 CRAM_MAGIC = b"CRAM"
 
-# block compression methods
+# block compression methods (5/8 are the CRAM 3.1 additions we decode)
 RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
+NX16, TOK = 5, 8
 # block content types
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
 CT_EXTERNAL, CT_CORE = 4, 5
@@ -53,6 +54,13 @@ def _compress(method: int, data: bytes, rans_order: int = 0) -> bytes:
             from cutesv_tpu.io.cram_codecs import rans_encode_o1
             return rans_encode_o1(data)
         return rans_encode_o0(data)
+    if method == NX16:
+        from cutesv_tpu.io.cram_codecs31 import (NX_ORDER1,
+                                                 rans_nx16_encode)
+        return rans_nx16_encode(data, NX_ORDER1 if rans_order == 1 else 0)
+    if method == TOK:
+        from cutesv_tpu.io.cram_codecs31 import name_tok_encode
+        return name_tok_encode(data)
     raise ValueError("unsupported write method %d" % method)
 
 
@@ -61,11 +69,11 @@ def _gzip_compress(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
-# CRAM 3.1-only codec ids (hts-specs CRAMcodecs); not implemented here —
-# lazy block decompression means they only error when a needed block
-# actually uses one (typically they cover quality/name blocks)
-_V31_METHODS = {5: "rANS-Nx16", 6: "adaptive arithmetic coding",
-                7: "fqzcomp", 8: "name tokeniser"}
+# CRAM 3.1-only codecs we do not implement (hts-specs CRAMcodecs); lazy
+# block decompression means they only error when a needed block actually
+# uses one (typically they cover quality blocks). rANS-Nx16 (5) and the
+# name tokeniser (8) ARE implemented — cram_codecs31.py.
+_V31_METHODS = {6: "adaptive arithmetic coding", 7: "fqzcomp"}
 
 
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
@@ -79,6 +87,12 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         out = lzma.decompress(data)
     elif method == RANS:
         out = rans_decode(data)
+    elif method == NX16:
+        from cutesv_tpu.io.cram_codecs31 import rans_nx16_decode
+        out = rans_nx16_decode(data, raw_size)
+    elif method == TOK:
+        from cutesv_tpu.io.cram_codecs31 import name_tok_decode
+        out = name_tok_decode(data)
     elif method in _V31_METHODS:
         raise ValueError(
             "CRAM block uses the 3.1-only codec %s (method %d); this "
@@ -883,7 +897,8 @@ class CramWriter:
     def __init__(self, path: str, references, max_slice: int = 1000,
                  ref_seqs=None, core_series: bool = False,
                  detached_mates: bool = False, multi_ref: bool = False,
-                 rans_order: int = 0, store_quals: bool = False):
+                 rans_order: int = 0, store_quals: bool = False,
+                 version=(3, 0)):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -897,7 +912,11 @@ class CramWriter:
         series (MF/NS/NP/TS) per record — paired-end real-world layout.
 
         ``multi_ref``: write multi-reference slices (slice ref_id -2,
-        per-record RI series) instead of flushing on chromosome change."""
+        per-record RI series) instead of flushing on chromosome change.
+
+        ``version``: (3, 0) default; (3, 1) compresses external blocks
+        with rANS-Nx16 and the read-name block with the name tokeniser
+        (the htslib 3.1 profile shape) — used to craft 3.1 fixtures."""
         self._fh = open(path, "wb")
         self.references = list(references)
         self._ref_seqs = ref_seqs
@@ -906,11 +925,12 @@ class CramWriter:
         self._multi_ref = multi_ref
         self._store_quals = store_quals
         self.rans_order = rans_order
+        self.version = tuple(version)
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
-        self._fh.write(CRAM_MAGIC + bytes([3, 0]) + b"cutesv-tpu".ljust(
-            20, b"\x00"))
+        self._fh.write(CRAM_MAGIC + bytes(self.version)
+                       + b"cutesv-tpu".ljust(20, b"\x00"))
         header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             "@SQ\tSN:%s\tLN:%d\n" % (n, l) for n, l in self.references)
         htext = header.encode()
@@ -1181,7 +1201,10 @@ class CramWriter:
         for i, cid in enumerate(ids):
             data = bytes(streams.get(cid, b"")
                          or tag_streams.get(cid, b""))
-            method = RANS if i % 3 == 1 and len(data) > 16 else GZIP
+            if self.version >= (3, 1):
+                method = TOK if cid == _W_IDS["RN"] else NX16
+            else:
+                method = RANS if i % 3 == 1 and len(data) > 16 else GZIP
             write_block(buf, method, CT_EXTERNAL, cid, data,
                         rans_order=self.rans_order)
         blocks = buf.getvalue()

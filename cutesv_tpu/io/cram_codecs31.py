@@ -1,0 +1,903 @@
+"""CRAM 3.1 block codecs: rANS-Nx16 (method 5) and the read-name
+tokeniser (method 8), implemented from the hts-specs CRAMcodecs
+document's architecture (the reference reads these transparently via
+pysam/htslib, /root/reference/src/cuteSV/cuteSV:1013).
+
+rANS-Nx16 is the 3.1 entropy coder: 32-bit states with 16-bit word
+renormalisation (lower bound 2**15), 4 or 32 interleaved states, 12-bit
+order-0 / order-1 frequencies, plus the stream transforms the format
+byte selects — STRIPE, CAT (store raw), RLE, PACK — applied in the
+spec's order (pack, then RLE, then entropy; decode reverses).
+
+The name tokeniser models read names as token columns (digit runs /
+alpha runs / single chars) diffed against the previous name (MATCH /
+DELTA / DUP), one rANS-Nx16-compressed byte stream per (column, type).
+
+Interop caveat (documented): this environment has no htslib/htscodecs
+and zero egress, so byte-level interoperability with htscodecs-produced
+streams cannot be validated here; the container framing of the token
+streams is therefore kept deliberately simple (see ``name_tok_encode``).
+Validation is self-roundtrip plus python<->native cross-stack equality,
+the same caveat STATUS.md records for the CRAM family generally.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+# format byte flags (CRAMcodecs rANS Nx16)
+NX_ORDER1 = 0x01
+NX_N32 = 0x04
+NX_STRIPE = 0x08
+NX_NOSZ = 0x10
+NX_CAT = 0x20
+NX_RLE = 0x40
+NX_PACK = 0x80
+
+_LOW = 1 << 15          # lower renormalisation bound
+_SHIFT = 12             # frequency precision bits
+_TOT = 1 << _SHIFT
+
+
+# ---------------------------------------------------------------------------
+# uint7 varint (big-endian 7-bit groups, top bit = continuation)
+# ---------------------------------------------------------------------------
+
+def write_uint7(v: int) -> bytes:
+    if v < 0:
+        raise ValueError("uint7 value must be non-negative")
+    out = [v & 0x7F]
+    v >>= 7
+    while v:
+        out.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def read_uint7(buf: bytes, off: int) -> Tuple[int, int]:
+    v = 0
+    while True:
+        b = buf[off]
+        off += 1
+        v = (v << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            return v, off
+
+
+# ---------------------------------------------------------------------------
+# frequency tables
+# ---------------------------------------------------------------------------
+
+def _normalise(counts: List[int], tot: int = _TOT) -> List[int]:
+    """Scale counts so they sum to ``tot`` keeping present symbols >= 1
+    (shared by encoder and decoder; encoding stores pre-normalised
+    frequencies so the decode-side call is a no-op rescale)."""
+    total = sum(counts)
+    freqs = [0] * 256
+    if total == 0:
+        return freqs
+    acc = 0
+    for s in range(256):
+        if counts[s]:
+            f = max(1, counts[s] * tot // total)
+            freqs[s] = f
+            acc += f
+    if acc != tot:
+        top = max(range(256), key=lambda s: freqs[s])
+        freqs[top] += tot - acc
+        if freqs[top] <= 0:
+            # pathological many-symbol case: rebuild by largest remainders
+            order = sorted((s for s in range(256) if counts[s]),
+                           key=lambda s: -counts[s])
+            freqs = [0] * 256
+            left = tot - len(order)
+            if left < 0:
+                raise ValueError("alphabet larger than frequency space")
+            for s in order:
+                freqs[s] = 1
+            for s in order:
+                extra = counts[s] * left // total
+                freqs[s] += extra
+            drift = tot - sum(freqs)
+            freqs[order[0]] += drift
+    return freqs
+
+
+def _write_alphabet(present: List[int]) -> bytes:
+    """Symbols in ascending order; a run of consecutive symbols stores
+    the first two then a count of the remainder; terminated by 0."""
+    out = bytearray()
+    i = 0
+    n = len(present)
+    while i < n:
+        run = 0
+        while i + run + 1 < n and present[i + run + 1] == present[i + run] + 1:
+            run += 1
+        out.append(present[i])
+        if run >= 1:
+            out.append(present[i] + 1)
+            out.append(run - 1)
+            i += run + 1
+        else:
+            i += 1
+    out.append(0)
+    return bytes(out)
+
+
+def _read_alphabet(buf: bytes, off: int) -> Tuple[List[int], int]:
+    syms: List[int] = []
+    rle = 0
+    sym = buf[off]
+    last = sym
+    off += 1
+    while True:
+        syms.append(sym)
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            sym = buf[off]
+            off += 1
+            if sym == last + 1:
+                rle = buf[off]
+                off += 1
+        last = sym
+        if sym == 0 and rle == 0:
+            break
+    return syms, off
+
+
+def _cum(freqs: List[int]) -> List[int]:
+    c = [0] * 257
+    for s in range(256):
+        c[s + 1] = c[s] + freqs[s]
+    return c
+
+
+def _lookup(freqs: List[int]):
+    cum = _cum(freqs)
+    table = bytearray(_TOT)
+    for s in range(256):
+        for k in range(cum[s], cum[s + 1]):
+            table[k] = s
+    return cum, bytes(table)
+
+
+# ---------------------------------------------------------------------------
+# order-0 entropy core
+# ---------------------------------------------------------------------------
+
+def _o0_encode(data: bytes, n_states: int) -> bytes:
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    freqs = _normalise(counts)
+    cum = _cum(freqs)
+    present = [s for s in range(256) if freqs[s]]
+    table = bytearray(_write_alphabet(present))
+    for s in present:
+        table += write_uint7(freqs[s])
+    states = [_LOW] * n_states
+    out_rev = bytearray()
+    for i in range(len(data) - 1, -1, -1):
+        k = i % n_states
+        s = data[i]
+        f = freqs[s]
+        x = states[k]
+        x_max = ((_LOW >> _SHIFT) << 16) * f
+        while x >= x_max:
+            out_rev += struct.pack("<H", x & 0xFFFF)
+            x >>= 16
+        states[k] = (x // f) << _SHIFT | (x % f) + cum[s]
+    head = b"".join(struct.pack("<I", st) for st in states)
+    # renorm words were collected newest-first per 2-byte word; reverse
+    # word-wise so the decoder reads them in consumption order
+    words = [out_rev[i:i + 2] for i in range(0, len(out_rev), 2)]
+    return bytes(table) + head + b"".join(reversed(words))
+
+
+def _o0_decode(buf: bytes, off: int, raw_len: int, n_states: int
+               ) -> Tuple[bytes, int]:
+    freq_syms, off = _read_alphabet(buf, off)
+    freqs = [0] * 256
+    for s in freq_syms:
+        freqs[s], off = read_uint7(buf, off)
+    freqs = _normalise(freqs)
+    cum, table = _lookup(freqs)
+    states = list(struct.unpack_from("<%dI" % n_states, buf, off))
+    off += 4 * n_states
+    out = bytearray(raw_len)
+    n_buf = len(buf)
+    mask = _TOT - 1
+    for i in range(raw_len):
+        k = i % n_states
+        x = states[k]
+        m = x & mask
+        s = table[m]
+        out[i] = s
+        x = freqs[s] * (x >> _SHIFT) + m - cum[s]
+        if x < _LOW and off + 1 < n_buf:
+            x = (x << 16) | buf[off] | (buf[off + 1] << 8)
+            off += 2
+        states[k] = x
+    return bytes(out), off
+
+
+# ---------------------------------------------------------------------------
+# order-1 entropy core
+# ---------------------------------------------------------------------------
+
+def _o1_encode(data: bytes, n_states: int) -> bytes:
+    n = len(data)
+    counts = [[0] * 256 for _ in range(256)]
+    slice_len = n // n_states
+    starts = [k * slice_len for k in range(n_states)]
+    for k in range(n_states):
+        last = 0
+        end = starts[k + 1] if k < n_states - 1 else n
+        for i in range(starts[k], end):
+            counts[last][data[i]] += 1
+            last = data[i]
+    used_ctx = [c for c in range(256) if sum(counts[c])]
+    used_sym = sorted({s for c in used_ctx for s in range(256)
+                       if counts[c][s]})
+    alpha = sorted(set(used_ctx) | set(used_sym) | {0})
+    freqs: List[Optional[List[int]]] = [None] * 256
+    cums: List[Optional[List[int]]] = [None] * 256
+    for c in alpha:
+        freqs[c] = _normalise(counts[c])
+        cums[c] = _cum(freqs[c])
+    # table: comp byte (shift<<4 | compressed), alphabet, then per
+    # context the frequencies of the alphabet's symbols with zero-runs
+    body = bytearray(_write_alphabet(alpha))
+    for c in alpha:
+        row = freqs[c]
+        j = 0
+        while j < len(alpha):
+            f = row[alpha[j]]
+            if f == 0:
+                run = 0
+                while j + run + 1 < len(alpha) and row[alpha[j + run + 1]] == 0:
+                    run += 1
+                body += write_uint7(0)
+                body.append(run)
+                j += run + 1
+            else:
+                body += write_uint7(f)
+                j += 1
+    packed = _o0_entropy_only_encode(bytes(body))
+    if len(packed) + 8 < len(body):
+        table = (bytes([(_SHIFT << 4) | 1]) + write_uint7(len(body))
+                 + write_uint7(len(packed)) + packed)
+    else:
+        table = bytes([_SHIFT << 4]) + bytes(body)
+    states = [_LOW] * n_states
+    out_rev = bytearray()
+
+    def push(k: int, ctx: int, s: int):
+        f = freqs[ctx][s]
+        x = states[k]
+        x_max = ((_LOW >> _SHIFT) << 16) * f
+        while x >= x_max:
+            out_rev.extend(struct.pack("<H", x & 0xFFFF))
+            x >>= 16
+        states[k] = (x // f) << _SHIFT | (x % f) + cums[ctx][s]
+
+    # reverse of decoder order: tail (last state) first, then lockstep
+    # steps in reverse with k = n_states-1 .. 0
+    for i in range(n - 1, starts[n_states - 1] + slice_len - 1, -1):
+        ctx = data[i - 1] if i > starts[n_states - 1] else 0
+        push(n_states - 1, ctx, data[i])
+    for step in range(slice_len - 1, -1, -1):
+        for k in range(n_states - 1, -1, -1):
+            i = starts[k] + step
+            ctx = data[i - 1] if i > starts[k] else 0
+            push(k, ctx, data[i])
+    head = b"".join(struct.pack("<I", st) for st in states)
+    words = [out_rev[i:i + 2] for i in range(0, len(out_rev), 2)]
+    return table + head + b"".join(reversed(words))
+
+
+def _o1_decode(buf: bytes, off: int, raw_len: int, n_states: int
+               ) -> Tuple[bytes, int]:
+    comp = buf[off]
+    off += 1
+    shift = comp >> 4
+    if shift != _SHIFT:
+        raise ValueError("rANS-Nx16 order-1 shift %d unsupported" % shift)
+    if comp & 1:
+        u_len, off = read_uint7(buf, off)
+        c_len, off = read_uint7(buf, off)
+        body = _o0_entropy_only_decode(buf[off:off + c_len], u_len)
+        off += c_len
+        boff = 0
+    else:
+        body = buf[off:]
+        boff = 0
+    alpha, boff = _read_alphabet(body, boff)
+    freqs: List[Optional[List[int]]] = [None] * 256
+    lookups: List[Optional[tuple]] = [None] * 256
+    for c in alpha:
+        row = [0] * 256
+        j = 0
+        while j < len(alpha):
+            f, boff = read_uint7(body, boff)
+            if f == 0:
+                run = body[boff]
+                boff += 1
+                j += run + 1
+            else:
+                row[alpha[j]] = f
+                j += 1
+        row = _normalise(row)
+        freqs[c] = row
+        lookups[c] = _lookup(row)
+    if not (comp & 1):
+        off += boff
+    states = list(struct.unpack_from("<%dI" % n_states, buf, off))
+    off += 4 * n_states
+    out = bytearray(raw_len)
+    n_buf = len(buf)
+    mask = _TOT - 1
+    slice_len = raw_len // n_states
+    starts = [k * slice_len for k in range(n_states)]
+    lasts = [0] * n_states
+    for step in range(slice_len):
+        for k in range(n_states):
+            i = starts[k] + step
+            x = states[k]
+            m = x & mask
+            ctx = lasts[k]
+            if lookups[ctx] is None:
+                raise ValueError("rANS-Nx16 order-1 missing context")
+            cum, table = lookups[ctx]
+            s = table[m]
+            out[i] = s
+            x = freqs[ctx][s] * (x >> _SHIFT) + m - cum[s]
+            if x < _LOW and off + 1 < n_buf:
+                x = (x << 16) | buf[off] | (buf[off + 1] << 8)
+                off += 2
+            states[k] = x
+            lasts[k] = s
+    k = n_states - 1
+    for i in range(starts[k] + slice_len, raw_len):
+        x = states[k]
+        m = x & mask
+        ctx = lasts[k]
+        if lookups[ctx] is None:
+            raise ValueError("rANS-Nx16 order-1 missing context")
+        cum, table = lookups[ctx]
+        s = table[m]
+        out[i] = s
+        x = freqs[ctx][s] * (x >> _SHIFT) + m - cum[s]
+        if x < _LOW and off + 1 < n_buf:
+            x = (x << 16) | buf[off] | (buf[off + 1] << 8)
+            off += 2
+        states[k] = x
+        lasts[k] = s
+    return bytes(out), off
+
+
+def _o0_entropy_only_encode(data: bytes) -> bytes:
+    """Order-0 core with a uint7 length prefix — used for compressed
+    order-1 tables and RLE metadata."""
+    return _o0_encode(data, 4)
+
+
+def _o0_entropy_only_decode(buf: bytes, raw_len: int) -> bytes:
+    out, _ = _o0_decode(buf, 0, raw_len, 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# transforms: pack, RLE, stripe
+# ---------------------------------------------------------------------------
+
+def _pack_encode(data: bytes):
+    """Bit-packing for small alphabets (<=16 symbols); returns
+    (meta_without_len, packed) or None when not packable."""
+    syms = sorted(set(data))
+    nsym = len(syms)
+    if nsym > 16:
+        return None
+    idx = {s: i for i, s in enumerate(syms)}
+    meta = bytes([nsym]) + bytes(syms)
+    if nsym <= 1:
+        return meta, b""
+    if nsym == 2:
+        per, bits = 8, 1
+    elif nsym <= 4:
+        per, bits = 4, 2
+    else:
+        per, bits = 2, 4
+    out = bytearray((len(data) + per - 1) // per)
+    for i, b in enumerate(data):
+        out[i // per] |= idx[b] << (bits * (i % per))
+    return meta, bytes(out)
+
+
+def _pack_decode(buf: bytes, off: int, out_len: int):
+    """Returns (meta-consumed new offset, packed_len, expand_fn)."""
+    nsym = buf[off]
+    off += 1
+    syms = buf[off:off + nsym]
+    off += nsym
+    packed_len, off = read_uint7(buf, off)
+
+    def expand(packed: bytes) -> bytes:
+        if nsym <= 1:
+            return bytes([syms[0] if nsym else 0]) * out_len
+        if nsym == 2:
+            per, bits, mask = 8, 1, 1
+        elif nsym <= 4:
+            per, bits, mask = 4, 2, 3
+        else:
+            per, bits, mask = 2, 4, 15
+        out = bytearray(out_len)
+        for i in range(out_len):
+            out[i] = syms[(packed[i // per] >> (bits * (i % per))) & mask]
+        return bytes(out)
+
+    return off, packed_len, expand
+
+
+def _rle_encode(data: bytes):
+    """Split into literals + run lengths for symbols where RLE wins.
+    Returns (meta, literals): meta = nsym byte (0 means 256), the
+    symbols, then the uint7 run lengths in literal order."""
+    counts = [0] * 256
+    saved = [0] * 256
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j < n and data[j] == data[i]:
+            j += 1
+        run = j - i
+        counts[data[i]] += 1
+        # storing (sym, uint7 run) instead of `run` copies saves run-2 ish
+        saved[data[i]] += run - 2
+        i = j
+    rle_syms = [s for s in range(256) if saved[s] > 0]
+    if not rle_syms:
+        return None
+    marked = [False] * 256
+    for s in rle_syms:
+        marked[s] = True
+    lits = bytearray()
+    runs = bytearray()
+    i = 0
+    while i < n:
+        b = data[i]
+        if marked[b]:
+            j = i
+            while j < n and data[j] == b:
+                j += 1
+            lits.append(b)
+            runs += write_uint7(j - i - 1)
+            i = j
+        else:
+            lits.append(b)
+            i += 1
+    nsym = len(rle_syms)
+    meta = bytes([nsym & 0xFF]) + bytes(rle_syms) + bytes(runs)
+    return meta, bytes(lits)
+
+
+def _rle_expand(meta: bytes, lits: bytes, out_len: int) -> bytes:
+    nsym = meta[0]
+    if nsym == 0:
+        nsym = 256
+    syms = meta[1:1 + nsym]
+    marked = [False] * 256
+    for s in syms:
+        marked[s] = True
+    roff = 1 + nsym
+    out = bytearray(out_len)
+    pos = 0
+    for b in lits:
+        if marked[b]:
+            run, roff = read_uint7(meta, roff)
+            for _ in range(run + 1):
+                out[pos] = b
+                pos += 1
+        else:
+            out[pos] = b
+            pos += 1
+    if pos != out_len:
+        raise ValueError("rANS-Nx16 RLE expansion length mismatch "
+                         "(%d != %d)" % (pos, out_len))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def rans_nx16_encode(data: bytes, flags: int = 0) -> bytes:
+    """Encode ``data``; ``flags`` selects order/N32/STRIPE/CAT/RLE/PACK.
+    NOSZ is honoured (callers inside STRIPE set it). Unused transform
+    flags are dropped when the transform is not applicable."""
+    out = bytearray([0])  # placeholder for the final format byte
+    fmt = flags & (NX_ORDER1 | NX_N32 | NX_STRIPE | NX_NOSZ | NX_CAT
+                   | NX_RLE | NX_PACK)
+    if not (fmt & NX_NOSZ):
+        out += write_uint7(len(data))
+    if fmt & NX_STRIPE:
+        n = 4
+        subs = [data[j::n] for j in range(n)]
+        payloads = [rans_nx16_encode(sub, (flags & ~NX_STRIPE) | NX_NOSZ)
+                    for sub in subs]
+        out.append(n)
+        for p in payloads:
+            out += write_uint7(len(p))
+        for p in payloads:
+            out += p
+        out[0] = fmt & ~(NX_CAT | NX_RLE | NX_PACK)
+        return bytes(out)
+    if fmt & NX_CAT or len(data) < 4:
+        out[0] = (fmt & NX_NOSZ) | NX_CAT
+        return bytes(out) + data
+    stage = data
+    if fmt & NX_PACK:
+        packed = _pack_encode(stage)
+        if packed is None:
+            fmt &= ~NX_PACK
+        else:
+            meta, stage = packed
+            out += meta + write_uint7(len(stage))
+    if fmt & NX_RLE:
+        rled = _rle_encode(stage)
+        if rled is None:
+            fmt &= ~NX_RLE
+        else:
+            meta, stage = rled
+            cmeta = _o0_entropy_only_encode(meta)
+            if len(cmeta) + 4 < len(meta):
+                out += write_uint7(len(meta) << 1)
+                out += write_uint7(len(cmeta))
+                out += cmeta
+            else:
+                out += write_uint7((len(meta) << 1) | 1)
+                out += meta
+            out += write_uint7(len(stage))
+    n_states = 32 if fmt & NX_N32 else 4
+    if len(stage) < n_states or not stage:
+        # too small for the interleave: store raw
+        fmt = (fmt & NX_NOSZ) | NX_CAT
+        body = data
+        out = bytearray([0])
+        if not (fmt & NX_NOSZ):
+            out += write_uint7(len(data))
+        out[0] = fmt
+        return bytes(out) + body
+    if fmt & NX_ORDER1:
+        body = _o1_encode(stage, n_states)
+    else:
+        body = _o0_encode(stage, n_states)
+    out[0] = fmt
+    return bytes(out) + body
+
+
+def rans_nx16_decode(buf: bytes, expected_len: Optional[int] = None
+                     ) -> bytes:
+    try:
+        out, off = _nx16_decode_inner(buf, 0, expected_len)
+    except (IndexError, struct.error) as exc:
+        # corrupt streams surface as the reader's designed ValueError,
+        # not a raw parser crash (matches the 4x8 corrupt-input contract)
+        raise ValueError("corrupt rANS-Nx16 block: %s" % exc)
+    return out
+
+
+def _nx16_decode_inner(buf: bytes, off: int,
+                       expected_len: Optional[int]) -> Tuple[bytes, int]:
+    fmt = buf[off]
+    off += 1
+    if fmt & NX_NOSZ:
+        if expected_len is None:
+            raise ValueError("rANS-Nx16 NOSZ stream needs an external "
+                             "length")
+        out_len = expected_len
+    else:
+        out_len, off = read_uint7(buf, off)
+        if expected_len is not None and out_len != expected_len:
+            raise ValueError("rANS-Nx16 length mismatch (%d != declared "
+                             "%d)" % (out_len, expected_len))
+    _check_plausible(out_len, len(buf))
+    if fmt & NX_STRIPE:
+        n = buf[off]
+        off += 1
+        clens = []
+        for _ in range(n):
+            c, off = read_uint7(buf, off)
+            clens.append(c)
+        subs = []
+        for j in range(n):
+            sub_len = (out_len - j + n - 1) // n
+            sub, _ = _nx16_decode_inner(buf[off:off + clens[j]], 0,
+                                        sub_len)
+            subs.append(sub)
+            off += clens[j]
+        out = bytearray(out_len)
+        for j in range(n):
+            out[j::n] = subs[j]
+        return bytes(out), off
+    if fmt & NX_CAT:
+        return bytes(buf[off:off + out_len]), off + out_len
+    unpack = None
+    stage_len = out_len
+    if fmt & NX_PACK:
+        off, stage_len, unpack = _pack_decode(buf, off, out_len)
+    rle_meta = None
+    if fmt & NX_RLE:
+        m, off = read_uint7(buf, off)
+        meta_len = m >> 1
+        if m & 1:
+            rle_meta = buf[off:off + meta_len]
+            off += meta_len
+        else:
+            c_len, off = read_uint7(buf, off)
+            rle_meta = _o0_entropy_only_decode(buf[off:off + c_len],
+                                               meta_len)
+            off += c_len
+        lit_len, off = read_uint7(buf, off)
+    else:
+        lit_len = stage_len
+    n_states = 32 if fmt & NX_N32 else 4
+    if fmt & NX_ORDER1:
+        stage, off = _o1_decode(buf, off, lit_len, n_states)
+    else:
+        stage, off = _o0_decode(buf, off, lit_len, n_states)
+    if rle_meta is not None:
+        stage = _rle_expand(rle_meta, stage, stage_len)
+    if unpack is not None:
+        stage = unpack(stage)
+    if len(stage) != out_len:
+        raise ValueError("rANS-Nx16 decoded length mismatch (%d != %d)"
+                         % (len(stage), out_len))
+    return stage, off
+
+
+def _check_plausible(raw_len: int, buf_len: int):
+    # mirrors the 4x8 guard: a 12-bit coder cannot beat ~1/5900 per
+    # byte even order-1; a crafted huge raw_len would allocate GiBs
+    if raw_len > buf_len * 23000 + 500000:
+        raise ValueError("rANS-Nx16 raw length implausible for payload "
+                         "size")
+
+
+# ---------------------------------------------------------------------------
+# name tokeniser (method 8)
+# ---------------------------------------------------------------------------
+
+# token types (spec enumeration)
+T_TYPE, T_STRING, T_CHAR, T_DIGITS0, T_DZLEN, T_DUP, T_DIFF, T_DIGITS, \
+    T_DELTA, T_DELTA0, T_MATCH, T_END = range(12)
+
+
+def _tokenise(name: bytes) -> List[Tuple[int, bytes]]:
+    """Split a name into (type, payload) literal tokens: digit runs
+    (<=9 digits per token, DIGITS0 when zero-padded) and alpha runs /
+    single chars."""
+    toks = []
+    i = 0
+    n = len(name)
+    while i < n:
+        c = name[i]
+        if 0x30 <= c <= 0x39:
+            j = i
+            while j < n and 0x30 <= name[j] <= 0x39 and j - i < 9:
+                j += 1
+            run = name[i:j]
+            if run[0] == 0x30 and len(run) > 1:
+                toks.append((T_DIGITS0, run))
+            else:
+                toks.append((T_DIGITS, run))
+            i = j
+        else:
+            j = i
+            while j < n and not (0x30 <= name[j] <= 0x39):
+                j += 1
+            if j - i == 1:
+                toks.append((T_CHAR, name[i:j]))
+            else:
+                toks.append((T_STRING, name[i:j]))
+            i = j
+    return toks
+
+
+class _Streams:
+    """Per-(column, type) byte streams."""
+
+    def __init__(self):
+        self.data = {}
+
+    def put(self, col: int, ttype: int, blob: bytes):
+        self.data.setdefault((col, ttype), bytearray()).extend(blob)
+
+
+def name_tok_encode(blob: bytes) -> bytes:
+    """Encode a CRAM read-name block (names each terminated by NUL, the
+    RN external-block layout our writer and reader use). Architecture
+    per the spec: column-wise token streams, previous-name diffing
+    (DUP/MATCH/DELTA), each stream rANS-Nx16 compressed; the stream
+    framing is the simple explicit form documented in the module
+    docstring."""
+    if blob and not blob.endswith(b"\x00"):
+        raise ValueError("name tokeniser input must be NUL-terminated "
+                         "names")
+    names = blob.split(b"\x00")[:-1] if blob else []
+    streams = _Streams()
+    prev_toks: Optional[List[Tuple[int, bytes]]] = None
+    prev_name: Optional[bytes] = None
+    max_col = 0
+    for name in names:
+        if prev_name is not None and name == prev_name:
+            streams.put(0, T_TYPE, bytes([T_DUP]))
+            streams.put(0, T_DUP, write_uint7(1))
+            continue
+        streams.put(0, T_TYPE, bytes([T_DIFF]))
+        streams.put(0, T_DIFF, write_uint7(1 if prev_name is not None
+                                           else 0))
+        toks = _tokenise(name)
+        for col, (ttype, payload) in enumerate(toks, start=1):
+            max_col = max(max_col, col)
+            prev = (prev_toks[col - 1]
+                    if prev_toks is not None and col - 1 < len(prev_toks)
+                    else None)
+            if prev is not None and prev == (ttype, payload):
+                streams.put(col, T_TYPE, bytes([T_MATCH]))
+                continue
+            if (prev is not None and ttype == T_DIGITS
+                    and prev[0] == T_DIGITS):
+                delta = int(payload) - int(prev[1])
+                if 0 <= delta <= 255:
+                    streams.put(col, T_TYPE, bytes([T_DELTA]))
+                    streams.put(col, T_DELTA, bytes([delta]))
+                    continue
+            if (prev is not None and ttype == T_DIGITS0
+                    and prev[0] == T_DIGITS0
+                    and len(payload) == len(prev[1])):
+                delta = int(payload) - int(prev[1])
+                if 0 <= delta <= 255:
+                    streams.put(col, T_TYPE, bytes([T_DELTA0]))
+                    streams.put(col, T_DELTA0, bytes([delta]))
+                    continue
+            streams.put(col, T_TYPE, bytes([ttype]))
+            if ttype == T_STRING:
+                streams.put(col, T_STRING, payload + b"\x00")
+            elif ttype == T_CHAR:
+                streams.put(col, T_CHAR, payload)
+            elif ttype == T_DIGITS:
+                streams.put(col, T_DIGITS,
+                            struct.pack("<I", int(payload)))
+            else:  # T_DIGITS0
+                streams.put(col, T_DIGITS0,
+                            struct.pack("<I", int(payload)))
+                streams.put(col, T_DZLEN, bytes([len(payload)]))
+        streams.put(len(toks) + 1, T_TYPE, bytes([T_END]))
+        max_col = max(max_col, len(toks) + 1)
+        prev_toks = toks
+        prev_name = name
+    out = bytearray()
+    out += struct.pack("<I", len(blob))
+    out += struct.pack("<I", len(names))
+    out.append(0)  # use_arith = 0 (rANS)
+    out += write_uint7(max_col + 1)
+    for col in range(max_col + 1):
+        col_streams = sorted((t, bytes(v)) for (c, t), v in
+                             streams.data.items() if c == col)
+        out += write_uint7(len(col_streams))
+        for ttype, payload in col_streams:
+            comp = rans_nx16_encode(payload, 0)
+            comp1 = rans_nx16_encode(payload, NX_ORDER1)
+            if len(comp1) < len(comp):
+                comp = comp1
+            out.append(ttype)
+            out += write_uint7(len(comp))
+            out += comp
+    return bytes(out)
+
+
+def name_tok_decode(buf: bytes) -> bytes:
+    try:
+        return _name_tok_decode_inner(buf)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("corrupt name-tokeniser block: %s" % exc)
+
+
+def _name_tok_decode_inner(buf: bytes) -> bytes:
+    ulen, nnames = struct.unpack_from("<II", buf, 0)
+    use_arith = buf[8]
+    if use_arith:
+        raise ValueError("name tokeniser: adaptive arithmetic variant "
+                         "not supported (use_arith=1)")
+    off = 9
+    ncols, off = read_uint7(buf, off)
+    streams = {}
+    for col in range(ncols):
+        nstreams, off = read_uint7(buf, off)
+        for _ in range(nstreams):
+            ttype = buf[off]
+            off += 1
+            clen, off = read_uint7(buf, off)
+            streams[(col, ttype)] = [
+                rans_nx16_decode(buf[off:off + clen]), 0]
+            off += clen
+
+    def take(col, ttype, n=1) -> bytes:
+        st = streams.get((col, ttype))
+        if st is None:
+            raise ValueError("name tokeniser: missing stream (%d,%d)"
+                             % (col, ttype))
+        data, pos = st
+        st[1] = pos + n
+        return data[pos:pos + n]
+
+    def take_uint7(col, ttype) -> int:
+        st = streams[(col, ttype)]
+        v, st[1] = read_uint7(st[0], st[1])
+        return v
+
+    def take_string(col) -> bytes:
+        st = streams[(col, T_STRING)]
+        data, pos = st
+        end = data.index(0, pos)
+        st[1] = end + 1
+        return data[pos:end]
+
+    names: List[bytes] = []
+    prev_toks: Optional[List[Tuple[int, bytes]]] = None
+    for _ in range(nnames):
+        head = take(0, T_TYPE)[0]
+        if head == T_DUP:
+            dist = take_uint7(0, T_DUP)
+            names.append(names[-dist])
+            continue
+        if head != T_DIFF:
+            raise ValueError("name tokeniser: bad leading token %d"
+                             % head)
+        take_uint7(0, T_DIFF)  # dist (always vs previous here)
+        toks: List[Tuple[int, bytes]] = []
+        col = 1
+        while True:
+            ttype = take(col, T_TYPE)[0]
+            if ttype == T_END:
+                break
+            if ttype == T_MATCH:
+                toks.append(prev_toks[col - 1])
+            elif ttype == T_DELTA:
+                d = take(col, T_DELTA)[0]
+                val = int(prev_toks[col - 1][1]) + d
+                toks.append((T_DIGITS, str(val).encode()))
+            elif ttype == T_DELTA0:
+                d = take(col, T_DELTA0)[0]
+                prev_payload = prev_toks[col - 1][1]
+                val = int(prev_payload) + d
+                toks.append((T_DIGITS0,
+                             str(val).encode().rjust(len(prev_payload),
+                                                     b"0")))
+            elif ttype == T_STRING:
+                toks.append((T_STRING, take_string(col)))
+            elif ttype == T_CHAR:
+                toks.append((T_CHAR, take(col, T_CHAR)))
+            elif ttype == T_DIGITS:
+                val = struct.unpack("<I", take(col, T_DIGITS, 4))[0]
+                toks.append((T_DIGITS, str(val).encode()))
+            elif ttype == T_DIGITS0:
+                val = struct.unpack("<I", take(col, T_DIGITS0, 4))[0]
+                dz = take(col, T_DZLEN)[0]
+                toks.append((T_DIGITS0,
+                             str(val).encode().rjust(dz, b"0")))
+            else:
+                raise ValueError("name tokeniser: unknown token type %d"
+                                 % ttype)
+            col += 1
+        names.append(b"".join(p for _, p in toks))
+        prev_toks = toks
+    out = b"".join(n + b"\x00" for n in names)
+    if len(out) != ulen:
+        raise ValueError("name tokeniser: decoded length mismatch "
+                         "(%d != declared %d)" % (len(out), ulen))
+    return out

@@ -1,7 +1,10 @@
-"""CRAM 3.1 behavior: version-3.1 containers decode when they use the
-3.0 codec set; 3.1-only codecs on quality blocks are tolerated (lazy
-block decompression skips them); a 3.1-only codec on a NEEDED block
-raises the designed re-encode error — on both reader stacks.
+"""CRAM 3.1 behavior on both reader stacks: version-3.1 containers
+decode with the 3.0 codec set AND with the 3.1 codecs we implement
+(rANS-Nx16 blocks, name-tokenised read names — cram_codecs31.py /
+cramdecode.inc); the remaining 3.1-only codecs (fqzcomp, adaptive
+arithmetic) are tolerated on quality blocks (lazy block decompression
+skips them) and raise the designed re-encode error on a NEEDED block;
+corrupt rANS-Nx16 payloads fail loudly, not wrongly.
 
 Reference capability being mirrored: pysam/htslib reads whatever CRAM
 version htslib supports (cuteSV:1013)."""
@@ -125,6 +128,26 @@ def test_31_codec_on_quality_block_is_skipped(tmp_path, use_native):
 
 @pytest.mark.parametrize("use_native", [False, True])
 def test_31_codec_on_needed_block_designed_error(tmp_path, use_native):
+    """fqzcomp/arith stay designed errors when a needed block uses them."""
+    cram, fa, records = _write_cram(tmp_path)
+    _set_version(cram, 1)
+    _rewrite_block_method(cram, _W_IDS["RN"], 6)
+    if use_native:
+        from cutesv_tpu.config import Config
+        from cutesv_tpu.io import native as nio
+        cfg = Config(min_mapq=0, min_read_len=0, min_siglength=10)
+        with pytest.raises(Exception, match="adaptive arithmetic"):
+            nio.decode(str(cram), cfg, None, reference=str(fa))
+    else:
+        with pytest.raises(ValueError, match="adaptive arithmetic"):
+            with CramReader(str(cram), reference=str(fa)) as cr:
+                list(cr)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_corrupt_nx16_needed_block_fails_loudly(tmp_path, use_native):
+    """A method-5 block with garbage payload is a loud corrupt-input
+    error on both stacks, never a silent misdecode."""
     cram, fa, records = _write_cram(tmp_path)
     _set_version(cram, 1)
     _rewrite_block_method(cram, _W_IDS["RN"], 5)
@@ -132,9 +155,81 @@ def test_31_codec_on_needed_block_designed_error(tmp_path, use_native):
         from cutesv_tpu.config import Config
         from cutesv_tpu.io import native as nio
         cfg = Config(min_mapq=0, min_read_len=0, min_siglength=10)
-        with pytest.raises(Exception, match="rANS-Nx16"):
+        with pytest.raises(Exception, match="nx16|rANS-Nx16"):
             nio.decode(str(cram), cfg, None, reference=str(fa))
     else:
-        with pytest.raises(ValueError, match="rANS-Nx16"):
+        with pytest.raises(ValueError, match="nx16|rANS-Nx16"):
             with CramReader(str(cram), reference=str(fa)) as cr:
                 list(cr)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+@pytest.mark.parametrize("rans_order", [0, 1])
+def test_full_31_file_decodes_on_both_stacks(tmp_path, use_native,
+                                             rans_order):
+    """A real 3.1 fixture — rANS-Nx16 external blocks, name-tokenised
+    RN block — decodes identically to its 3.0 twin."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    c30 = tmp_path / "v30.cram"
+    c31 = tmp_path / "v31.cram"
+    with CramWriter(str(c30), refs, store_quals=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramWriter(str(c31), refs, store_quals=True, version=(3, 1),
+                    rans_order=rans_order) as w:
+        for rec in records:
+            w.write(rec)
+    raw = c31.read_bytes()
+    assert raw[4:6] == bytes([3, 1])
+    assert _read_all(c31, fa, use_native) == _read_all(c30, fa,
+                                                       use_native)
+
+
+def test_31_names_roundtrip_exactly(tmp_path):
+    """Read names (the tokenised series) survive bit-exactly."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    c31 = tmp_path / "names31.cram"
+    with CramWriter(str(c31), refs, store_quals=True,
+                    version=(3, 1)) as w:
+        for rec in records:
+            w.write(rec)
+    with CramReader(str(c31), reference=str(fa)) as cr:
+        out = list(cr)
+    assert [r.qname for r in out] == [r.qname for r in records]
+    assert [r.seq for r in out] == [r.seq for r in records]
+
+
+@pytest.mark.parametrize("decoder", ["python", "native"])
+def test_pipeline_on_cram31_equals_bam(tmp_path, decoder):
+    """End to end: the pipeline on a 3.1 CRAM emits the same VCF body
+    as on the BAM, through either decode stack."""
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import run_pipeline
+    from tests.test_cram import _fixture as _pipe_fixture
+
+    bam, fa = _pipe_fixture(tmp_path)
+    cram = tmp_path / "pipe31.cram"
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        with CramWriter(str(cram), refs, version=(3, 1),
+                        rans_order=1) as w:
+            for rec in r:
+                w.write(rec)
+    assert cram.read_bytes()[4:6] == bytes([3, 1])
+    outs = {}
+    for label, path in (("bam", bam), ("cram31", cram)):
+        out = tmp_path / ("out_%s_%s.vcf" % (label, decoder))
+        cfg = Config(input=str(path), reference=str(fa), output=str(out),
+                     work_dir=str(tmp_path), genotype=True, min_support=3,
+                     decoder=decoder, engine="host")
+        run_pipeline(cfg, ["c"])
+        outs[label] = [l for l in out.read_text().splitlines()
+                       if not l.startswith("#")]
+    assert outs["bam"] == outs["cram31"]
+    assert len(outs["bam"]) >= 2

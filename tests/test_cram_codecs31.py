@@ -1,0 +1,205 @@
+"""Codec-level tests for the CRAM 3.1 block codecs (rANS-Nx16 + name
+tokeniser, io/cram_codecs31.py): roundtrip across the transform flag
+grid, transform-specific shapes, and corrupt-input behavior.
+
+File-level cross-stack coverage (python writer -> python AND native
+readers) lives in tests/test_cram31.py."""
+import random
+import struct
+
+import pytest
+
+from cutesv_tpu.io.cram_codecs31 import (NX_CAT, NX_N32, NX_ORDER1,
+                                         NX_PACK, NX_RLE, NX_STRIPE,
+                                         name_tok_decode, name_tok_encode,
+                                         rans_nx16_decode,
+                                         rans_nx16_encode, read_uint7,
+                                         write_uint7)
+
+
+def _datasets():
+    rng = random.Random(1234)
+    return {
+        "empty": b"",
+        "tiny": b"abc",
+        "single_symbol": b"G" * 2000,
+        "two_symbols": bytes(rng.choice(b"AB") for _ in range(3000)),
+        "acgt": bytes(rng.choice(b"ACGT") for _ in range(3000)),
+        "sixteen": bytes(rng.randrange(16) for _ in range(2000)),
+        "runs": b"".join(bytes([rng.randrange(256)])
+                         * rng.randrange(1, 30) for _ in range(200)),
+        "uniform": bytes(rng.randrange(256) for _ in range(3000)),
+        "text": (b"read_%d mixed payload " * 150) % tuple(range(150)),
+        "n33": bytes(rng.randrange(7) for _ in range(33)),
+        "n4": b"ACGT",
+    }
+
+
+def _flag_grid():
+    flags = set()
+    for order in (0, NX_ORDER1):
+        for n32 in (0, NX_N32):
+            for extra in (0, NX_RLE, NX_PACK, NX_RLE | NX_PACK,
+                          NX_STRIPE, NX_CAT):
+                flags.add(order | n32 | extra)
+    return sorted(flags)
+
+
+@pytest.mark.parametrize("flags", _flag_grid())
+def test_nx16_roundtrip_grid(flags):
+    for name, data in _datasets().items():
+        enc = rans_nx16_encode(data, flags)
+        assert rans_nx16_decode(enc, len(data)) == data, (name, hex(flags))
+        # length also self-describing (no external size needed)
+        assert rans_nx16_decode(enc) == data, (name, hex(flags))
+
+
+def test_nx16_fuzz_roundtrip():
+    rng = random.Random(77)
+    grid = _flag_grid()
+    for _ in range(60):
+        n = rng.randrange(0, 4000)
+        alphabet = rng.randrange(1, 257)
+        data = bytes(rng.randrange(alphabet) for _ in range(n))
+        fl = rng.choice(grid)
+        assert rans_nx16_decode(rans_nx16_encode(data, fl), n) == data
+
+
+def test_nx16_order1_contexts_exercised():
+    # data where order-1 strongly beats order-0 (deterministic digraphs)
+    data = b"ACACACAGTGTGTGT" * 400
+    o0 = rans_nx16_encode(data, 0)
+    o1 = rans_nx16_encode(data, NX_ORDER1)
+    assert rans_nx16_decode(o1, len(data)) == data
+    assert len(o1) < len(o0)
+
+
+def test_nx16_pack_classes():
+    rng = random.Random(5)
+    for nsym in (1, 2, 3, 4, 5, 16):
+        syms = bytes(range(40, 40 + nsym))
+        data = bytes(rng.choice(syms) for _ in range(513))
+        enc = rans_nx16_encode(data, NX_PACK)
+        assert rans_nx16_decode(enc, len(data)) == data
+    # 17+ symbols: pack must drop out silently and still roundtrip
+    data = bytes(rng.randrange(17) for _ in range(500))
+    enc = rans_nx16_encode(data, NX_PACK)
+    assert rans_nx16_decode(enc, len(data)) == data
+
+
+def test_nx16_rle_wins_on_run_data():
+    data = b"".join(bytes([b]) * 40 for b in b"NNNNACGT" * 20)
+    enc_rle = rans_nx16_encode(data, NX_RLE)
+    enc_o0 = rans_nx16_encode(data, 0)
+    assert rans_nx16_decode(enc_rle, len(data)) == data
+    assert len(enc_rle) < len(enc_o0)
+
+
+def test_nx16_stripe_interleave():
+    # stripe splits byte-interleaved substreams; verify on a pattern
+    # where each stripe sees a constant (maximally compressible) stream
+    data = b"ABCD" * 1000
+    enc = rans_nx16_encode(data, NX_STRIPE)
+    assert rans_nx16_decode(enc, len(data)) == data
+    assert len(enc) < 200
+
+
+def test_nx16_corrupt_inputs_raise_valueerror():
+    data = bytes(range(256)) * 8
+    enc = rans_nx16_encode(data, NX_ORDER1)
+    for cut in (1, 5, len(enc) // 2, len(enc) - 1):
+        try:
+            out = rans_nx16_decode(enc[:cut], len(data))
+            assert out != data  # truncation must never decode cleanly
+        except ValueError:
+            pass  # the designed failure mode
+    rng = random.Random(9)
+    for _ in range(40):
+        blob = bytearray(enc)
+        for _ in range(4):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            rans_nx16_decode(bytes(blob), len(data))
+        except ValueError:
+            pass
+
+
+def test_nx16_raw_len_bomb_rejected():
+    # NOSZ + huge external length, and an embedded huge uint7 length,
+    # must be rejected before allocating
+    with pytest.raises(ValueError):
+        rans_nx16_decode(bytes([0x10]) + b"\x00" * 8, 1 << 40)
+    bomb = bytes([0]) + write_uint7(1 << 40) + b"\x00" * 16
+    with pytest.raises(ValueError):
+        rans_nx16_decode(bomb)
+
+
+def test_nx16_nosz_needs_length():
+    enc = rans_nx16_encode(b"hello world hello", 0)
+    # rewrite as NOSZ by stripping the embedded length
+    _, after = read_uint7(enc, 1)
+    nosz = bytes([enc[0] | 0x10]) + enc[after:]
+    assert rans_nx16_decode(nosz, 17) == b"hello world hello"
+    with pytest.raises(ValueError):
+        rans_nx16_decode(nosz)
+
+
+def test_uint7_roundtrip():
+    for v in (0, 1, 127, 128, 129, 16383, 16384, 1 << 20, (1 << 32) - 1):
+        buf = write_uint7(v)
+        got, off = read_uint7(buf, 0)
+        assert (got, off) == (v, len(buf))
+    assert write_uint7(0) == b"\x00"
+    assert write_uint7(127) == b"\x7f"
+    assert write_uint7(128) == b"\x81\x00"
+
+
+def _names_blob(names):
+    return b"".join(n + b"\x00" for n in names)
+
+
+def test_name_tok_roundtrip_families():
+    rng = random.Random(21)
+    cases = [
+        [],
+        [b"r"],
+        [b"m64011_190830_220126/%d/ccs" % i for i in range(500)],
+        [b"SRR1234567.%09d" % i for i in range(300)],   # DIGITS0/DELTA0
+        [b"dup", b"dup", b"dup", b"other", b"other"],   # DUP chain
+        [b"a%d" % (10 ** 10 + i) for i in range(50)],   # >9-digit runs
+        [b"x", b"x1", b"x12", b"x123", b""],            # growing columns
+        [bytes("q%d/%s" % (rng.randrange(10 ** 9),
+                           "".join(rng.choice("abcXYZ_/:")
+                                   for _ in range(rng.randrange(12)))),
+               "ascii") for _ in range(200)],
+    ]
+    for names in cases:
+        blob = _names_blob(names)
+        assert name_tok_decode(name_tok_encode(blob)) == blob
+
+
+def test_name_tok_compresses_instrument_names():
+    names = [b"m64011_190830_220126/%d/ccs" % i for i in range(2000)]
+    blob = _names_blob(names)
+    enc = name_tok_encode(blob)
+    assert len(enc) < len(blob) // 10
+
+
+def test_name_tok_corrupt_raises_valueerror():
+    blob = _names_blob([b"read%d" % i for i in range(50)])
+    enc = bytearray(name_tok_encode(blob))
+    with pytest.raises(ValueError):
+        name_tok_decode(bytes(enc[:12]))
+    enc[8] = 1  # use_arith flag
+    with pytest.raises(ValueError, match="arith"):
+        name_tok_decode(bytes(enc))
+    # declared-length mismatch
+    good = bytearray(name_tok_encode(blob))
+    struct.pack_into("<I", good, 0, len(blob) + 1)
+    with pytest.raises(ValueError):
+        name_tok_decode(bytes(good))
+
+
+def test_name_tok_requires_nul_termination():
+    with pytest.raises(ValueError):
+        name_tok_encode(b"unterminated")
