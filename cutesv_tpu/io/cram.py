@@ -30,9 +30,9 @@ from cutesv_tpu.io.cram_codecs import (rans_decode, rans_encode_o0,
 
 CRAM_MAGIC = b"CRAM"
 
-# block compression methods (5/8 are the CRAM 3.1 additions we decode)
+# block compression methods (5/6/8 are the CRAM 3.1 additions we decode)
 RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
-NX16, TOK = 5, 8
+NX16, ARITH, TOK = 5, 6, 8
 # block content types
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
 CT_EXTERNAL, CT_CORE = 4, 5
@@ -58,6 +58,9 @@ def _compress(method: int, data: bytes, rans_order: int = 0) -> bytes:
         from cutesv_tpu.io.cram_codecs31 import (NX_ORDER1,
                                                  rans_nx16_encode)
         return rans_nx16_encode(data, NX_ORDER1 if rans_order == 1 else 0)
+    if method == ARITH:
+        from cutesv_tpu.io.cram_codecs31 import AR_ORDER1, arith_encode
+        return arith_encode(data, AR_ORDER1 if rans_order == 1 else 0)
     if method == TOK:
         from cutesv_tpu.io.cram_codecs31 import name_tok_encode
         return name_tok_encode(data)
@@ -69,11 +72,13 @@ def _gzip_compress(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
-# CRAM 3.1-only codecs we do not implement (hts-specs CRAMcodecs); lazy
-# block decompression means they only error when a needed block actually
-# uses one (typically they cover quality blocks). rANS-Nx16 (5) and the
-# name tokeniser (8) ARE implemented — cram_codecs31.py.
-_V31_METHODS = {6: "adaptive arithmetic coding", 7: "fqzcomp"}
+# The one CRAM 3.1 codec we do not implement (hts-specs CRAMcodecs):
+# fqzcomp is a quality-series model and quality blocks are never needed
+# here, so lazy block decompression skips it; it only errors if a
+# crafted file puts fqzcomp on a needed block. rANS-Nx16 (5), adaptive
+# arithmetic (6) and the name tokeniser (8) ARE implemented —
+# cram_codecs31.py.
+_V31_METHODS = {7: "fqzcomp"}
 
 
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
@@ -90,6 +95,9 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     elif method == NX16:
         from cutesv_tpu.io.cram_codecs31 import rans_nx16_decode
         out = rans_nx16_decode(data, raw_size)
+    elif method == ARITH:
+        from cutesv_tpu.io.cram_codecs31 import arith_decode
+        out = arith_decode(data, raw_size)
     elif method == TOK:
         from cutesv_tpu.io.cram_codecs31 import name_tok_decode
         out = name_tok_decode(data)
@@ -898,7 +906,7 @@ class CramWriter:
                  ref_seqs=None, core_series: bool = False,
                  detached_mates: bool = False, multi_ref: bool = False,
                  rans_order: int = 0, store_quals: bool = False,
-                 version=(3, 0)):
+                 version=(3, 0), arith: bool = False):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -915,7 +923,8 @@ class CramWriter:
         per-record RI series) instead of flushing on chromosome change.
 
         ``version``: (3, 0) default; (3, 1) compresses external blocks
-        with rANS-Nx16 and the read-name block with the name tokeniser
+        with rANS-Nx16 (or the adaptive arithmetic coder when
+        ``arith=True``) and the read-name block with the name tokeniser
         (the htslib 3.1 profile shape) — used to craft 3.1 fixtures."""
         self._fh = open(path, "wb")
         self.references = list(references)
@@ -926,6 +935,7 @@ class CramWriter:
         self._store_quals = store_quals
         self.rans_order = rans_order
         self.version = tuple(version)
+        self._arith = arith
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -1202,7 +1212,8 @@ class CramWriter:
             data = bytes(streams.get(cid, b"")
                          or tag_streams.get(cid, b""))
             if self.version >= (3, 1):
-                method = TOK if cid == _W_IDS["RN"] else NX16
+                method = (TOK if cid == _W_IDS["RN"]
+                          else (ARITH if self._arith else NX16))
             else:
                 method = RANS if i % 3 == 1 and len(data) > 16 else GZIP
             write_block(buf, method, CT_EXTERNAL, cid, data,

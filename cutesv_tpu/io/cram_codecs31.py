@@ -668,6 +668,305 @@ def _check_plausible(raw_len: int, buf_len: int):
 
 
 # ---------------------------------------------------------------------------
+# adaptive arithmetic coder (method 6)
+# ---------------------------------------------------------------------------
+#
+# CRAM 3.1's second entropy coder: a carry-handled 32-bit range coder
+# over adaptive frequency models (no stored tables — both sides grow
+# the same model), with the same stream-transform flag family as
+# rANS-Nx16 plus EXT (0x04: the payload is an external bzip2 stream).
+# Same interop caveat as the module docstring.
+
+AR_ORDER1 = 0x01
+AR_EXT = 0x04
+AR_STRIPE = 0x08
+AR_NOSZ = 0x10
+AR_CAT = 0x20
+AR_RLE = 0x40
+AR_PACK = 0x80
+
+_AR_STEP = 16
+_AR_MAX_TOTAL = (1 << 16) - _AR_STEP - 1
+
+
+class _RangeEncoder:
+    """Carry-handled byte-oriented range coder (LZMA-style shift_low)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def _shift_low(self):
+        # exact LZMA ShiftLow: the initial cache byte is emitted (the
+        # decoder's 5-byte priming discards it)
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            temp = self.cache
+            while True:
+                self.out.append((temp + carry) & 0xFF)
+                temp = 0xFF
+                self.cache_size -= 1
+                if self.cache_size == 0:
+                    break
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def encode(self, cum: int, freq: int, tot: int):
+        r = self.range // tot
+        self.low += r * cum
+        self.range = r * freq
+        while self.range < (1 << 24):
+            self.range <<= 8
+            self._shift_low()
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+class _RangeDecoder:
+    def __init__(self, buf: bytes, off: int):
+        self.buf = buf
+        # the first emitted byte is the encoder's initial cache (always
+        # dropped); the next four seed the code register
+        off += 1
+        self.code = 0
+        for _ in range(4):
+            self.code = (self.code << 8) | (buf[off] if off < len(buf)
+                                            else 0)
+            off += 1
+        self.off = off
+        self.range = 0xFFFFFFFF
+
+    def decode_freq(self, tot: int) -> int:
+        self._r = self.range // tot
+        f = self.code // self._r
+        return tot - 1 if f >= tot else f
+
+    def decode_update(self, cum: int, freq: int):
+        self.code -= self._r * cum
+        self.range = self._r * freq
+        while self.range < (1 << 24):
+            self.code = ((self.code << 8)
+                         | (self.buf[self.off] if self.off < len(self.buf)
+                            else 0)) & 0xFFFFFFFF
+            self.off += 1
+            self.range <<= 8
+
+
+class _AdaptiveModel:
+    """Adaptive frequencies: +STEP per hit, halved when the total nears
+    16 bits (both sides replay the identical schedule)."""
+
+    __slots__ = ("freq", "total")
+
+    def __init__(self, nsym: int = 256):
+        self.freq = [1] * nsym
+        self.total = nsym
+
+    def _bump(self, sym: int):
+        self.freq[sym] += _AR_STEP
+        self.total += _AR_STEP
+        if self.total > _AR_MAX_TOTAL:
+            total = 0
+            f = self.freq
+            for i in range(len(f)):
+                f[i] = (f[i] + 1) >> 1
+                total += f[i]
+            self.total = total
+
+    def encode(self, rc: _RangeEncoder, sym: int):
+        cum = 0
+        f = self.freq
+        for i in range(sym):
+            cum += f[i]
+        rc.encode(cum, f[sym], self.total)
+        self._bump(sym)
+
+    def decode(self, rc: _RangeDecoder) -> int:
+        target = rc.decode_freq(self.total)
+        cum = 0
+        f = self.freq
+        sym = 0
+        while cum + f[sym] <= target:
+            cum += f[sym]
+            sym += 1
+        rc.decode_update(cum, f[sym])
+        self._bump(sym)
+        return sym
+
+
+def _arith_entropy_encode(data: bytes, order1: bool) -> bytes:
+    rc = _RangeEncoder()
+    if order1:
+        models = [_AdaptiveModel() for _ in range(256)]
+        last = 0
+        for b in data:
+            models[last].encode(rc, b)
+            last = b
+    else:
+        model = _AdaptiveModel()
+        for b in data:
+            model.encode(rc, b)
+    return rc.finish()
+
+
+def _arith_entropy_decode(buf: bytes, off: int, out_len: int,
+                          order1: bool) -> bytes:
+    rc = _RangeDecoder(buf, off)
+    out = bytearray(out_len)
+    if order1:
+        models = [_AdaptiveModel() for _ in range(256)]
+        last = 0
+        for i in range(out_len):
+            s = models[last].decode(rc)
+            out[i] = s
+            last = s
+    else:
+        model = _AdaptiveModel()
+        for i in range(out_len):
+            out[i] = model.decode(rc)
+    return bytes(out)
+
+
+def arith_encode(data: bytes, flags: int = 0) -> bytes:
+    out = bytearray([0])
+    fmt = flags & (AR_ORDER1 | AR_EXT | AR_STRIPE | AR_NOSZ | AR_CAT
+                   | AR_RLE | AR_PACK)
+    if not (fmt & AR_NOSZ):
+        out += write_uint7(len(data))
+    if fmt & AR_STRIPE:
+        n = 4
+        subs = [data[j::n] for j in range(n)]
+        payloads = [arith_encode(sub, (flags & ~AR_STRIPE) | AR_NOSZ)
+                    for sub in subs]
+        out.append(n)
+        for p in payloads:
+            out += write_uint7(len(p))
+        for p in payloads:
+            out += p
+        out[0] = fmt & ~(AR_CAT | AR_RLE | AR_PACK | AR_EXT)
+        return bytes(out)
+    if fmt & AR_CAT or not data:
+        out[0] = (fmt & AR_NOSZ) | AR_CAT
+        return bytes(out) + data
+    if fmt & AR_EXT:
+        import bz2 as _bz2
+        out[0] = (fmt & (AR_NOSZ | AR_EXT))
+        return bytes(out) + _bz2.compress(data)
+    stage = data
+    if fmt & AR_PACK:
+        packed = _pack_encode(stage)
+        if packed is None:
+            fmt &= ~AR_PACK
+        else:
+            meta, stage = packed
+            out += meta + write_uint7(len(stage))
+    if fmt & AR_RLE:
+        rled = _rle_encode(stage)
+        if rled is None:
+            fmt &= ~AR_RLE
+        else:
+            meta, stage = rled
+            cmeta = _o0_entropy_only_encode(meta)
+            if len(cmeta) + 4 < len(meta):
+                out += write_uint7(len(meta) << 1)
+                out += write_uint7(len(cmeta))
+                out += cmeta
+            else:
+                out += write_uint7((len(meta) << 1) | 1)
+                out += meta
+            out += write_uint7(len(stage))
+    body = _arith_entropy_encode(stage, bool(fmt & AR_ORDER1))
+    out[0] = fmt
+    return bytes(out) + body
+
+
+def arith_decode(buf: bytes, expected_len: Optional[int] = None) -> bytes:
+    try:
+        out, _ = _arith_decode_inner(buf, 0, expected_len)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("corrupt arithmetic block: %s" % exc)
+    return out
+
+
+def _arith_decode_inner(buf: bytes, off: int,
+                        expected_len: Optional[int]) -> Tuple[bytes, int]:
+    fmt = buf[off]
+    off += 1
+    if fmt & AR_NOSZ:
+        if expected_len is None:
+            raise ValueError("arith NOSZ stream needs an external length")
+        out_len = expected_len
+    else:
+        out_len, off = read_uint7(buf, off)
+        if expected_len is not None and out_len != expected_len:
+            raise ValueError("arith length mismatch (%d != declared %d)"
+                             % (out_len, expected_len))
+    _check_plausible(out_len, len(buf))
+    if fmt & AR_STRIPE:
+        n = buf[off]
+        off += 1
+        clens = []
+        for _ in range(n):
+            c, off = read_uint7(buf, off)
+            clens.append(c)
+        subs = []
+        for j in range(n):
+            sub_len = (out_len - j + n - 1) // n
+            sub, _ = _arith_decode_inner(buf[off:off + clens[j]], 0,
+                                         sub_len)
+            subs.append(sub)
+            off += clens[j]
+        out = bytearray(out_len)
+        for j in range(n):
+            out[j::n] = subs[j]
+        return bytes(out), off
+    if fmt & AR_CAT:
+        return bytes(buf[off:off + out_len]), off + out_len
+    if fmt & AR_EXT:
+        import bz2 as _bz2
+        out = _bz2.decompress(buf[off:])
+        if len(out) != out_len:
+            raise ValueError("arith EXT decoded length mismatch")
+        return out, len(buf)
+    unpack = None
+    stage_len = out_len
+    if fmt & AR_PACK:
+        off, stage_len, unpack = _pack_decode(buf, off, out_len)
+    rle_meta = None
+    if fmt & AR_RLE:
+        m, off = read_uint7(buf, off)
+        meta_len = m >> 1
+        if m & 1:
+            rle_meta = buf[off:off + meta_len]
+            off += meta_len
+        else:
+            c_len, off = read_uint7(buf, off)
+            rle_meta = _o0_entropy_only_decode(buf[off:off + c_len],
+                                               meta_len)
+            off += c_len
+        lit_len, off = read_uint7(buf, off)
+    else:
+        lit_len = stage_len
+    stage = _arith_entropy_decode(buf, off, lit_len,
+                                  bool(fmt & AR_ORDER1))
+    if rle_meta is not None:
+        stage = _rle_expand(rle_meta, stage, stage_len)
+    if unpack is not None:
+        stage = unpack(stage)
+    if len(stage) != out_len:
+        raise ValueError("arith decoded length mismatch (%d != %d)"
+                         % (len(stage), out_len))
+    return stage, len(buf)
+
+
+# ---------------------------------------------------------------------------
 # name tokeniser (method 8)
 # ---------------------------------------------------------------------------
 

@@ -128,18 +128,19 @@ def test_31_codec_on_quality_block_is_skipped(tmp_path, use_native):
 
 @pytest.mark.parametrize("use_native", [False, True])
 def test_31_codec_on_needed_block_designed_error(tmp_path, use_native):
-    """fqzcomp/arith stay designed errors when a needed block uses them."""
+    """fqzcomp (the one unimplemented 3.1 codec — a quality-series
+    model) stays a designed error when a needed block uses it."""
     cram, fa, records = _write_cram(tmp_path)
     _set_version(cram, 1)
-    _rewrite_block_method(cram, _W_IDS["RN"], 6)
+    _rewrite_block_method(cram, _W_IDS["RN"], 7)
     if use_native:
         from cutesv_tpu.config import Config
         from cutesv_tpu.io import native as nio
         cfg = Config(min_mapq=0, min_read_len=0, min_siglength=10)
-        with pytest.raises(Exception, match="adaptive arithmetic"):
+        with pytest.raises(Exception, match="fqzcomp"):
             nio.decode(str(cram), cfg, None, reference=str(fa))
     else:
-        with pytest.raises(ValueError, match="adaptive arithmetic"):
+        with pytest.raises(ValueError, match="fqzcomp"):
             with CramReader(str(cram), reference=str(fa)) as cr:
                 list(cr)
 
@@ -184,6 +185,28 @@ def test_full_31_file_decodes_on_both_stacks(tmp_path, use_native,
             w.write(rec)
     raw = c31.read_bytes()
     assert raw[4:6] == bytes([3, 1])
+    assert _read_all(c31, fa, use_native) == _read_all(c30, fa,
+                                                       use_native)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_full_31_arith_file_decodes_on_both_stacks(tmp_path, use_native):
+    """A 3.1 fixture whose external blocks use the adaptive arithmetic
+    coder (method 6) decodes identically to the 3.0 twin."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    c30 = tmp_path / "av30.cram"
+    c31 = tmp_path / "av31.cram"
+    with CramWriter(str(c30), refs, store_quals=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramWriter(str(c31), refs, store_quals=True, version=(3, 1),
+                    arith=True, rans_order=1) as w:
+        for rec in records:
+            w.write(rec)
+    assert c31.read_bytes()[4:6] == bytes([3, 1])
     assert _read_all(c31, fa, use_native) == _read_all(c30, fa,
                                                        use_native)
 

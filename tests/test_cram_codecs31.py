@@ -9,8 +9,11 @@ import struct
 
 import pytest
 
-from cutesv_tpu.io.cram_codecs31 import (NX_CAT, NX_N32, NX_ORDER1,
+from cutesv_tpu.io.cram_codecs31 import (AR_CAT, AR_EXT, AR_ORDER1,
+                                         AR_PACK, AR_RLE, AR_STRIPE,
+                                         NX_CAT, NX_N32, NX_ORDER1,
                                          NX_PACK, NX_RLE, NX_STRIPE,
+                                         arith_decode, arith_encode,
                                          name_tok_decode, name_tok_encode,
                                          rans_nx16_decode,
                                          rans_nx16_encode, read_uint7,
@@ -152,6 +155,70 @@ def test_uint7_roundtrip():
     assert write_uint7(0) == b"\x00"
     assert write_uint7(127) == b"\x7f"
     assert write_uint7(128) == b"\x81\x00"
+
+
+def _arith_flag_grid():
+    flags = set()
+    for order in (0, AR_ORDER1):
+        for extra in (0, AR_RLE, AR_PACK, AR_RLE | AR_PACK, AR_STRIPE,
+                      AR_CAT, AR_EXT):
+            flags.add(order | extra)
+    return sorted(flags)
+
+
+@pytest.mark.parametrize("flags", _arith_flag_grid())
+def test_arith_roundtrip_grid(flags):
+    for name, data in _datasets().items():
+        enc = arith_encode(data, flags)
+        assert arith_decode(enc, len(data)) == data, (name, hex(flags))
+        assert arith_decode(enc) == data, (name, hex(flags))
+
+
+def test_arith_fuzz_roundtrip():
+    rng = random.Random(31)
+    grid = _arith_flag_grid()
+    for _ in range(50):
+        n = rng.randrange(0, 3000)
+        alphabet = rng.randrange(1, 257)
+        data = bytes(rng.randrange(alphabet) for _ in range(n))
+        fl = rng.choice(grid)
+        assert arith_decode(arith_encode(data, fl), n) == data
+
+
+def test_arith_order1_adapts_to_digraphs():
+    data = b"ACACACAGTGTGTGT" * 300
+    o0 = arith_encode(data, 0)
+    o1 = arith_encode(data, AR_ORDER1)
+    assert arith_decode(o1, len(data)) == data
+    assert len(o1) < len(o0) // 2
+
+
+def test_arith_ext_is_bzip2():
+    import bz2
+
+    data = b"external payload " * 100
+    enc = arith_encode(data, AR_EXT)
+    assert enc[0] & AR_EXT
+    _, off = read_uint7(enc, 1)
+    assert bz2.decompress(enc[off:]) == data
+    assert arith_decode(enc, len(data)) == data
+
+
+def test_arith_corrupt_raises_valueerror():
+    data = bytes(range(256)) * 4
+    enc = arith_encode(data, AR_ORDER1 | AR_RLE)
+    rng = random.Random(13)
+    for _ in range(30):
+        blob = bytearray(enc)
+        for _ in range(3):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            out = arith_decode(bytes(blob), len(data))
+            assert len(out) == len(data)  # adaptive coder: wrong-but-sized
+        except ValueError:
+            pass
+    with pytest.raises(ValueError):
+        arith_decode(bytes([0x10]) + b"\x00" * 8, 1 << 40)
 
 
 def _names_blob(names):
