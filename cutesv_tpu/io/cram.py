@@ -30,9 +30,9 @@ from cutesv_tpu.io.cram_codecs import (rans_decode, rans_encode_o0,
 
 CRAM_MAGIC = b"CRAM"
 
-# block compression methods (5/6/8 are the CRAM 3.1 additions we decode)
+# block compression methods (5-8 are the CRAM 3.1 additions we decode)
 RAW, GZIP, BZIP2, LZMA, RANS = 0, 1, 2, 3, 4
-NX16, ARITH, TOK = 5, 6, 8
+NX16, ARITH, FQZ, TOK = 5, 6, 7, 8
 # block content types
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
 CT_EXTERNAL, CT_CORE = 4, 5
@@ -72,13 +72,10 @@ def _gzip_compress(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
-# The one CRAM 3.1 codec we do not implement (hts-specs CRAMcodecs):
-# fqzcomp is a quality-series model and quality blocks are never needed
-# here, so lazy block decompression skips it; it only errors if a
-# crafted file puts fqzcomp on a needed block. rANS-Nx16 (5), adaptive
-# arithmetic (6) and the name tokeniser (8) ARE implemented —
-# cram_codecs31.py.
-_V31_METHODS = {7: "fqzcomp"}
+# All four CRAM 3.1 codecs decode (cram_codecs31.py): rANS-Nx16 (5),
+# adaptive arithmetic (6), fqzcomp (7), name tokeniser (8). Blocks
+# still decompress lazily, so quality blocks (fqzcomp's real use) are
+# usually skipped without paying their codec at all.
 
 
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
@@ -98,15 +95,12 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     elif method == ARITH:
         from cutesv_tpu.io.cram_codecs31 import arith_decode
         out = arith_decode(data, raw_size)
+    elif method == FQZ:
+        from cutesv_tpu.io.cram_codecs31 import fqz_decode
+        out = fqz_decode(data, raw_size)
     elif method == TOK:
         from cutesv_tpu.io.cram_codecs31 import name_tok_decode
         out = name_tok_decode(data)
-    elif method in _V31_METHODS:
-        raise ValueError(
-            "CRAM block uses the 3.1-only codec %s (method %d); this "
-            "build decodes the CRAM 3.0 codec set — re-encode with "
-            "'samtools view -C -O cram,version=3.0'"
-            % (_V31_METHODS[method], method))
     else:
         raise ValueError("unsupported CRAM block compression method %d"
                          % method)
@@ -117,8 +111,9 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
 
 def write_block(out, method: int, content_type: int, content_id: int,
-                data: bytes, rans_order: int = 0):
-    comp = _compress(method, data, rans_order)
+                data: bytes, rans_order: int = 0, precompressed=None):
+    comp = (precompressed if precompressed is not None
+            else _compress(method, data, rans_order))
     if len(comp) >= len(data) and method != RAW:
         method, comp = RAW, data
     blob = bytearray()
@@ -906,7 +901,7 @@ class CramWriter:
                  ref_seqs=None, core_series: bool = False,
                  detached_mates: bool = False, multi_ref: bool = False,
                  rans_order: int = 0, store_quals: bool = False,
-                 version=(3, 0), arith: bool = False):
+                 version=(3, 0), arith: bool = False, fqz: bool = False):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -936,6 +931,15 @@ class CramWriter:
         self.rans_order = rans_order
         self.version = tuple(version)
         self._arith = arith
+        # fqz: True -> fqzcomp the QS stream (its real use); a set of
+        # series keys -> fqzcomp those streams (test fixtures that need
+        # the codec on a block readers actually consume)
+        if fqz is True:
+            self._fqz_ids = {_W_IDS["QS"]}
+        elif fqz:
+            self._fqz_ids = {_W_IDS[k] for k in fqz}
+        else:
+            self._fqz_ids = set()
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -1212,6 +1216,17 @@ class CramWriter:
             data = bytes(streams.get(cid, b"")
                          or tag_streams.get(cid, b""))
             if self.version >= (3, 1):
+                if cid in self._fqz_ids and data:
+                    # fqzcomp the stream; record spans chunked (any
+                    # positive split reproduces the bytes)
+                    from cutesv_tpu.io.cram_codecs31 import fqz_encode
+                    lens, left = [], len(data)
+                    while left > 0:
+                        lens.append(min(1000, left))
+                        left -= lens[-1]
+                    write_block(buf, FQZ, CT_EXTERNAL, cid, data,
+                                precompressed=fqz_encode(data, lens))
+                    continue
                 method = (TOK if cid == _W_IDS["RN"]
                           else (ARITH if self._arith else NX16))
             else:

@@ -967,6 +967,199 @@ def _arith_decode_inner(buf: bytes, off: int,
 
 
 # ---------------------------------------------------------------------------
+# fqzcomp quality codec (method 7)
+# ---------------------------------------------------------------------------
+#
+# CRAM 3.1's quality-series model: the same range coder as method 6
+# driven by a 16-bit context built from recent quality history, read
+# position and run-delta, with per-parameter tables (qmap/qtab/ptab) and
+# record lengths coded in-stream (FQZ_DO_LEN). This implements the
+# spec's single-parameter profile (vers 5, no selector/stab/rev);
+# lookup tables are serialized as (value, run) uint7 pairs — a
+# documented framing simplification under the module's interop caveat.
+
+FQZ_DO_DEDUP = 0x02
+FQZ_DO_LEN = 0x04
+FQZ_DO_SEL = 0x08
+FQZ_HAVE_QMAP = 0x10
+FQZ_HAVE_PTAB = 0x20
+FQZ_HAVE_DTAB = 0x40
+FQZ_HAVE_QTAB = 0x80
+
+_FQZ_VERS = 5
+_FQZ_QBITS, _FQZ_QSHIFT, _FQZ_QLOC = 12, 5, 0
+_FQZ_PBITS, _FQZ_PLOC = 4, 12
+
+
+def _fqz_ptab():
+    # log2-bucketed position table (4 bits)
+    return [min(15, max(0, i.bit_length())) for i in range(1024)]
+
+
+def _write_table(vals) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(vals)
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        out += write_uint7(vals[i])
+        out += write_uint7(j - i)
+        i = j
+    return bytes(out)
+
+
+def _read_table(buf: bytes, off: int, n: int):
+    vals = []
+    while len(vals) < n:
+        v, off = read_uint7(buf, off)
+        run, off = read_uint7(buf, off)
+        if run == 0 or len(vals) + run > n:
+            raise ValueError("fqzcomp table run overflow")
+        vals.extend([v] * run)
+    return vals, off
+
+
+def fqz_encode(data: bytes, rec_lens: List[int]) -> bytes:
+    """Encode concatenated per-record quality strings; ``rec_lens`` are
+    the record boundaries (must sum to len(data))."""
+    if sum(rec_lens) != len(data):
+        raise ValueError("fqzcomp record lengths do not cover the data")
+    if any(l <= 0 for l in rec_lens):
+        raise ValueError("fqzcomp record lengths must be positive")
+    syms = sorted(set(data)) or [0]
+    if len(syms) > 255:
+        raise ValueError("fqzcomp alphabet too large")
+    qmap_inv = {s: i for i, s in enumerate(syms)}
+    max_sym = len(syms)
+    qtab = [min((1 << _FQZ_QSHIFT) - 1, qmap_inv.get(q, 0))
+            for q in range(256)]
+    ptab = _fqz_ptab()
+    head = bytearray([_FQZ_VERS, 0])  # gflags 0: single param
+    head += struct.pack("<H", 0)      # starting context
+    head.append(FQZ_DO_LEN | FQZ_HAVE_QMAP | FQZ_HAVE_QTAB
+                | FQZ_HAVE_PTAB)
+    head.append(max_sym)
+    head.append((_FQZ_QBITS << 4) | _FQZ_QSHIFT)
+    head.append((_FQZ_PBITS << 4) | 0)
+    head.append(0)                    # dbits/dshift unused
+    head.append((_FQZ_QLOC << 4) | 0)
+    head.append((_FQZ_PLOC << 4) | 0)
+    head += bytes(syms)               # qmap
+    head += _write_table(qtab)
+    head += _write_table(ptab)
+    rc = _RangeEncoder()
+    len_models = [_AdaptiveModel() for _ in range(4)]
+    qmodels = {}
+    qmask = (1 << _FQZ_QBITS) - 1
+    pos = 0
+    for rlen in rec_lens:
+        for k in range(4):
+            len_models[k].encode(rc, (rlen >> (8 * k)) & 0xFF)
+        ctx = 0
+        qctx = 0
+        p = rlen
+        for j in range(rlen):
+            q = qmap_inv[data[pos + j]]
+            model = qmodels.get(ctx)
+            if model is None:
+                model = qmodels[ctx] = _AdaptiveModel(max_sym)
+            model.encode(rc, q)
+            qctx = ((qctx << _FQZ_QSHIFT) + qtab[data[pos + j]]) \
+                & 0xFFFFFFFF
+            ctx = ((qctx & qmask) << _FQZ_QLOC) \
+                + (ptab[min(1023, p)] << _FQZ_PLOC)
+            ctx &= 0xFFFF
+            p -= 1
+        pos += rlen
+    return bytes(head) + write_uint7(len(rec_lens)) + rc.finish()
+
+
+def fqz_decode(buf: bytes, expected_len: Optional[int] = None) -> bytes:
+    try:
+        return _fqz_decode_inner(buf, expected_len)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("corrupt fqzcomp block: %s" % exc)
+
+
+def _fqz_decode_inner(buf: bytes, expected_len: Optional[int]) -> bytes:
+    if len(buf) < 11:
+        raise ValueError("fqzcomp block too short")
+    vers, gflags = buf[0], buf[1]
+    if vers != _FQZ_VERS:
+        raise ValueError("fqzcomp version %d unsupported" % vers)
+    if gflags:
+        raise ValueError("fqzcomp multi-param/selector/reverse profiles "
+                         "not supported (gflags=%d)" % gflags)
+    off = 2
+    struct.unpack_from("<H", buf, off)  # starting context (always 0 here)
+    off += 2
+    pflags = buf[off]
+    off += 1
+    max_sym = buf[off]
+    off += 1
+    qb = buf[off]
+    qbits, qshift = qb >> 4, qb & 0x0F
+    off += 1
+    pb = buf[off]
+    pbits = pb >> 4
+    off += 1
+    off += 1  # dbits/dshift unused in this profile
+    ql = buf[off]
+    qloc = ql >> 4
+    off += 1
+    pl = buf[off]
+    ploc = pl >> 4
+    off += 1
+    if not (pflags & FQZ_DO_LEN):
+        raise ValueError("fqzcomp fixed-length profile not supported")
+    qmap = list(range(256))
+    if pflags & FQZ_HAVE_QMAP:
+        qmap = list(buf[off:off + max_sym])
+        off += max_sym
+    qtab = list(range(256))
+    if pflags & FQZ_HAVE_QTAB:
+        qtab, off = _read_table(buf, off, 256)
+    ptab = [0] * 1024
+    if pflags & FQZ_HAVE_PTAB:
+        ptab, off = _read_table(buf, off, 1024)
+    n_recs, off = read_uint7(buf, off)
+    _check_plausible(n_recs, len(buf))
+    rc = _RangeDecoder(buf, off)
+    len_models = [_AdaptiveModel() for _ in range(4)]
+    qmodels = {}
+    qmask = (1 << qbits) - 1
+    out = bytearray()
+    for _ in range(n_recs):
+        rlen = 0
+        for k in range(4):
+            rlen |= len_models[k].decode(rc) << (8 * k)
+        _check_plausible(len(out) + rlen, len(buf))
+        ctx = 0
+        qctx = 0
+        p = rlen
+        for _j in range(rlen):
+            model = qmodels.get(ctx)
+            if model is None:
+                model = qmodels[ctx] = _AdaptiveModel(max_sym)
+            q = model.decode(rc)
+            if q >= max_sym:
+                raise ValueError("fqzcomp symbol out of range")
+            out.append(qmap[q])
+            qraw = qmap[q]
+            qctx = ((qctx << qshift) + qtab[qraw]) & 0xFFFFFFFF
+            ctx = ((qctx & qmask) << qloc) \
+                + ((ptab[min(1023, p)] << ploc) if pbits else 0)
+            ctx &= 0xFFFF
+            p -= 1
+    if expected_len is not None and len(out) != expected_len:
+        raise ValueError("fqzcomp decoded length mismatch (%d != %d)"
+                         % (len(out), expected_len))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # name tokeniser (method 8)
 # ---------------------------------------------------------------------------
 

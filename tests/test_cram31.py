@@ -127,9 +127,10 @@ def test_31_codec_on_quality_block_is_skipped(tmp_path, use_native):
 
 
 @pytest.mark.parametrize("use_native", [False, True])
-def test_31_codec_on_needed_block_designed_error(tmp_path, use_native):
-    """fqzcomp (the one unimplemented 3.1 codec — a quality-series
-    model) stays a designed error when a needed block uses it."""
+def test_corrupt_fqz_needed_block_fails_loudly(tmp_path, use_native):
+    """A method-7 block with garbage payload is a loud fqzcomp error on
+    both stacks (unsupported version / corrupt stream), never a silent
+    misdecode."""
     cram, fa, records = _write_cram(tmp_path)
     _set_version(cram, 1)
     _rewrite_block_method(cram, _W_IDS["RN"], 7)
@@ -143,6 +144,51 @@ def test_31_codec_on_needed_block_designed_error(tmp_path, use_native):
         with pytest.raises(ValueError, match="fqzcomp"):
             with CramReader(str(cram), reference=str(fa)) as cr:
                 list(cr)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_fqz_quality_blocks_decode_or_skip(tmp_path, use_native):
+    """A 3.1 file with fqzcomp'd quality blocks (the codec's real use)
+    decodes fine — readers skip quality content lazily, and the python
+    block decoder can also decompress it directly."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    c30 = tmp_path / "q30.cram"
+    c31 = tmp_path / "q31.cram"
+    with CramWriter(str(c30), refs, store_quals=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramWriter(str(c31), refs, store_quals=True, version=(3, 1),
+                    fqz=True) as w:
+        for rec in records:
+            w.write(rec)
+    assert _read_all(c31, fa, use_native) == _read_all(c30, fa,
+                                                       use_native)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_fqz_on_needed_blocks_decodes_both_stacks(tmp_path, use_native):
+    """fqzcomp on blocks the readers actually consume (RN/BF/AP) —
+    drives the real fqz decode path on both stacks through file reads."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    c30 = tmp_path / "n30.cram"
+    c31 = tmp_path / "n31.cram"
+    with CramWriter(str(c30), refs, store_quals=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramWriter(str(c31), refs, store_quals=True, version=(3, 1),
+                    fqz={"RN", "BF", "AP"}) as w:
+        for rec in records:
+            w.write(rec)
+    assert _read_all(c31, fa, use_native) == _read_all(c30, fa,
+                                                       use_native)
+    with CramReader(str(c31), reference=str(fa)) as cr:
+        assert [r.qname for r in cr] == [r.qname for r in records]
 
 
 @pytest.mark.parametrize("use_native", [False, True])

@@ -14,6 +14,7 @@ from cutesv_tpu.io.cram_codecs31 import (AR_CAT, AR_EXT, AR_ORDER1,
                                          NX_CAT, NX_N32, NX_ORDER1,
                                          NX_PACK, NX_RLE, NX_STRIPE,
                                          arith_decode, arith_encode,
+                                         fqz_decode, fqz_encode,
                                          name_tok_decode, name_tok_encode,
                                          rans_nx16_decode,
                                          rans_nx16_encode, read_uint7,
@@ -219,6 +220,77 @@ def test_arith_corrupt_raises_valueerror():
             pass
     with pytest.raises(ValueError):
         arith_decode(bytes([0x10]) + b"\x00" * 8, 1 << 40)
+
+
+def _quals(rng, n_recs, maxlen, alphabet):
+    lens = [rng.randrange(1, maxlen) for _ in range(n_recs)]
+    data = bytes(rng.choice(alphabet) for _ in range(sum(lens)))
+    return data, lens
+
+
+def test_fqz_roundtrip_families():
+    rng = random.Random(17)
+    cases = [
+        (b"", []),
+        (b"\xff" * 500, [100] * 5),           # the writer's qual profile
+        _quals(rng, 50, 150, bytes([30])),
+        _quals(rng, 80, 120, bytes([20, 25, 30, 35])),
+        _quals(rng, 40, 300, bytes(range(60))),
+        _quals(rng, 10, 5, b"ABC"),
+        (bytes(range(255)), [255]),           # near-full alphabet
+    ]
+    for data, lens in cases:
+        enc = fqz_encode(data, lens)
+        assert fqz_decode(enc, len(data)) == data
+        assert fqz_decode(enc) == data
+
+
+def test_fqz_models_correlated_quals_well():
+    rng = random.Random(23)
+    lens = [rng.randrange(800, 1200) for _ in range(30)]
+    data = bytearray()
+    for l in lens:
+        q = 35
+        for _ in range(l):
+            q = max(0, min(50, q + rng.choice([-1, 0, 0, 0, 1])))
+            data.append(q + 33)
+    data = bytes(data)
+    enc = fqz_encode(data, lens)
+    assert fqz_decode(enc, len(data)) == data
+    assert len(enc) < len(data) // 2
+
+
+def test_fqz_rejects_bad_record_lengths():
+    with pytest.raises(ValueError):
+        fqz_encode(b"abc", [2])       # lengths don't cover data
+    with pytest.raises(ValueError):
+        fqz_encode(b"abc", [3, 0])    # zero-length record
+
+
+def test_fqz_unsupported_profiles_designed_errors():
+    enc = bytearray(fqz_encode(b"\xff" * 64, [64]))
+    bad_vers = bytes([9]) + bytes(enc[1:])
+    with pytest.raises(ValueError, match="version"):
+        fqz_decode(bad_vers, 64)
+    bad_gflags = bytes([enc[0], 7]) + bytes(enc[2:])
+    with pytest.raises(ValueError, match="profiles not supported"):
+        fqz_decode(bad_gflags, 64)
+
+
+def test_fqz_corrupt_raises_valueerror():
+    data, lens = b"\x21" * 300, [100] * 3
+    enc = fqz_encode(data, lens)
+    rng = random.Random(41)
+    for _ in range(30):
+        blob = bytearray(enc)
+        for _ in range(3):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            fqz_decode(bytes(blob), len(data))
+        except ValueError:
+            pass
+    with pytest.raises(ValueError):
+        fqz_decode(enc[:8], len(data))
 
 
 def _names_blob(names):
