@@ -54,6 +54,13 @@ def write_uint7(v: int) -> bytes:
     return bytes(reversed(out))
 
 
+def _need(buf: bytes, off: int, n: int):
+    # mirror of the native decoder's cram_need: a sliced read that would
+    # come back short is a loud error, not silently-truncated data
+    if off + n > len(buf):
+        raise ValueError("varint/stream overrun")
+
+
 def read_uint7(buf: bytes, off: int) -> Tuple[int, int]:
     v = 0
     while True:
@@ -62,6 +69,8 @@ def read_uint7(buf: bytes, off: int) -> Tuple[int, int]:
         v = (v << 7) | (b & 0x7F)
         if not (b & 0x80):
             return v, off
+        if v > 1 << 42:
+            raise ValueError("uint7 overflow")
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +211,8 @@ def _o0_decode(buf: bytes, off: int, raw_len: int, n_states: int
     freqs = [0] * 256
     for s in freq_syms:
         freqs[s], off = read_uint7(buf, off)
+        if freqs[s] > 0xFFFFFFFF:
+            raise ValueError("rANS-Nx16 frequency out of range")
     freqs = _normalise(freqs)
     cum, table = _lookup(freqs)
     states = list(struct.unpack_from("<%dI" % n_states, buf, off))
@@ -308,6 +319,7 @@ def _o1_decode(buf: bytes, off: int, raw_len: int, n_states: int
     if comp & 1:
         u_len, off = read_uint7(buf, off)
         c_len, off = read_uint7(buf, off)
+        _need(buf, off, c_len)
         body = _o0_entropy_only_decode(buf[off:off + c_len], u_len)
         off += c_len
         boff = 0
@@ -327,6 +339,9 @@ def _o1_decode(buf: bytes, off: int, raw_len: int, n_states: int
                 boff += 1
                 j += run + 1
             else:
+                if f > 0xFFFFFFFF:
+                    raise ValueError("rANS-Nx16 o1 frequency out of "
+                                     "range")
                 row[alpha[j]] = f
                 j += 1
         row = _normalise(row)
@@ -420,6 +435,9 @@ def _pack_decode(buf: bytes, off: int, out_len: int):
     """Returns (meta-consumed new offset, packed_len, expand_fn)."""
     nsym = buf[off]
     off += 1
+    if nsym > 16:
+        raise ValueError("pack alphabet too large")
+    _need(buf, off, nsym)
     syms = buf[off:off + nsym]
     off += nsym
     packed_len, off = read_uint7(buf, off)
@@ -608,12 +626,15 @@ def _nx16_decode_inner(buf: bytes, off: int,
     if fmt & NX_STRIPE:
         n = buf[off]
         off += 1
+        if n <= 0:
+            raise ValueError("rANS-Nx16 stripe count")
         clens = []
         for _ in range(n):
             c, off = read_uint7(buf, off)
             clens.append(c)
         subs = []
         for j in range(n):
+            _need(buf, off, clens[j])
             sub_len = (out_len - j + n - 1) // n
             sub, _ = _nx16_decode_inner(buf[off:off + clens[j]], 0,
                                         sub_len)
@@ -624,6 +645,7 @@ def _nx16_decode_inner(buf: bytes, off: int,
             out[j::n] = subs[j]
         return bytes(out), off
     if fmt & NX_CAT:
+        _need(buf, off, out_len)
         return bytes(buf[off:off + out_len]), off + out_len
     unpack = None
     stage_len = out_len
@@ -634,10 +656,12 @@ def _nx16_decode_inner(buf: bytes, off: int,
         m, off = read_uint7(buf, off)
         meta_len = m >> 1
         if m & 1:
+            _need(buf, off, meta_len)
             rle_meta = buf[off:off + meta_len]
             off += meta_len
         else:
             c_len, off = read_uint7(buf, off)
+            _need(buf, off, c_len)
             rle_meta = _o0_entropy_only_decode(buf[off:off + c_len],
                                                meta_len)
             off += c_len
@@ -912,12 +936,15 @@ def _arith_decode_inner(buf: bytes, off: int,
     if fmt & AR_STRIPE:
         n = buf[off]
         off += 1
+        if n <= 0:
+            raise ValueError("arith stripe count")
         clens = []
         for _ in range(n):
             c, off = read_uint7(buf, off)
             clens.append(c)
         subs = []
         for j in range(n):
+            _need(buf, off, clens[j])
             sub_len = (out_len - j + n - 1) // n
             sub, _ = _arith_decode_inner(buf[off:off + clens[j]], 0,
                                          sub_len)
@@ -928,10 +955,14 @@ def _arith_decode_inner(buf: bytes, off: int,
             out[j::n] = subs[j]
         return bytes(out), off
     if fmt & AR_CAT:
+        _need(buf, off, out_len)
         return bytes(buf[off:off + out_len]), off + out_len
     if fmt & AR_EXT:
         import bz2 as _bz2
-        out = _bz2.decompress(buf[off:])
+        try:
+            out = _bz2.decompress(buf[off:])
+        except (OSError, EOFError, ValueError) as exc:
+            raise ValueError("arith EXT bzip2 decode failed: %s" % exc)
         if len(out) != out_len:
             raise ValueError("arith EXT decoded length mismatch")
         return out, len(buf)
@@ -944,10 +975,12 @@ def _arith_decode_inner(buf: bytes, off: int,
         m, off = read_uint7(buf, off)
         meta_len = m >> 1
         if m & 1:
+            _need(buf, off, meta_len)
             rle_meta = buf[off:off + meta_len]
             off += meta_len
         else:
             c_len, off = read_uint7(buf, off)
+            _need(buf, off, c_len)
             rle_meta = _o0_entropy_only_decode(buf[off:off + c_len],
                                                meta_len)
             off += c_len
@@ -1116,6 +1149,7 @@ def _fqz_decode_inner(buf: bytes, expected_len: Optional[int]) -> bytes:
         raise ValueError("fqzcomp fixed-length profile not supported")
     qmap = list(range(256))
     if pflags & FQZ_HAVE_QMAP:
+        _need(buf, off, max_sym)
         qmap = list(buf[off:off + max_sym])
         off += max_sym
     qtab = list(range(256))
@@ -1324,16 +1358,24 @@ def _name_tok_decode_inner(buf: bytes) -> bytes:
             raise ValueError("name tokeniser: missing stream (%d,%d)"
                              % (col, ttype))
         data, pos = st
+        if pos + n > len(data):
+            raise ValueError("name tokeniser: stream underrun")
         st[1] = pos + n
         return data[pos:pos + n]
 
     def take_uint7(col, ttype) -> int:
-        st = streams[(col, ttype)]
+        st = streams.get((col, ttype))
+        if st is None:
+            raise ValueError("name tokeniser: missing stream (%d,%d)"
+                             % (col, ttype))
         v, st[1] = read_uint7(st[0], st[1])
         return v
 
     def take_string(col) -> bytes:
-        st = streams[(col, T_STRING)]
+        st = streams.get((col, T_STRING))
+        if st is None:
+            raise ValueError("name tokeniser: missing stream (%d,%d)"
+                             % (col, T_STRING))
         data, pos = st
         end = data.index(0, pos)
         st[1] = end + 1
@@ -1345,6 +1387,8 @@ def _name_tok_decode_inner(buf: bytes) -> bytes:
         head = take(0, T_TYPE)[0]
         if head == T_DUP:
             dist = take_uint7(0, T_DUP)
+            if dist == 0 or dist > len(names):
+                raise ValueError("name tokeniser: bad DUP distance")
             names.append(names[-dist])
             continue
         if head != T_DIFF:
@@ -1357,6 +1401,9 @@ def _name_tok_decode_inner(buf: bytes) -> bytes:
             ttype = take(col, T_TYPE)[0]
             if ttype == T_END:
                 break
+            if ttype in (T_MATCH, T_DELTA, T_DELTA0) and (
+                    prev_toks is None or col - 1 >= len(prev_toks)):
+                raise ValueError("name tokeniser: no previous token")
             if ttype == T_MATCH:
                 toks.append(prev_toks[col - 1])
             elif ttype == T_DELTA:

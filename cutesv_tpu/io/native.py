@@ -70,8 +70,32 @@ def get_lib():
                                   ctypes.POINTER(ctypes.c_void_p),
                                   ctypes.POINTER(ctypes.c_int64)]
     lib.bamdecode_free.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_block_decode.restype = ctypes.c_void_p
+    lib.bamdecode_block_decode.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_char_p)]
+    lib.bamdecode_block_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def block_decode(method: int, data: bytes, raw_size: int) -> bytes:
+    """Decompress one CRAM block payload through the native decoder
+    (test seam for python-vs-native codec differentials). Raises
+    ValueError with the native message on failure."""
+    lib = get_lib()
+    out_len = ctypes.c_int64()
+    err = ctypes.c_char_p()
+    ptr = lib.bamdecode_block_decode(method, data, len(data), raw_size,
+                                     ctypes.byref(out_len),
+                                     ctypes.byref(err))
+    if not ptr:
+        raise ValueError("native block decode: %s"
+                         % (err.value or b"?").decode())
+    try:
+        return ctypes.string_at(ptr, out_len.value)
+    finally:
+        lib.bamdecode_block_free(ptr)
 
 
 _DTYPES = {  # field id -> numpy dtype (None = raw bytes)

@@ -1843,4 +1843,40 @@ void bamdecode_free(CResult* r) {
   delete r;
 }
 
+// Test seam: decompress one CRAM block payload with the given method id
+// (0-8), for direct python-vs-native codec differentials without
+// crafting whole container files. Returns a malloc'd buffer the caller
+// frees with bamdecode_block_free; on failure returns nullptr and
+// writes a static error string pointer to *err.
+char* bamdecode_block_decode(int method, const uint8_t* data, int64_t len,
+                             int64_t raw_size, int64_t* out_len,
+                             const char** err) {
+  static thread_local std::string err_buf;
+  *out_len = 0;
+  *err = nullptr;
+  try {
+    CramBlock blk;
+    blk.method = method;
+    blk.comp = data;
+    blk.comp_len = (size_t)len;
+    blk.raw_size = raw_size;
+    blk.decompress();
+    char* out = (char*)malloc(blk.data.size() ? blk.data.size() : 1);
+    if (!out) throw std::bad_alloc();
+    memcpy(out, blk.data.data(), blk.data.size());
+    *out_len = (int64_t)blk.data.size();
+    return out;
+  } catch (const std::exception& e) {
+    err_buf = e.what();
+    *err = err_buf.c_str();
+    return nullptr;
+  } catch (...) {
+    err_buf = "unknown native block decode failure";
+    *err = err_buf.c_str();
+    return nullptr;
+  }
+}
+
+void bamdecode_block_free(char* p) { free(p); }
+
 }  // extern "C"
