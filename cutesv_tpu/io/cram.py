@@ -78,6 +78,20 @@ def _gzip_compress(data: bytes) -> bytes:
 # usually skipped without paying their codec at all.
 
 
+def _interop_gate(method: int):
+    """CUTESV_CRAM31_INTEROP=strict turns the codecs whose wire format
+    has never been validated against htscodecs-produced files (methods
+    6/7/8 — see cram_codecs31.py's docstring) into loud unsupported
+    errors instead of risking a silently wrong decode of a real
+    htslib-written 3.1 file. Mirrored by the native decoder."""
+    import os
+    if os.environ.get("CUTESV_CRAM31_INTEROP") == "strict":
+        raise ValueError(
+            "CRAM 3.1 method %d disabled by CUTESV_CRAM31_INTEROP="
+            "strict (wire format is self-validated only; re-encode the "
+            "input as CRAM 3.0/BAM)" % method)
+
+
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     if method == RAW:
         out = data
@@ -94,12 +108,15 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         out = rans_nx16_decode(data, raw_size)
     elif method == ARITH:
         from cutesv_tpu.io.cram_codecs31 import arith_decode
+        _interop_gate(method)
         out = arith_decode(data, raw_size)
     elif method == FQZ:
         from cutesv_tpu.io.cram_codecs31 import fqz_decode
+        _interop_gate(method)
         out = fqz_decode(data, raw_size)
     elif method == TOK:
         from cutesv_tpu.io.cram_codecs31 import name_tok_decode
+        _interop_gate(method)
         out = name_tok_decode(data)
     else:
         raise ValueError("unsupported CRAM block compression method %d"

@@ -227,7 +227,9 @@ def _o0_decode(buf: bytes, off: int, raw_len: int, n_states: int
         s = table[m]
         out[i] = s
         x = freqs[s] * (x >> _SHIFT) + m - cum[s]
-        if x < _LOW and off + 1 < n_buf:
+        if x < _LOW:
+            if off + 1 >= n_buf:
+                raise ValueError("rANS-Nx16 payload truncated mid-renorm")
             x = (x << 16) | buf[off] | (buf[off + 1] << 8)
             off += 2
         states[k] = x
@@ -369,7 +371,10 @@ def _o1_decode(buf: bytes, off: int, raw_len: int, n_states: int
             s = table[m]
             out[i] = s
             x = freqs[ctx][s] * (x >> _SHIFT) + m - cum[s]
-            if x < _LOW and off + 1 < n_buf:
+            if x < _LOW:
+                if off + 1 >= n_buf:
+                    raise ValueError("rANS-Nx16 payload truncated "
+                                     "mid-renorm")
                 x = (x << 16) | buf[off] | (buf[off + 1] << 8)
                 off += 2
             states[k] = x
@@ -385,7 +390,9 @@ def _o1_decode(buf: bytes, off: int, raw_len: int, n_states: int
         s = table[m]
         out[i] = s
         x = freqs[ctx][s] * (x >> _SHIFT) + m - cum[s]
-        if x < _LOW and off + 1 < n_buf:
+        if x < _LOW:
+            if off + 1 >= n_buf:
+                raise ValueError("rANS-Nx16 payload truncated mid-renorm")
             x = (x << 16) | buf[off] | (buf[off + 1] << 8)
             off += 2
         states[k] = x
@@ -597,6 +604,11 @@ def rans_nx16_encode(data: bytes, flags: int = 0) -> bytes:
     return bytes(out) + body
 
 
+# maximum nesting of STRIPE sub-streams (a crafted block could otherwise
+# recurse one level per ~3 payload bytes and blow the stack)
+_MAX_STRIPE_DEPTH = 8
+
+
 def rans_nx16_decode(buf: bytes, expected_len: Optional[int] = None
                      ) -> bytes:
     try:
@@ -609,7 +621,8 @@ def rans_nx16_decode(buf: bytes, expected_len: Optional[int] = None
 
 
 def _nx16_decode_inner(buf: bytes, off: int,
-                       expected_len: Optional[int]) -> Tuple[bytes, int]:
+                       expected_len: Optional[int],
+                       depth: int = 0) -> Tuple[bytes, int]:
     fmt = buf[off]
     off += 1
     if fmt & NX_NOSZ:
@@ -624,6 +637,8 @@ def _nx16_decode_inner(buf: bytes, off: int,
                              "%d)" % (out_len, expected_len))
     _check_plausible(out_len, len(buf))
     if fmt & NX_STRIPE:
+        if depth >= _MAX_STRIPE_DEPTH:
+            raise ValueError("rANS-Nx16 stripe nesting too deep")
         n = buf[off]
         off += 1
         if n <= 0:
@@ -637,7 +652,7 @@ def _nx16_decode_inner(buf: bytes, off: int,
             _need(buf, off, clens[j])
             sub_len = (out_len - j + n - 1) // n
             sub, _ = _nx16_decode_inner(buf[off:off + clens[j]], 0,
-                                        sub_len)
+                                        sub_len, depth + 1)
             subs.append(sub)
             off += clens[j]
         out = bytearray(out_len)
@@ -651,10 +666,12 @@ def _nx16_decode_inner(buf: bytes, off: int,
     stage_len = out_len
     if fmt & NX_PACK:
         off, stage_len, unpack = _pack_decode(buf, off, out_len)
+        _check_plausible(stage_len, len(buf))
     rle_meta = None
     if fmt & NX_RLE:
         m, off = read_uint7(buf, off)
         meta_len = m >> 1
+        _check_plausible(meta_len, len(buf))
         if m & 1:
             _need(buf, off, meta_len)
             rle_meta = buf[off:off + meta_len]
@@ -666,6 +683,7 @@ def _nx16_decode_inner(buf: bytes, off: int,
                                                meta_len)
             off += c_len
         lit_len, off = read_uint7(buf, off)
+        _check_plausible(lit_len, len(buf))
     else:
         lit_len = stage_len
     n_states = 32 if fmt & NX_N32 else 4
@@ -768,6 +786,11 @@ class _RangeDecoder:
         self.range = 0xFFFFFFFF
 
     def decode_freq(self, tot: int) -> int:
+        if tot <= 0:
+            # a zero-symbol adaptive model (e.g. crafted fqzcomp
+            # max_sym=0) must surface as the designed corrupt error,
+            # not a ZeroDivisionError/SIGFPE
+            raise ValueError("arith model total is zero (corrupt stream)")
         self._r = self.range // tot
         f = self.code // self._r
         return tot - 1 if f >= tot else f
@@ -920,7 +943,8 @@ def arith_decode(buf: bytes, expected_len: Optional[int] = None) -> bytes:
 
 
 def _arith_decode_inner(buf: bytes, off: int,
-                        expected_len: Optional[int]) -> Tuple[bytes, int]:
+                        expected_len: Optional[int],
+                        depth: int = 0) -> Tuple[bytes, int]:
     fmt = buf[off]
     off += 1
     if fmt & AR_NOSZ:
@@ -934,6 +958,8 @@ def _arith_decode_inner(buf: bytes, off: int,
                              % (out_len, expected_len))
     _check_plausible(out_len, len(buf))
     if fmt & AR_STRIPE:
+        if depth >= _MAX_STRIPE_DEPTH:
+            raise ValueError("arith stripe nesting too deep")
         n = buf[off]
         off += 1
         if n <= 0:
@@ -947,7 +973,7 @@ def _arith_decode_inner(buf: bytes, off: int,
             _need(buf, off, clens[j])
             sub_len = (out_len - j + n - 1) // n
             sub, _ = _arith_decode_inner(buf[off:off + clens[j]], 0,
-                                         sub_len)
+                                         sub_len, depth + 1)
             subs.append(sub)
             off += clens[j]
         out = bytearray(out_len)
@@ -970,10 +996,12 @@ def _arith_decode_inner(buf: bytes, off: int,
     stage_len = out_len
     if fmt & AR_PACK:
         off, stage_len, unpack = _pack_decode(buf, off, out_len)
+        _check_plausible(stage_len, len(buf))
     rle_meta = None
     if fmt & AR_RLE:
         m, off = read_uint7(buf, off)
         meta_len = m >> 1
+        _check_plausible(meta_len, len(buf))
         if m & 1:
             _need(buf, off, meta_len)
             rle_meta = buf[off:off + meta_len]
@@ -985,6 +1013,7 @@ def _arith_decode_inner(buf: bytes, off: int,
                                                meta_len)
             off += c_len
         lit_len, off = read_uint7(buf, off)
+        _check_plausible(lit_len, len(buf))
     else:
         lit_len = stage_len
     stage = _arith_entropy_decode(buf, off, lit_len,
@@ -1132,6 +1161,8 @@ def _fqz_decode_inner(buf: bytes, expected_len: Optional[int]) -> bytes:
     off += 1
     max_sym = buf[off]
     off += 1
+    if max_sym < 1:
+        raise ValueError("fqzcomp max_sym must be >= 1")
     qb = buf[off]
     qbits, qshift = qb >> 4, qb & 0x0F
     off += 1
@@ -1404,6 +1435,13 @@ def _name_tok_decode_inner(buf: bytes) -> bytes:
             if ttype in (T_MATCH, T_DELTA, T_DELTA0) and (
                     prev_toks is None or col - 1 >= len(prev_toks)):
                 raise ValueError("name tokeniser: no previous token")
+            if ttype in (T_DELTA, T_DELTA0) and \
+                    prev_toks[col - 1][0] not in (T_DIGITS, T_DIGITS0):
+                # a delta against a non-numeric previous token is a
+                # corrupt stream on both stacks (the native decoder
+                # would otherwise strtoull it silently to 0)
+                raise ValueError("name tokeniser: DELTA against "
+                                 "non-numeric previous token")
             if ttype == T_MATCH:
                 toks.append(prev_toks[col - 1])
             elif ttype == T_DELTA:
