@@ -291,8 +291,21 @@ def run_once(bam, fa, engine, decoder, outdir):
     t0 = time.time()
     stats = run_pipeline(cfg, ["bench"])
     dt = time.time() - t0
-    n_calls = stats["n_calls"]
-    return dt, n_calls, out
+    return dt, stats, out
+
+
+def _corpus_id(bam):
+    """Cheap content id for the bench corpus: size + blake2 of the first
+    and last MiB (full-file hashing would dominate small bench runs)."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=8)
+    size = os.path.getsize(bam)
+    with open(bam, "rb") as fh:
+        h.update(fh.read(1 << 20))
+        fh.seek(max(0, size - (1 << 20)))
+        h.update(fh.read(1 << 20))
+    h.update(str(size).encode())
+    return h.hexdigest()
 
 
 def main():
@@ -304,50 +317,74 @@ def main():
     outdir = os.path.join(CACHE, "out")
     os.makedirs(outdir, exist_ok=True)
 
-    # TPU path (warm once for jit compile, then min-of-3: TPU dispatch
-    # latency through the remote-compile tunnel varies run to run)
-    dt_w, _, _ = run_once(bam, fa, "device", "native", outdir)
-    dt_native, calls_native, vcf_native = run_once(bam, fa, "device",
-                                                   "native", outdir)
-    for _ in range(2):
-        dt_n2, _, _ = run_once(bam, fa, "device", "native", outdir)
-        dt_native = min(dt_native, dt_n2)
-
     rate_file = os.path.join(
         CACHE, "baseline_rate_%dmb_at2%s.json"
         % (genome_mb, "" if READ_LEN == 20000 else "_rl%d" % READ_LEN))
+    do_baseline = os.environ.get("BENCH_BASELINE", "1") != "0" or \
+        not os.path.exists(rate_file)
+
+    # warm once: jit compile + remote-device attach + the VM's first-touch
+    # page-population tax all land here, not in the measured runs
+    dt_w, _, _ = run_once(bam, fa, "device", "native", outdir)
+
+    # INTERLEAVED min-of-3 for BOTH paths (native, baseline, native, ...):
+    # this VM's CPU speed drifts by up to 2x between measurement windows,
+    # so timing the two paths in disjoint windows moved the ratio by +-50%
+    # between rounds. Interleaving samples both paths across the same
+    # weather; min-of-3 then compares like with like.
+    import signal
+
+    def _bail(sig, frame):
+        raise TimeoutError()
+
+    signal.signal(signal.SIGALRM, _bail)
+    budget = int(os.environ.get("BENCH_BASELINE_TIMEOUT", "400"))
+    native_runs = []
+    base_runs = []
+    best_stats = None
+    vcf_native = vcf_py = None
+    base_spent = 0.0
+    for rep in range(3):
+        dt_n, stats_n, vcf_native = run_once(bam, fa, "device", "native",
+                                             outdir)
+        if not native_runs or dt_n < min(native_runs):
+            best_stats = stats_n
+        native_runs.append(dt_n)
+        # another baseline rep only while the total baseline budget holds
+        # (one rep always runs so the ratio never falls back to a stale
+        # cached rate just because the budget is tight)
+        expected = base_runs[-1] if base_runs else 0.0
+        if do_baseline and (not base_runs
+                            or base_spent + expected <= budget):
+            t0 = time.time()
+            signal.alarm(max(30, budget - int(base_spent)))
+            try:
+                dt_b, _, vcf_py = run_once(bam, fa, "host", "python",
+                                           outdir)
+                base_runs.append(dt_b)
+            except TimeoutError:
+                do_baseline = False
+            finally:
+                base_spent += time.time() - t0
+                signal.alarm(0)
+
+    dt_native = min(native_runs)
     identical = None
-    base_rate = None
-    if os.environ.get("BENCH_BASELINE", "1") != "0" or \
-            not os.path.exists(rate_file):
-        # guard the slow python baseline with an alarm so a driver-side
-        # timeout still gets the JSON line (falls back to the cached rate)
-        import signal
-
-        def _bail(sig, frame):
-            raise TimeoutError()
-
-        signal.signal(signal.SIGALRM, _bail)
-        signal.alarm(int(os.environ.get("BENCH_BASELINE_TIMEOUT", "300")))
-        try:
-            dt_py, calls_py, vcf_py = run_once(bam, fa, "host", "python",
-                                               outdir)
-            dt_py2, _, _ = run_once(bam, fa, "host", "python", outdir)
-            dt_py = min(dt_py, dt_py2)
-            base_rate = n_reads / dt_py
-            json.dump({"rate": base_rate}, open(rate_file, "w"))
+    baseline_provenance = "skipped"
+    if base_runs:
+        base_rate = n_reads / min(base_runs)
+        json.dump({"rate": base_rate}, open(rate_file, "w"))
+        baseline_provenance = "fresh (interleaved min-of-%d)" % len(
+            base_runs)
+        if vcf_py is not None:
             identical = (
                 open(vcf_native).read().split("#CHROM")[-1]
                 == open(vcf_py).read().split("#CHROM")[-1])
-        except TimeoutError:
-            pass
-        finally:
-            signal.alarm(0)
-    if base_rate is None:
-        if os.path.exists(rate_file):
-            base_rate = json.load(open(rate_file))["rate"]
-        else:
-            base_rate = float("nan")
+    elif os.path.exists(rate_file):
+        base_rate = json.load(open(rate_file))["rate"]
+        baseline_provenance = "cached"
+    else:
+        base_rate = float("nan")
 
     rate = n_reads / dt_native
     result = {
@@ -357,12 +394,20 @@ def main():
         "value": round(rate, 1),
         "unit": "reads/s",
         "vs_baseline": round(rate / base_rate, 2),
+        "corpus_id": _corpus_id(bam),
+        "native_runs_s": [round(t, 2) for t in native_runs],
+        "baseline_runs_s": [round(t, 2) for t in base_runs],
+        "baseline_provenance": baseline_provenance,
+        "stages_s": {k: round(best_stats[k], 2)
+                     for k in ("decode_s", "resolve_s", "emit_s")
+                     if best_stats and k in best_stats},
+        "outputs_identical": identical,
     }
     print(json.dumps(result))
     # extra context on stderr (driver records stdout json only)
     print("native: %.2fs (%d calls)  baseline: %.1f reads/s  "
           "outputs_identical=%s  warm=%.2fs"
-          % (dt_native, calls_native, base_rate, identical, dt_w),
+          % (dt_native, best_stats["n_calls"], base_rate, identical, dt_w),
           file=sys.stderr)
 
 

@@ -161,7 +161,8 @@ def prefetch_counts(*states):
             for _, _, kind, h in st["jobs"]:
                 if kind == "kernel":
                     _start(h)
-        elif isinstance(st, tuple) and len(st) == 2 and st[0] == "pending":
+        elif isinstance(st, tuple) and len(st) in (2, 3) and \
+                st[0] == "pending":
             _start(st[1])
 
 
@@ -191,7 +192,7 @@ def prefetch_to_host(*states):
                     h = h[1]
                 if h is not None:
                     handles.append(h)
-        elif isinstance(st, tuple) and len(st) == 2 and \
+        elif isinstance(st, tuple) and len(st) in (2, 3) and \
                 st[0] == "pending" and st[1] is not None:
             h = st[1]
             if isinstance(h, tuple):  # compacted: (n_kept, handle)
@@ -696,6 +697,85 @@ def resolve_pair_finish(state, sigs: Sequence, is_inv: bool, chrom: str,
         emit(cluster, chrom, read_count, max_cluster_bias, sv_size,
              max_size, action, render, candidates, gt_jobs)
     return candidates, gt_jobs
+
+
+def resolve_tra_start(sigs: Sequence, read_count: int,
+                      max_cluster_bias: int, n_shards: int = 1):
+    """Dispatch the TRA/BND cluster-structure kernel for one chromosome
+    (resolution_TRA, cuteSV_resolveTRA.py:30-105, clustering half).
+
+    TRA clustering is the pair-cluster kernel with k1=pos1, k2=pos2 and
+    aux encoding (chr2, bnd_type) — the reference breaks clusters on
+    chr2 change, type change or a pos1 gap, gates on raw size AND
+    distinct support, and walks each cluster p2-sorted: exactly the
+    kernel's contract. Returns opaque state for resolve_tra_finish."""
+    n = len(sigs)
+    if n == 0:
+        return None
+    from cutesv_tpu.models.host import _equality_codes
+
+    ty = np.fromiter((ord(r[0][0]) for r in sigs), np.int64, n)
+    p1 = np.fromiter((r[1] for r in sigs), np.int64, n)
+    p2 = np.fromiter((r[3] for r in sigs), np.int64, n)
+    c2 = _equality_codes([r[2] for r in sigs])
+    rid = _equality_codes([r[4] for r in sigs])
+    aux = c2 * 4 + (ty - ord("A"))
+    arrs = (p1, p2, rid)
+    if n_shards > 1:
+        slices = _pair_cluster_slices_sharded(
+            p1, p2, aux, rid, read_count, max_cluster_bias, False,
+            n_shards)
+        return ("done", slices, arrs)
+    return ("pending", _pair_cluster_start(
+        p1, p2, aux, rid, read_count, max_cluster_bias, False), arrs)
+
+
+def resolve_tra_compact(state):
+    """Fetch n_kept + dispatch output compaction for a pending TRA state
+    (mirror of resolve_pair_compact)."""
+    if state is None:
+        return None
+    kind, payload, arrs = state
+    if kind != "pending":
+        return state
+    return ("pending", _pair_cluster_compact(payload), arrs)
+
+
+def resolve_tra_finish(state, sigs: Sequence, chr_1: str, read_count: int,
+                       overlap_size: float, max_cluster_bias: int,
+                       tables, chrom_lengths, action: bool, gt_round: int,
+                       names: Optional[Sequence[str]] = None,
+                       jobs_out: Optional[list] = None):
+    """Fetch a dispatched TRA cluster kernel and emit candidates;
+    identical outputs to models.host.resolve_tra (the emission half is
+    the shared _tra_emit_clusters)."""
+    from cutesv_tpu.models.host import _tra_emit_clusters
+
+    if state is None:
+        return []
+    kind, payload, (p1, p2, rid) = state
+    slices = payload if kind == "done" else _pair_cluster_finish(payload)
+    if not slices:
+        return []
+    order_rows = np.concatenate(slices)
+    lens = np.fromiter((len(s) for s in slices), np.int64, len(slices))
+    cids = np.repeat(np.arange(len(slices), dtype=np.int64), lens)
+    return _tra_emit_clusters(
+        sigs, order_rows, p1[order_rows], p2[order_rows], rid[order_rows],
+        cids, lens, chr_1, read_count, overlap_size, max_cluster_bias,
+        tables, chrom_lengths, action, gt_round, names, jobs_out=jobs_out)
+
+
+def resolve_tra_device(sigs: Sequence, chr_1: str, read_count: int,
+                       overlap_size: float, max_cluster_bias: int,
+                       tables, chrom_lengths, action: bool, gt_round: int,
+                       names: Optional[Sequence[str]] = None,
+                       n_shards: int = 1):
+    """Device counterpart of models.host.resolve_tra; identical outputs."""
+    state = resolve_tra_start(sigs, read_count, max_cluster_bias, n_shards)
+    return resolve_tra_finish(state, sigs, chr_1, read_count, overlap_size,
+                              max_cluster_bias, tables, chrom_lengths,
+                              action, gt_round, names)
 
 
 def resolve_dup_device(sigs: Sequence, chrom: str, read_count: int,

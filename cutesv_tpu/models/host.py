@@ -402,7 +402,6 @@ def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
     n = len(sigs)
     if n == 0:
         return []
-    render = (lambda k: names[k]) if names is not None else (lambda k: k)
     ty = np.fromiter((ord(r[0][0]) for r in sigs), np.int16, n)
     p1 = np.fromiter((r[1] for r in sigs), np.int64, n)
     p2 = np.fromiter((r[3] for r in sigs), np.int64, n)
@@ -418,12 +417,52 @@ def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
     n_clusters = int(cid[-1]) + 1
     csize = np.bincount(cid, minlength=n_clusters)
 
-    # ---- p2-sorted sub-cluster segments within each cluster ----------
-    order = np.lexsort((np.arange(n), p2, cid))  # stable, like sorted()
+    # ---- p2-sorted rows within each cluster (stable, like sorted()) --
+    order = np.lexsort((np.arange(n), p2, cid))
     p1s, p2s, cids = p1[order], p2[order], cid[order]
     rids = rid[order]
-    seg_new = np.ones(n, bool)
-    if n > 1:
+
+    # ---- distinct support per cluster, then the kept-cluster gate ----
+    o3 = np.lexsort((rid, cid))
+    cid3, rid3 = cid[o3], rid[o3]
+    fp3 = np.r_[True, (cid3[1:] != cid3[:-1]) | (rid3[1:] != rid3[:-1])]
+    cl_distinct = np.bincount(cid3[fp3], minlength=n_clusters)
+
+    keep_cl = (csize >= read_count) & (cl_distinct >= read_count)
+    sel = np.flatnonzero(keep_cl[cids])
+    if sel.size == 0:
+        return []
+    compact = np.cumsum(keep_cl)[cids[sel]] - 1
+    return _tra_emit_clusters(
+        sigs, order[sel], p1s[sel], p2s[sel], rids[sel], compact,
+        csize[keep_cl], chr_1, read_count, overlap_size, max_cluster_bias,
+        tables, chrom_lengths, action, gt_round, names)
+
+
+def _tra_emit_clusters(sigs: Sequence, order_rows, p1s, p2s, rids, cids,
+                       csizes, chr_1: str, read_count: int,
+                       overlap_size: float, max_cluster_bias: int,
+                       tables, chrom_lengths: Dict[str, int], action: bool,
+                       gt_round: int, names: Optional[Sequence[str]] = None,
+                       jobs_out: Optional[list] = None) -> List[list]:
+    """Emission half of TRA resolution over KEPT clusters only
+    (generate_semi_tra_cluster, cuteSV_resolveTRA.py:106-254).
+
+    Rows are cluster-major and p2-sorted (stable) — the order the
+    reference walks; ``order_rows`` maps each row back to its ``sigs``
+    index, ``cids`` is the compact kept-cluster id per row (ascending),
+    ``csizes[c]`` the reference's len(cluster). Shared by the host
+    resolver (numpy clustering) and the device resolver (pair-cluster
+    kernel). When ``jobs_out`` is a list, genotyping is deferred: the
+    candidate carries placeholders and jobs_out collects the batched
+    cover-pass inputs (pipeline._tra_cover_pass)."""
+    render = (lambda k: names[k]) if names is not None else (lambda k: k)
+    m = len(order_rows)
+    candidates: List[list] = []
+    if m == 0:
+        return candidates
+    seg_new = np.ones(m, bool)
+    if m > 1:
         seg_new[1:] = ((cids[1:] != cids[:-1])
                        | (p2s[1:] - p2s[:-1] > max_cluster_bias))
     sid = np.cumsum(seg_new) - 1
@@ -431,7 +470,7 @@ def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
     seg_starts = np.flatnonzero(seg_new)
     sum_p1 = np.add.reduceat(p1s, seg_starts)
     sum_p2 = np.add.reduceat(p2s, seg_starts)
-    cnt = np.diff(np.append(seg_starts, n))
+    cnt = np.diff(np.append(seg_starts, m))
     # the reference seeds temp with the first (p2-sorted) element and
     # then iterates it again: double-count it in its (first) segment
     cl_first = np.flatnonzero(np.r_[True, cids[1:] != cids[:-1]])
@@ -439,20 +478,14 @@ def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
     sum_p1[first_seg] += p1s[cl_first]
     sum_p2[first_seg] += p2s[cl_first]
     cnt[first_seg] += 1
-
-    # ---- distinct support per segment and per cluster -----------------
+    # distinct support per segment
     o2 = np.lexsort((rids, sid))
     sid2, rid2 = sid[o2], rids[o2]
     fp = np.r_[True, (sid2[1:] != sid2[:-1]) | (rid2[1:] != rid2[:-1])]
     seg_distinct = np.bincount(sid2[fp], minlength=n_segs)
-    o3 = np.lexsort((rid, cid))
-    cid3, rid3 = cid[o3], rid[o3]
-    fp3 = np.r_[True, (cid3[1:] != cid3[:-1]) | (rid3[1:] != rid3[:-1])]
-    cl_distinct = np.bincount(cid3[fp3], minlength=n_clusters)
-
-    candidates: List[list] = []
+    n_clusters = int(cids[-1]) + 1
     seg_hi = np.append(first_seg[1:], n_segs)
-    seg_row_hi = np.append(seg_starts[1:], n)
+    seg_row_hi = np.append(seg_starts[1:], m)
 
     def emit(seg: int, bnd_type: str, chr_2: str):
         p1_c = int(int(sum_p1[seg]) / int(cnt[seg]))
@@ -463,36 +496,39 @@ def resolve_tra(sigs: Sequence, chr_1: str, read_count: int,
         alt = _BND_FMT[bnd_type] % mate
         lo = int(seg_starts[seg])
         hi = int(seg_row_hi[seg])
-        seg_names = [sigs[int(order[k])][4] for k in range(lo, hi)]
+        seg_names = [sigs[int(order_rows[k])][4] for k in range(lo, hi)]
         support = set(seg_names)
-        if action:
+        if action and jobs_out is not None:
+            dr, gt, gl, gq, qual = "?", "?", "?", "?", "?"
+        elif action:
             dv, dr, gt, gl, gq, qual = call_gt_tra(
                 tables, chrom_lengths, p1_c, p2_c, chr_1, chr_2, support,
                 max_cluster_bias, gt_round)
         else:
             dr, gt, gl, gq, qual = ".", "./.", ".,.,.", ".", "."
-        candidates.append([chr_1, alt, str(p1_c), chr_2, str(p2_c),
-                           str(len(support)), str(dr), str(gt), str(gl),
-                           str(gq), str(qual),
-                           ",".join(render(k)
-                                    for k in _stable_unique(seg_names))])
+        cand = [chr_1, alt, str(p1_c), chr_2, str(p2_c),
+                str(len(support)), str(dr), str(gt), str(gl),
+                str(gq), str(qual),
+                ",".join(render(k) for k in _stable_unique(seg_names))]
+        if action and jobs_out is not None:
+            jobs_out.append(dict(support=support, pos1=p1_c, pos2=p2_c,
+                                 chr2=chr_2, cand=cand))
+        candidates.append(cand)
 
     for c in range(n_clusters):
-        if csize[c] < read_count or cl_distinct[c] < read_count:
-            continue
         s0, s1 = int(first_seg[c]), int(seg_hi[c])
-        row0 = int(order[cl_first[c]])
+        row0 = int(order_rows[cl_first[c]])
         bnd_type = sigs[row0][0]
         chr_2 = sigs[row0][2]
         ds = seg_distinct[s0:s1]
         top = np.argsort(-ds, kind="stable")  # stable, like list.sort
         d0 = int(ds[top[0]])
         if s1 - s0 > 1 and int(ds[top[1]]) >= 0.5 * read_count:
-            if d0 + int(ds[top[1]]) >= int(csize[c]) * overlap_size:
+            if d0 + int(ds[top[1]]) >= int(csizes[c]) * overlap_size:
                 emit(s0 + int(top[0]), bnd_type, chr_2)
                 emit(s0 + int(top[1]), bnd_type, chr_2)
         else:
-            if d0 >= int(csize[c]) * overlap_size:
+            if d0 >= int(csizes[c]) * overlap_size:
                 emit(s0 + int(top[0]), bnd_type, chr_2)
     return candidates
 

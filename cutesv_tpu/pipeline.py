@@ -594,6 +594,167 @@ def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
     return one[chrom][0]
 
 
+def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
+    """Batched TRA genotyping (call_gt_tra, cuteSV_resolveTRA.py:260-309):
+    ONE cover-kernel call computes the strict covering counts for every
+    candidate's two breakpoint windows across all chromosomes. The
+    reference's early-exit semantics — the gt_round iteration cap and the
+    threshold_ref_count bound, both order-sensitive — are detected with
+    cheap searchsorted prechecks, and only candidates that could hit them
+    (or whose read tables carry ambiguous primary names) replay the exact
+    per-candidate host loop. Byte-identical to the inline path."""
+    from cutesv_tpu.genotype import (call_gt_tra, cover_counts, gl_table,
+                                     support_inter_counts,
+                                     threshold_ref_count)
+
+    jobs: List[dict] = []
+    for chrom, (cands, js) in per_chrom.items():
+        for j in js:
+            j["chr1"] = chrom
+            jobs.append(j)
+    if not jobs:
+        return
+    tables = store.read_tables
+    lengths = store.chrom_lengths
+    bias = cfg.max_cluster_bias_TRA
+
+    # fast path requires globally-unambiguous primary names (each name has
+    # at most one primary record across all tables): then row counts equal
+    # distinct-name counts and the two windows' covering sets are disjoint
+    names_ok = getattr(store, "_tra_prim_unique", None)
+    if names_ok is None:
+        parts = [np.asarray(t.names)[np.asarray(t.prim) == 1]
+                 for t in tables.values()]
+        total = sum(len(p) for p in parts)
+        cat = (np.concatenate(parts) if total
+               else np.array([], np.int64))
+        names_ok = bool(len(np.unique(cat)) == total)
+        store._tra_prim_unique = names_ok
+
+    info: Dict[str, Optional[dict]] = {}
+
+    def tinfo(chrom):
+        if chrom in info:
+            return info[chrom]
+        t = tables.get(chrom)
+        if t is None:
+            info[chrom] = None
+        else:
+            prim = np.asarray(t.prim) == 1
+            ps = np.asarray(t.start)[prim]
+            pe = np.asarray(t.end)[prim]
+            info[chrom] = dict(ps=ps, pe=pe,
+                               ps_sorted=np.sort(ps),
+                               pe_sorted=np.sort(pe),
+                               census=dict(start=np.asarray(t.start),
+                                           end=np.asarray(t.end),
+                                           is_primary=np.asarray(t.prim),
+                                           name=np.asarray(t.names)))
+        return info[chrom]
+
+    # per-job windows; group (job, which-window) pairs by chromosome
+    win_by_chrom: Dict[str, List[tuple]] = {}
+    resolvable = np.zeros(len(jobs), bool)
+    for k, j in enumerate(jobs):
+        if j["chr1"] not in lengths or j["chr2"] not in lengths:
+            continue
+        resolvable[k] = True
+        for which, (chrom, pos) in enumerate(
+                ((j["chr1"], j["pos1"]), (j["chr2"], j["pos2"]))):
+            s = max(int(pos) - bias, 0)
+            e = min(int(pos) + bias, lengths[chrom])
+            win_by_chrom.setdefault(chrom, []).append((k, which, s, e))
+
+    # ---- ONE batched cover-kernel call over every window ---------------
+    # strict covering (start < s and end > e, count_coverage's test) is
+    # the kernel's non-strict test on the (s-1, e+1) window
+    covers = np.zeros((len(jobs), 2), np.int64)
+    inters = np.zeros((len(jobs), 2), np.int64)
+    overlaps = np.zeros((len(jobs), 2), np.int64)
+    state = dict(offset=0, windows=[], starts=[], ends=[], slots=[])
+
+    def flush():
+        if state["slots"]:
+            cover = _cover_fn(cfg) or cover_counts
+            allc = cover(state["windows"],
+                         np.concatenate(state["starts"]),
+                         np.concatenate(state["ends"]))
+            for i, (k, which) in enumerate(state["slots"]):
+                covers[k, which] = int(allc[i])
+        state.update(offset=0, windows=[], starts=[], ends=[], slots=[])
+
+    for chrom, wl in win_by_chrom.items():
+        ti = tinfo(chrom)
+        if ti is None or len(ti["ps"]) == 0:
+            continue
+        # searchsorted precheck inputs: primary rows overlapping the
+        # fetch window (#start < e minus #end <= s) for the gt_round cap
+        for k, which, s, e in wl:
+            overlaps[k, which] = (
+                int(np.searchsorted(ti["ps_sorted"], e, "left"))
+                - int(np.searchsorted(ti["pe_sorted"], s, "right")))
+        hi = int(ti["pe"].max()) + 2
+        hi = max(hi, max(e + 3 for _, _, _, e in wl))
+        if hi > 1_000_000_000:
+            # beyond the kernels' int32 coordinate budget: host sweep
+            allc = cover_counts([(s - 1, e + 1) for _, _, s, e in wl],
+                                ti["ps"], ti["pe"])
+            for i, (k, which, _, _) in enumerate(wl):
+                covers[k, which] = int(allc[i])
+        else:
+            if state["offset"] + hi > 1_000_000_000:
+                flush()
+            off = state["offset"]
+            state["windows"].extend((s - 1 + off, e + 1 + off)
+                                    for _, _, s, e in wl)
+            state["slots"].extend((k, which) for k, which, _, _ in wl)
+            state["starts"].append(ti["ps"] + off)
+            state["ends"].append(ti["pe"] + off)
+            state["offset"] = off + hi
+        # support-covering counts (vectorized; strict via shifted window)
+        supports = [jobs[k]["support"] for k, _, _, _ in wl]
+        inter = support_inter_counts(
+            ti["census"], supports,
+            [[(s - 1, e + 1) for _, _, s, e in wl]])
+        for i, (k, which, _, _) in enumerate(wl):
+            inters[k, which] = int(inter[i])
+    flush()
+
+    # ---- finalize: fast path or exact replay ---------------------------
+    table = gl_table()
+    stats = dict(fast=0, replay=0, unresolvable=0)
+    for k, j in enumerate(jobs):
+        cand = j["cand"]
+        if not resolvable[k]:
+            # SA-tag contig absent from the header (call_gt_tra's
+            # degraded "unresolvable" genotype)
+            dr, gt, gl, gq, qual = ".", "./.", ".,.,.", ".", "."
+            stats["unresolvable"] += 1
+        else:
+            support = j["support"]
+            up_bound = threshold_ref_count(len(support))
+            c1, c2 = int(covers[k, 0]), int(covers[k, 1])
+            fast = (names_ok
+                    and int(overlaps[k, 0]) < cfg.gt_round
+                    and int(overlaps[k, 1]) < cfg.gt_round
+                    and c1 < up_bound and c1 + c2 < up_bound)
+            if fast:
+                dr = (c1 - int(inters[k, 0])) + (c2 - int(inters[k, 1]))
+                gt, gl, gq, qual = table.lookup(dr, len(support))
+                stats["fast"] += 1
+            else:
+                _, dr, gt, gl, gq, qual = call_gt_tra(
+                    tables, lengths, j["pos1"], j["pos2"], j["chr1"],
+                    j["chr2"], support, bias, cfg.gt_round)
+                stats["replay"] += 1
+        cand[6] = str(dr)
+        cand[7] = str(gt)
+        cand[8] = str(gl)
+        cand[9] = str(gq)
+        cand[10] = str(qual)
+    store.tra_cover_stats = stats
+
+
 def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     """Cluster + genotype every chromosome; returns chrom -> candidate rows
     in the reference's DEL, INS, INV, DUP, TRA submission order."""
@@ -649,18 +810,25 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                 sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.n_shards)
             for chrom, sigs in sig["DUP"].items()}
+        tra_states = {
+            chrom: device_models.resolve_tra_start(
+                sigs, cfg.min_support, cfg.max_cluster_bias_TRA,
+                cfg.n_shards)
+            for chrom, sigs in sig["TRA"].items()}
         device_models.prefetch_counts(
             del_state, ins_state, *inv_states.values(),
-            *dup_states.values())
+            *dup_states.values(), *tra_states.values())
         device_models.resolve_indel_multi_compact(del_state)
         device_models.resolve_indel_multi_compact(ins_state)
         inv_states = {c: device_models.resolve_pair_compact(s)
                       for c, s in inv_states.items()}
         dup_states = {c: device_models.resolve_pair_compact(s)
                       for c, s in dup_states.items()}
+        tra_states = {c: device_models.resolve_tra_compact(s)
+                      for c, s in tra_states.items()}
         device_models.prefetch_to_host(
             del_state, ins_state, *inv_states.values(),
-            *dup_states.values())
+            *dup_states.values(), *tra_states.values())
         del_res = device_models.resolve_indel_multi_finish(
             del_state, cfg.diff_ratio_merging_DEL, min_sup5,
             cfg.remain_reads_ratio, action,
@@ -745,13 +913,30 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                                          cfg, 5, 6, 7, 8, 9)
         log.info("Finished %s:%s." % (chrom, "DUP"))
         add(chrom, cands)
+    # TRA: device cluster kernel (dispatched above with DUP/INV) + the
+    # batched cover pass on rank-identity stores; the host oracle keeps
+    # the inline per-candidate genotype replay
+    tra_batch = action and use_device and store.names is not None
+    tra_res: Dict[str, tuple] = {}
     for chrom, sigs in sig["TRA"].items():
-        cands = host_models.resolve_tra(
-            sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
-            cfg.max_cluster_bias_TRA, store.read_tables,
-            store.chrom_lengths, action, cfg.gt_round, names=names)
+        if use_device:
+            jobs_t: Optional[list] = [] if tra_batch else None
+            cands = device_models.resolve_tra_finish(
+                tra_states.get(chrom), sigs, chrom, cfg.min_support,
+                cfg.diff_ratio_filtering_TRA, cfg.max_cluster_bias_TRA,
+                store.read_tables, store.chrom_lengths, action,
+                cfg.gt_round, names=names, jobs_out=jobs_t)
+            if tra_batch:
+                tra_res[chrom] = (cands, jobs_t)
+        else:
+            cands = host_models.resolve_tra(
+                sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
+                cfg.max_cluster_bias_TRA, store.read_tables,
+                store.chrom_lengths, action, cfg.gt_round, names=names)
         log.info("Finished %s:%s." % (chrom, "TRA/BND"))
         add(chrom, cands)
+    if tra_batch:
+        _tra_cover_pass(tra_res, store, cfg)
     return results
 
 
