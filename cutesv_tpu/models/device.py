@@ -867,7 +867,9 @@ def resolve_indel_multi_start(streams, is_ins: bool, read_count: int,
     out = {}
     jobs = []
     streams = [(c, _as_stream(s, is_ins)) for c, s in streams]
-    if early and n_shards <= 1:
+    # early kernels are exact single-device results, valid regardless of
+    # n_shards — chromosomes without one still batch/shard below
+    if early:
         rest = []
         for c, s in streams:
             h = early.get(c)

@@ -86,8 +86,12 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
             return False
     elif (os.cpu_count() or 1) < 2:
         return False
+    # n_shards > 1 is fine: early per-chromosome kernels are exact
+    # single-device results the sharded resolver reuses as singleton
+    # jobs; only multi-host runs keep the structural exclusion (their
+    # decode path is decode_sharded, not StreamingDecode)
     return (not is_cram and cfg.engine in ("device", "auto")
-            and cfg.n_shards <= 1 and not cfg.distributed)
+            and not cfg.distributed)
 
 
 def _decode_bam_native_streaming(cfg: Config, bed_ids):
@@ -218,13 +222,14 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
             # python-reader fallback
             log.warning("streaming decode dispatch failed; decoding "
                         "without overlap", exc_info=True)
-    if cfg.distributed and not is_cram:
+    if cfg.distributed:
         import jax
         if jax.process_count() > 1:
-            # multi-host: inflate only this host's byte range, then
-            # exchange the (small) signature partials
+            # multi-host: inflate only this host's byte range (BGZF
+            # blocks for BAM, containers for CRAM), then exchange the
+            # (small) signature partials
             from cutesv_tpu.parallel.distributed import decode_sharded
-            nd = decode_sharded(cfg, bed_ids)
+            nd = decode_sharded(cfg, bed_ids, is_cram=is_cram)
             _check_coordinate_sorted(nd.arrays["all_chr"],
                                      nd.arrays["all_start"], nd.chroms)
             store = sigstore.build_store_native(nd, cfg)
@@ -1044,13 +1049,15 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
     if dist_active:
         # every host decoded the input; this host resolves only its
         # chromosome bucket (SURVEY §2.5 TPU-native equivalent: genome
-        # bins over the pod, host 0 merges)
+        # bins over the pod, host 0 merges). Bucketing is size-aware
+        # greedy LPT over census+signature rows — identical on every
+        # host, no communication needed.
         import jax
 
-        from cutesv_tpu.parallel.distributed import chrom_bucket
+        from cutesv_tpu.parallel.distributed import assign_chroms_lpt
+        assign = assign_chroms_lpt(store, jax.process_count())
         store = _filter_store_chroms(
-            store, lambda c: chrom_bucket(c, jax.process_count())
-            == jax.process_index())
+            store, lambda c: assign.get(c, 0) == jax.process_index())
     t1 = time.time()
     if cfg.profile and cfg.work_dir:
         import jax

@@ -196,6 +196,32 @@ def test_chrom_bucket_partition():
                (chrom_bucket(c, 1) for c in chroms))
 
 
+def test_lpt_assignment_balances_skewed_contigs():
+    """Greedy LPT over census+sig rows: human-like contig-size skew must
+    land per-host loads within ~1.5x of each other (round-2 verdict weak
+    #3 done-criterion), deterministically."""
+    import numpy as np
+
+    from cutesv_tpu import sigstore
+    from cutesv_tpu.parallel.distributed import assign_chroms_lpt
+
+    # human-like skew: chr1 ~5x chr21
+    sizes = {"chr%d" % i: 250_000 - 10_000 * i for i in range(1, 23)}
+    store = sigstore.SigStore(chrom_lengths={c: 1 for c in sizes})
+    for c, n in sizes.items():
+        store.census[c] = {"start": np.zeros(n, np.int64)}
+    for n_hosts in (2, 4, 8):
+        assign = assign_chroms_lpt(store, n_hosts)
+        assert set(assign) == set(sizes)
+        assert all(0 <= b < n_hosts for b in assign.values())
+        loads = [0] * n_hosts
+        for c, b in assign.items():
+            loads[b] += sizes[c]
+        assert max(loads) <= 1.5 * min(loads), (n_hosts, loads)
+        # deterministic: identical plan on a "different host"
+        assert assign == assign_chroms_lpt(store, n_hosts)
+
+
 def test_filter_store_and_gather_roundtrip():
     """_filter_store_chroms keeps only the bucket's chromosomes (census
     and read tables stay whole); _gather_results on a single process

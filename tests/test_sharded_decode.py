@@ -70,6 +70,66 @@ def test_sharded_store_identical(tmp_path):
     assert r1 == r2 and r1
 
 
+def _bam_to_cram(bam, cram, max_slice=40):
+    from cutesv_tpu.io.bam import BamReader
+    from cutesv_tpu.io.cram import CramWriter
+
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        with CramWriter(str(cram), refs, max_slice=max_slice) as w:
+            for rec in r:
+                w.write(rec)
+    return refs
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_cram_sharded_decode_union_bit_identical(tmp_path, n):
+    """CRAM sharded decode: container-aligned ranges, every shard still
+    reads the SAM header container, boundary chain contiguous, merge
+    bit-identical to the whole-file decode (round-2 verdict weak #4)."""
+    from cutesv_tpu.parallel.distributed import plan_cram_shard_ranges
+
+    bam, fa = _build(tmp_path)
+    cram = tmp_path / "in.cram"
+    _bam_to_cram(bam, cram, max_slice=40)  # several containers
+    cfg = Config(input=str(cram), reference=str(fa), min_support=3)
+    whole = nio.decode(str(cram), cfg, None, reference=str(fa))
+    ranges = plan_cram_shard_ranges(str(cram), n)
+    parts = [nio.decode(str(cram), cfg, None, reference=str(fa),
+                        byte_range=(start, clen))
+             for start, clen, _ in ranges]
+    check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
+    assert sum(p.n_records for p in parts) == whole.n_records
+    assert sum(1 for p in parts if p.n_records) >= min(n, 2), \
+        "split degenerated"
+    merged = merge_partial_decodes(parts)
+    assert merged.names == whole.names
+    assert np.array_equal(merged.name_rank, whole.name_rank)
+    assert merged.ins_seq_blob == whole.ins_seq_blob
+    for key in whole.arrays:
+        assert np.array_equal(merged.arrays[key], whole.arrays[key]), key
+
+
+def test_cram_more_shards_than_containers(tmp_path):
+    from cutesv_tpu.parallel.distributed import plan_cram_shard_ranges
+
+    bam, fa = _build(tmp_path)
+    cram = tmp_path / "in.cram"
+    _bam_to_cram(bam, cram, max_slice=100_000)  # one data container
+    cfg = Config(input=str(cram), reference=str(fa), min_support=3)
+    whole = nio.decode(str(cram), cfg, None, reference=str(fa))
+    ranges = plan_cram_shard_ranges(str(cram), 4)
+    assert sum(1 for _, clen, _ in ranges if clen == -1) >= 1
+    parts = [nio.decode(str(cram), cfg, None, reference=str(fa),
+                        byte_range=(start, clen))
+             for start, clen, _ in ranges]
+    check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
+    assert sum(p.n_records for p in parts) == whole.n_records
+    merged = merge_partial_decodes(parts)
+    for key in whole.arrays:
+        assert np.array_equal(merged.arrays[key], whole.arrays[key]), key
+
+
 def test_more_shards_than_blocks(tmp_path):
     """A tiny BAM (fewer BGZF blocks than shards) must not duplicate
     records: empty shards own nothing (ulen -1), and the union still
