@@ -1083,59 +1083,239 @@ def _read_table(buf: bytes, off: int, n: int):
     return vals, off
 
 
-def fqz_encode(data: bytes, rec_lens: List[int]) -> bytes:
-    """Encode concatenated per-record quality strings; ``rec_lens`` are
-    the record boundaries (must sum to len(data))."""
-    if sum(rec_lens) != len(data):
-        raise ValueError("fqzcomp record lengths do not cover the data")
-    if any(l <= 0 for l in rec_lens):
-        raise ValueError("fqzcomp record lengths must be positive")
-    syms = sorted(set(data)) or [0]
+# global flags (spec enumeration)
+FQZ_GFLAG_MULTI_PARAM = 0x01
+FQZ_GFLAG_HAVE_STAB = 0x02
+FQZ_GFLAG_DO_REV = 0x04
+
+
+class _FqzParam:
+    """One fqzcomp parameter block: context-layout fields + tables."""
+
+    __slots__ = ("ctx0", "pflags", "max_sym", "qbits", "qshift", "qmask",
+                 "pbits", "ploc", "dbits", "dloc", "qloc", "sloc",
+                 "qmap", "qtab", "ptab", "dtab", "do_len", "do_dedup",
+                 "qmap_inv")
+
+    def read(self, buf, off):
+        self.ctx0 = struct.unpack_from("<H", buf, off)[0]
+        off += 2
+        self.pflags = buf[off]
+        off += 1
+        self.max_sym = buf[off]
+        off += 1
+        if self.max_sym < 1:
+            raise ValueError("fqzcomp max_sym must be >= 1")
+        qb = buf[off]
+        self.qbits, self.qshift = qb >> 4, qb & 0x0F
+        self.qmask = (1 << self.qbits) - 1
+        off += 1
+        pb = buf[off]
+        self.pbits = pb >> 4
+        off += 1
+        db = buf[off]
+        self.dbits = db >> 4
+        off += 1
+        ql = buf[off]
+        self.qloc, self.sloc = ql >> 4, ql & 0x0F
+        off += 1
+        pl = buf[off]
+        self.ploc, self.dloc = pl >> 4, pl & 0x0F
+        off += 1
+        self.do_len = bool(self.pflags & FQZ_DO_LEN)
+        self.do_dedup = bool(self.pflags & FQZ_DO_DEDUP)
+        self.qmap = list(range(256))
+        if self.pflags & FQZ_HAVE_QMAP:
+            _need(buf, off, self.max_sym)
+            self.qmap = list(buf[off:off + self.max_sym])
+            off += self.max_sym
+        self.qtab = list(range(256))
+        if self.pflags & FQZ_HAVE_QTAB:
+            self.qtab, off = _read_table(buf, off, 256)
+        self.ptab = [0] * 1024
+        if self.pflags & FQZ_HAVE_PTAB:
+            self.ptab, off = _read_table(buf, off, 1024)
+        self.dtab = [0] * 256
+        if self.pflags & FQZ_HAVE_DTAB:
+            self.dtab, off = _read_table(buf, off, 256)
+        return off
+
+    def write(self) -> bytes:
+        head = bytearray()
+        head += struct.pack("<H", self.ctx0)
+        head.append(self.pflags)
+        head.append(self.max_sym)
+        head.append((self.qbits << 4) | self.qshift)
+        head.append((self.pbits << 4) | 0)
+        head.append((self.dbits << 4) | 0)
+        head.append((self.qloc << 4) | self.sloc)
+        head.append((self.ploc << 4) | self.dloc)
+        if self.pflags & FQZ_HAVE_QMAP:
+            head += bytes(self.qmap[:self.max_sym])
+        if self.pflags & FQZ_HAVE_QTAB:
+            head += _write_table(self.qtab)
+        if self.pflags & FQZ_HAVE_PTAB:
+            head += _write_table(self.ptab)
+        if self.pflags & FQZ_HAVE_DTAB:
+            head += _write_table(self.dtab)
+        return bytes(head)
+
+    def next_ctx(self, ctx_state, qraw, q, p, sel):
+        qctx, delta, prev_q = ctx_state
+        qctx = ((qctx << self.qshift) + self.qtab[qraw]) & 0xFFFFFFFF
+        ctx = (qctx & self.qmask) << self.qloc
+        if self.pbits:
+            ctx += self.ptab[min(1023, p)] << self.ploc
+        if self.dbits:
+            ctx += self.dtab[min(255, delta)] << self.dloc
+        ctx += sel << self.sloc
+        delta += 1 if prev_q != q else 0
+        return ctx & 0xFFFF, (qctx, delta, q)
+
+
+def _fqz_build_param(rec_data, have_sel: bool, use_dtab: bool,
+                     do_len: bool, do_dedup: bool) -> _FqzParam:
+    """Build a parameter block for the records assigned to it; the
+    context layout packs q-history / position / delta / selector bits
+    into the 16-bit context per the enabled features."""
+    blob = b"".join(rec_data) or b"\x00"
+    syms = sorted(set(blob))
     if len(syms) > 255:
         raise ValueError("fqzcomp alphabet too large")
-    qmap_inv = {s: i for i, s in enumerate(syms)}
-    max_sym = len(syms)
-    qtab = [min((1 << _FQZ_QSHIFT) - 1, qmap_inv.get(q, 0))
-            for q in range(256)]
-    ptab = _fqz_ptab()
-    head = bytearray([_FQZ_VERS, 0])  # gflags 0: single param
-    head += struct.pack("<H", 0)      # starting context
-    head.append(FQZ_DO_LEN | FQZ_HAVE_QMAP | FQZ_HAVE_QTAB
-                | FQZ_HAVE_PTAB)
-    head.append(max_sym)
-    head.append((_FQZ_QBITS << 4) | _FQZ_QSHIFT)
-    head.append((_FQZ_PBITS << 4) | 0)
-    head.append(0)                    # dbits/dshift unused
-    head.append((_FQZ_QLOC << 4) | 0)
-    head.append((_FQZ_PLOC << 4) | 0)
-    head += bytes(syms)               # qmap
-    head += _write_table(qtab)
-    head += _write_table(ptab)
+    P = _FqzParam()
+    P.ctx0 = 0
+    P.max_sym = len(syms)
+    P.qmap = list(syms) + [0] * (256 - len(syms))
+    P.qmap_inv = {s: i for i, s in enumerate(syms)}
+    P.qshift = _FQZ_QSHIFT
+    if use_dtab and have_sel:
+        P.qbits, P.pbits, P.dbits = 8, 4, 2
+        P.qloc, P.ploc, P.dloc, P.sloc = 0, 8, 12, 14
+    elif have_sel:
+        P.qbits, P.pbits, P.dbits = 9, 4, 0
+        P.qloc, P.ploc, P.dloc, P.sloc = 0, 9, 0, 13
+    elif use_dtab:
+        P.qbits, P.pbits, P.dbits = 10, 4, 2
+        P.qloc, P.ploc, P.dloc, P.sloc = 0, 10, 14, 0
+    else:
+        P.qbits, P.pbits, P.dbits = _FQZ_QBITS, _FQZ_PBITS, 0
+        P.qloc, P.ploc, P.dloc, P.sloc = _FQZ_QLOC, _FQZ_PLOC, 0, 0
+    P.qmask = (1 << P.qbits) - 1
+    # qtab values clamp to qshift bits so the rolling q-history packs
+    # cleanly (matches the original single-param profile's bytes)
+    P.qtab = [min((1 << P.qshift) - 1, P.qmap_inv.get(q, 0))
+              for q in range(256)]
+    P.ptab = _fqz_ptab()
+    P.dtab = ([min((1 << P.dbits) - 1, d.bit_length()) for d in range(256)]
+              if use_dtab else [0] * 256)
+    P.do_len = do_len
+    P.do_dedup = do_dedup
+    P.pflags = (FQZ_HAVE_QMAP | FQZ_HAVE_QTAB | FQZ_HAVE_PTAB
+                | (FQZ_DO_LEN if do_len else 0)
+                | (FQZ_DO_DEDUP if do_dedup else 0)
+                | (FQZ_DO_SEL if have_sel else 0)
+                | (FQZ_HAVE_DTAB if use_dtab else 0))
+    return P
+
+
+def fqz_encode(data: bytes, rec_lens: List[int], *,
+               selectors: Optional[List[int]] = None, n_params: int = 1,
+               reverse: Optional[List[bool]] = None,
+               fixed_len: bool = False, dedup: bool = False,
+               use_dtab: bool = False) -> bytes:
+    """Encode concatenated per-record quality strings; ``rec_lens`` are
+    the record boundaries (must sum to len(data)).
+
+    Profile knobs (all default to the plain single-parameter profile):
+    ``selectors`` (one small int per record) + ``n_params`` enable the
+    multi-parameter/selector profile (gflags MULTI_PARAM|HAVE_STAB, a
+    per-record selector symbol and stab-mapped parameter blocks);
+    ``reverse`` (one bool per record) enables DO_REV; ``fixed_len``
+    drops FQZ_DO_LEN (all records must share one length, coded once);
+    ``dedup`` enables FQZ_DO_DEDUP (consecutive duplicate records code
+    as one flag); ``use_dtab`` adds the delta-context table."""
+    if sum(rec_lens) != len(data):
+        raise ValueError("fqzcomp record lengths do not cover the data")
+    if any(ln <= 0 for ln in rec_lens):
+        raise ValueError("fqzcomp record lengths must be positive")
+    n_recs = len(rec_lens)
+    recs = []
+    pos = 0
+    for ln in rec_lens:
+        recs.append(data[pos:pos + ln])
+        pos += ln
+    if fixed_len and len(set(rec_lens)) > 1:
+        raise ValueError("fixed_len needs equal record lengths")
+    have_sel = selectors is not None
+    if have_sel:
+        if len(selectors) != n_recs:
+            raise ValueError("one selector per record required")
+        max_sel = max(selectors) + 1 if selectors else 1
+        if max_sel > (4 if use_dtab else 8):
+            raise ValueError("selector out of context-layout range")
+        stab = [min(s, n_params - 1) for s in range(256)]
+    else:
+        selectors = [0] * n_recs
+        max_sel = 1
+        n_params = 1
+        stab = [0] * 256
+    gflags = 0
+    if have_sel:
+        gflags |= FQZ_GFLAG_MULTI_PARAM | FQZ_GFLAG_HAVE_STAB
+    if reverse is not None:
+        if len(reverse) != n_recs:
+            raise ValueError("one reverse flag per record required")
+        gflags |= FQZ_GFLAG_DO_REV
+    params = []
+    for pi in range(n_params):
+        rd = [r for r, s in zip(recs, selectors) if stab[s] == pi]
+        params.append(_fqz_build_param(rd, have_sel, use_dtab,
+                                       not fixed_len, dedup))
+    head = bytearray([_FQZ_VERS, gflags])
+    if have_sel:
+        head.append(n_params)
+        head.append(max_sel)
+        head += _write_table(stab)
+    for P in params:
+        head += P.write()
     rc = _RangeEncoder()
     len_models = [_AdaptiveModel() for _ in range(4)]
-    qmodels = {}
-    qmask = (1 << _FQZ_QBITS) - 1
-    pos = 0
-    for rlen in rec_lens:
-        for k in range(4):
-            len_models[k].encode(rc, (rlen >> (8 * k)) & 0xFF)
-        ctx = 0
-        qctx = 0
-        p = rlen
-        for j in range(rlen):
-            q = qmap_inv[data[pos + j]]
+    sel_model = _AdaptiveModel(max(2, max_sel)) if have_sel else None
+    rev_model = _AdaptiveModel(2) if reverse is not None else None
+    dup_model = _AdaptiveModel(2) if dedup else None
+    gmax = max(P.max_sym for P in params)
+    qmodels: dict = {}
+    prev_rec = None
+    for ri, rec in enumerate(recs):
+        sel = selectors[ri]
+        P = params[stab[sel]]
+        if sel_model is not None:
+            sel_model.encode(rc, sel)
+        if P.do_len or ri == 0:
+            for k in range(4):
+                len_models[k].encode(rc, (len(rec) >> (8 * k)) & 0xFF)
+        rev = bool(reverse[ri]) if reverse is not None else False
+        if rev_model is not None:
+            rev_model.encode(rc, 1 if rev else 0)
+        body = rec[::-1] if rev else rec
+        if dup_model is not None and P.do_dedup:
+            is_dup = prev_rec == body
+            dup_model.encode(rc, 1 if is_dup else 0)
+            if is_dup:
+                continue
+        ctx = P.ctx0
+        state = (0, 0, 0)  # qctx, delta, prev_q
+        p = len(body)
+        for b in body:
+            q = P.qmap_inv[b]
             model = qmodels.get(ctx)
             if model is None:
-                model = qmodels[ctx] = _AdaptiveModel(max_sym)
+                model = qmodels[ctx] = _AdaptiveModel(gmax)
             model.encode(rc, q)
-            qctx = ((qctx << _FQZ_QSHIFT) + qtab[data[pos + j]]) \
-                & 0xFFFFFFFF
-            ctx = ((qctx & qmask) << _FQZ_QLOC) \
-                + (ptab[min(1023, p)] << _FQZ_PLOC)
-            ctx &= 0xFFFF
+            ctx, state = P.next_ctx(state, b, q, p, sel)
             p -= 1
-        pos += rlen
-    return bytes(head) + write_uint7(len(rec_lens)) + rc.finish()
+        prev_rec = body
+    return bytes(head) + write_uint7(n_recs) + rc.finish()
 
 
 def fqz_decode(buf: bytes, expected_len: Optional[int] = None) -> bytes:
@@ -1151,73 +1331,90 @@ def _fqz_decode_inner(buf: bytes, expected_len: Optional[int]) -> bytes:
     vers, gflags = buf[0], buf[1]
     if vers != _FQZ_VERS:
         raise ValueError("fqzcomp version %d unsupported" % vers)
-    if gflags:
-        raise ValueError("fqzcomp multi-param/selector/reverse profiles "
-                         "not supported (gflags=%d)" % gflags)
+    if gflags & ~(FQZ_GFLAG_MULTI_PARAM | FQZ_GFLAG_HAVE_STAB
+                  | FQZ_GFLAG_DO_REV):
+        raise ValueError("fqzcomp unknown gflags bit (gflags=%d)" % gflags)
     off = 2
-    struct.unpack_from("<H", buf, off)  # starting context (always 0 here)
-    off += 2
-    pflags = buf[off]
-    off += 1
-    max_sym = buf[off]
-    off += 1
-    if max_sym < 1:
-        raise ValueError("fqzcomp max_sym must be >= 1")
-    qb = buf[off]
-    qbits, qshift = qb >> 4, qb & 0x0F
-    off += 1
-    pb = buf[off]
-    pbits = pb >> 4
-    off += 1
-    off += 1  # dbits/dshift unused in this profile
-    ql = buf[off]
-    qloc = ql >> 4
-    off += 1
-    pl = buf[off]
-    ploc = pl >> 4
-    off += 1
-    if not (pflags & FQZ_DO_LEN):
-        raise ValueError("fqzcomp fixed-length profile not supported")
-    qmap = list(range(256))
-    if pflags & FQZ_HAVE_QMAP:
-        _need(buf, off, max_sym)
-        qmap = list(buf[off:off + max_sym])
-        off += max_sym
-    qtab = list(range(256))
-    if pflags & FQZ_HAVE_QTAB:
-        qtab, off = _read_table(buf, off, 256)
-    ptab = [0] * 1024
-    if pflags & FQZ_HAVE_PTAB:
-        ptab, off = _read_table(buf, off, 1024)
+    have_sel = bool(gflags & (FQZ_GFLAG_MULTI_PARAM
+                              | FQZ_GFLAG_HAVE_STAB))
+    do_rev = bool(gflags & FQZ_GFLAG_DO_REV)
+    n_params = 1
+    max_sel = 1
+    stab = [0] * 256
+    if have_sel:
+        n_params = buf[off]
+        off += 1
+        if n_params < 1:
+            raise ValueError("fqzcomp n_params must be >= 1")
+        max_sel = buf[off]
+        off += 1
+        if max_sel < 1:
+            raise ValueError("fqzcomp max_sel must be >= 1")
+        if gflags & FQZ_GFLAG_HAVE_STAB:
+            stab, off = _read_table(buf, off, 256)
+        else:
+            stab = [min(s, n_params - 1) for s in range(256)]
+    params = []
+    for _ in range(n_params):
+        P = _FqzParam()
+        off = P.read(buf, off)
+        params.append(P)
     n_recs, off = read_uint7(buf, off)
     _check_plausible(n_recs, len(buf))
     rc = _RangeDecoder(buf, off)
     len_models = [_AdaptiveModel() for _ in range(4)]
-    qmodels = {}
-    qmask = (1 << qbits) - 1
+    sel_model = _AdaptiveModel(max(2, max_sel)) if have_sel else None
+    rev_model = _AdaptiveModel(2) if do_rev else None
+    any_dedup = any(P.do_dedup for P in params)
+    dup_model = _AdaptiveModel(2) if any_dedup else None
+    gmax = max(P.max_sym for P in params)
+    qmodels: dict = {}
     out = bytearray()
-    for _ in range(n_recs):
-        rlen = 0
-        for k in range(4):
-            rlen |= len_models[k].decode(rc) << (8 * k)
+    prev_rec: bytes = b""
+    last_len = 0
+    for ri in range(n_recs):
+        if sel_model is not None:
+            sel = sel_model.decode(rc)
+            if sel >= max_sel:
+                raise ValueError("fqzcomp selector out of range")
+        else:
+            sel = 0
+        pi = stab[sel]
+        if pi >= n_params:
+            raise ValueError("fqzcomp stab entry out of range")
+        P = params[pi]
+        if P.do_len or ri == 0:
+            rlen = 0
+            for k in range(4):
+                rlen |= len_models[k].decode(rc) << (8 * k)
+        else:
+            rlen = last_len
+        last_len = rlen
         _check_plausible(len(out) + rlen, len(buf))
-        ctx = 0
-        qctx = 0
+        rev = bool(rev_model.decode(rc)) if rev_model is not None else False
+        if dup_model is not None and P.do_dedup:
+            if dup_model.decode(rc):
+                if len(prev_rec) != rlen:
+                    raise ValueError("fqzcomp dup length mismatch")
+                out += prev_rec[::-1] if rev else prev_rec
+                continue
+        ctx = P.ctx0
+        state = (0, 0, 0)
         p = rlen
+        rec = bytearray()
         for _j in range(rlen):
             model = qmodels.get(ctx)
             if model is None:
-                model = qmodels[ctx] = _AdaptiveModel(max_sym)
+                model = qmodels[ctx] = _AdaptiveModel(gmax)
             q = model.decode(rc)
-            if q >= max_sym:
+            if q >= P.max_sym:
                 raise ValueError("fqzcomp symbol out of range")
-            out.append(qmap[q])
-            qraw = qmap[q]
-            qctx = ((qctx << qshift) + qtab[qraw]) & 0xFFFFFFFF
-            ctx = ((qctx & qmask) << qloc) \
-                + ((ptab[min(1023, p)] << ploc) if pbits else 0)
-            ctx &= 0xFFFF
+            qraw = P.qmap[q]
+            rec.append(qraw)
+            ctx, state = P.next_ctx(state, qraw, q, p, sel)
             p -= 1
+        prev_rec = bytes(rec)
+        out += prev_rec[::-1] if rev else prev_rec
     if expected_len is not None and len(out) != expected_len:
         raise ValueError("fqzcomp decoded length mismatch (%d != %d)"
                          % (len(out), expected_len))

@@ -13,6 +13,9 @@
 
 #include <libdeflate.h>
 #include <lzma.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 #include <algorithm>
 #include <array>
@@ -526,9 +529,14 @@ struct BgzfChunkReader {
   bool truncated = false;  // stream ended mid-block (corrupt/cut file)
   std::atomic<bool> inflate_bad{false};  // a block failed to inflate
   double t_read = 0, t_inflate = 0;
+  // zero-copy mode: regular files are mmap'd and blocks reference the
+  // mapping directly — the per-chunk fread copy of ~the whole file is
+  // the single biggest avoidable decode cost on CPU-starved hosts
+  const uint8_t* map = nullptr;
+  size_t map_size = 0, map_pos = 0;
 
   struct Blk {
-    size_t off;  // into the chunk's flat compressed buffer
+    size_t off;  // into the chunk's flat compressed buffer (or the map)
     uint32_t clen;
     uint32_t isize;
     size_t out_off;
@@ -550,11 +558,76 @@ struct BgzfChunkReader {
     // thread mostly waits in fread); hw+1 measures fastest
     int hw = (int)std::thread::hardware_concurrency();
     if (hw > 0) n_threads = std::min(n_threads, hw + 1);
+    int fd = fileno(fh);
+    struct stat st;
+    if (fd >= 0 && fstat(fd, &st) == 0 && S_ISREG(st.st_mode)
+        && st.st_size > 0) {
+      void* m = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE,
+                     fd, 0);
+      if (m != MAP_FAILED) {
+        map = (const uint8_t*)m;
+        map_size = (size_t)st.st_size;
+        madvise(m, map_size, MADV_SEQUENTIAL);
+      }
+    }
   }
-  ~BgzfChunkReader() { if (rat.joinable()) rat.join(); }
+  ~BgzfChunkReader() {
+    if (rat.joinable()) rat.join();
+    if (map) munmap((void*)map, map_size);
+  }
+
+  void seek_to(int64_t off) {
+    map_pos = (size_t)off;
+    if (!map) fseek(f, (long)off, SEEK_SET);
+  }
+
+  // Scan up to max_blocks BGZF block headers in the mapping (no copy).
+  void read_chunk_map(Chunk& c, int max_blocks) {
+    auto t0 = std::chrono::steady_clock::now();
+    c.blocks.clear();
+    c.total = 0;
+    c.cbuf.len = 0;
+    for (int i = 0; i < max_blocks; i++) {
+      if (map_pos >= map_size) { eof = true; break; }
+      if (map_pos + 12 > map_size)
+        { eof = true; truncated = true; break; }
+      const uint8_t* hdr = map + map_pos;
+      if (hdr[0] != 0x1f || hdr[1] != 0x8b)
+        { eof = true; truncated = true; break; }
+      uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+      if (map_pos + 12 + (size_t)xlen > map_size)
+        { eof = true; truncated = true; break; }
+      const uint8_t* extra = hdr + 12;
+      int bsize = -1;
+      for (int off = 0; off + 4 <= (int)xlen;) {
+        uint8_t si1 = extra[off], si2 = extra[off + 1];
+        uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
+        if (si1 == 66 && si2 == 67 && slen == 2 && off + 6 <= (int)xlen)
+          bsize = extra[off + 4] | (extra[off + 5] << 8);
+        if (off + 4 + (int)slen > (int)xlen) break;
+        off += 4 + slen;
+      }
+      if (bsize < 0 || (size_t)bsize + 1 < 12u + xlen + 8u)
+        { eof = true; truncated = true; break; }
+      if (map_pos + (size_t)bsize + 1 > map_size)
+        { eof = true; truncated = true; break; }
+      size_t cdata_len = (size_t)bsize + 1 - 12 - xlen - 8;
+      const uint8_t* tail = hdr + 12 + xlen + cdata_len;
+      uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
+                       ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
+      if (isize > 65536) { eof = true; truncated = true; break; }
+      c.blocks.push_back({map_pos + 12 + xlen, (uint32_t)cdata_len, isize,
+                          c.total});
+      c.total += isize;
+      map_pos += (size_t)bsize + 1;
+    }
+    t_read += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+  }
 
   // Read up to max_blocks BGZF block payloads into ``c``.
   void read_chunk(Chunk& c, int max_blocks) {
+    if (map) { read_chunk_map(c, max_blocks); return; }
     auto t0 = std::chrono::steady_clock::now();
     c.blocks.clear();
     c.total = 0;
@@ -617,10 +690,11 @@ struct BgzfChunkReader {
         size_t i = next.fetch_add(1);
         if (i >= c.blocks.size()) break;
         const Blk& b = c.blocks[i];
+        const char* src = map ? (const char*)map + b.off
+                              : c.cbuf.data() + b.off;
         size_t actual = 0;
         auto rc = libdeflate_deflate_decompress(
-            d, c.cbuf.data() + b.off, b.clen, dst + b.out_off, b.isize,
-            &actual);
+            d, src, b.clen, dst + b.out_off, b.isize, &actual);
         // a corrupt deflate stream or an isize lying about the inflated
         // length must not leave uninitialized bytes to be parsed as
         // records: flag the chunk and let the consumer raise
@@ -1313,7 +1387,7 @@ struct Decoder {
       rd.ra_active = false;
       rd.eof = false;
       rd.truncated = false;
-      if (fseek(f, (long)P.range_start, SEEK_SET) != 0) return bail(5);
+      rd.seek_to(P.range_start);
       std::string first;
       bool stream_ended = false;
       if (!rd.next_chunk(first, 1024)) stream_ended = true;

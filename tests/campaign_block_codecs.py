@@ -57,13 +57,34 @@ def test_mutated_blocks_agree_across_stacks(seed):
             enc = arith_encode(data, fl)
             pydec = lambda b: arith_decode(b, n)  # noqa: E731
         elif m == 7:
-            lens, left = [], n
-            while left:
-                l = min(rng.randrange(1, 100), left)
-                lens.append(l)
-                left -= l
-            enc = fqz_encode(data, lens)
-            pydec = lambda b: fqz_decode(b, n)  # noqa: E731
+            if rng.random() < 0.5:
+                # full-profile arm: multi-param/selector, reverse,
+                # fixed-length, dedup and dtab bits all fuzzed
+                rl = rng.randrange(1, 80)
+                n_recs = max(1, n // rl)
+                n = n_recs * rl
+                data = data[:n].ljust(n, b"#")
+                lens = [rl] * n_recs
+                kw = {}
+                if rng.random() < 0.7:
+                    kw["selectors"] = [rng.randrange(0, 4)
+                                       for _ in range(n_recs)]
+                    kw["n_params"] = rng.randrange(1, 4)
+                if rng.random() < 0.5:
+                    kw["reverse"] = [rng.random() < 0.5
+                                     for _ in range(n_recs)]
+                kw["fixed_len"] = rng.random() < 0.5
+                kw["dedup"] = rng.random() < 0.5
+                kw["use_dtab"] = rng.random() < 0.5
+                enc = fqz_encode(data, lens, **kw)
+            else:
+                lens, left = [], n
+                while left:
+                    l = min(rng.randrange(1, 100), left)
+                    lens.append(l)
+                    left -= l
+                enc = fqz_encode(data, lens)
+            pydec = lambda b: fqz_decode(b, n)  # noqa: E731,B023
         else:
             data = b"".join(b"rd%d\x00" % rng.randrange(10 ** 6)
                             for _ in range(rng.randrange(1, 40)))

@@ -85,6 +85,39 @@ def test_fqz_native_matches_python(seed):
 
 
 @pytest.mark.parametrize("seed", range(BASE, BASE + N))
+def test_fqz_full_profiles_native_matches_python(seed):
+    """Every fqzcomp profile bit (multi-param/selector, reverse,
+    fixed-length, dedup, dtab) decodes identically on both stacks."""
+    rng = random.Random(35000 + seed)
+    n_recs = rng.randrange(4, 30)
+    rlen = rng.randrange(20, 200)
+    lens = [rlen] * n_recs
+    recs = [bytes(rng.choice(b"##''--05;@F~") for _ in range(rlen))
+            for _ in range(n_recs)]
+    # plant some consecutive duplicates for the dedup arm
+    for i in range(1, n_recs, 3):
+        recs[i] = recs[i - 1]
+    data = b"".join(recs)
+    n_params = rng.randrange(1, 4)
+    kw = dict(
+        selectors=[rng.randrange(0, 4) for _ in range(n_recs)],
+        n_params=n_params,
+        reverse=[rng.random() < 0.5 for _ in range(n_recs)],
+        fixed_len=bool(rng.random() < 0.5),
+        dedup=bool(rng.random() < 0.7),
+        use_dtab=bool(rng.random() < 0.5),
+    )
+    if rng.random() < 0.3:
+        kw.pop("selectors")
+        kw["n_params"] = 1
+    if rng.random() < 0.3:
+        kw.pop("reverse")
+    enc = fqz_encode(data, lens, **kw)
+    assert fqz_decode(enc, len(data)) == data
+    assert block_decode(7, enc, len(data)) == data
+
+
+@pytest.mark.parametrize("seed", range(BASE, BASE + N))
 def test_name_tok_native_matches_python(seed):
     rng = random.Random(34000 + seed)
     for _ in range(4):
