@@ -305,16 +305,28 @@ class StreamingDecode:
         (including DONE)."""
         return int(self._lib.bamdecode_n_refs(self._handle))
 
+    _SNAP_TYPE = {"DEL": 0, "INS": 1, "DUP": 2, "INV": 3, "TRA": 4}
+    # (field_id, name) per snapshot type; DUP reuses pos/length for
+    # (p1, p2), INV adds the strand, TRA the bnd type + mate chrom id
+    _SNAP_LAYOUT = {
+        0: tuple(enumerate(_SNAP_FIELDS[:4])),
+        1: tuple(enumerate(_SNAP_FIELDS)),
+        2: tuple(enumerate(_SNAP_FIELDS[:4])),
+        3: tuple(enumerate(_SNAP_FIELDS[:4])) + ((4, "strand"),),
+        4: tuple(enumerate(_SNAP_FIELDS[:4])) + ((4, "bnd_type"),
+                                                 (6, "chr2")),
+    }
+
     def snapshot(self, sv_type: str, chrom_id: int) -> Dict[str,
                                                             np.ndarray]:
-        """Copy one chromosome's rows seen so far. sv_type: DEL or INS.
-        Returns {pos (INS: pos*2), length, name_id, name_lrank[, seq_len,
-        seq_lrank]} int64 arrays."""
-        t = 0 if sv_type == "DEL" else 1
+        """Copy one chromosome's rows seen so far. sv_type: DEL / INS /
+        DUP / INV / TRA. Returns int64 arrays keyed per type (pos is
+        INS pos*2 / DUP p1 / INV b1 / TRA p1; length is INS len /
+        DUP p2 / INV b2 / TRA p2)."""
+        t = self._SNAP_TYPE[sv_type]
         n = self._lib.bamdecode_snapshot(self._handle, t, chrom_id)
         out = {}
-        fields = _SNAP_FIELDS if t == 1 else _SNAP_FIELDS[:4]
-        for i, name in enumerate(fields):
+        for i, name in self._SNAP_LAYOUT[t]:
             data = ctypes.c_void_p()
             ln = ctypes.c_int64()
             rc = self._lib.bamdecode_snapshot_get(

@@ -161,6 +161,8 @@ def prefetch_counts(*states):
             for _, _, kind, h in st["jobs"]:
                 if kind == "kernel":
                     _start(h)
+        elif isinstance(st, dict):
+            _start(st)  # raw kernel output (streaming early dispatch)
         elif isinstance(st, tuple) and len(st) in (2, 3) and \
                 st[0] == "pending":
             _start(st[1])

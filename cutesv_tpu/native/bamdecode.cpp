@@ -1756,6 +1756,33 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.len.push_back(C.del_len.v[i]);
         s.nameid.push_back(C.del_name.v[i]);
       }
+    } else if (type == 2) {  // DUP: (p1, p2, name)
+      size_t n = C.dup_chr.v.size();
+      for (size_t i = 0; i < n; i++) {
+        if (C.dup_chr.v[i] != chrom) continue;
+        s.pos.push_back(C.dup_p1.v[i]);
+        s.len.push_back(C.dup_p2.v[i]);
+        s.nameid.push_back(C.dup_name.v[i]);
+      }
+    } else if (type == 3) {  // INV: (b1, b2, strand, name)
+      size_t n = C.inv_chr.v.size();
+      for (size_t i = 0; i < n; i++) {
+        if (C.inv_chr.v[i] != chrom) continue;
+        s.pos.push_back(C.inv_b1.v[i]);
+        s.len.push_back(C.inv_b2.v[i]);
+        s.seqlen.push_back(C.inv_strand.v[i]);
+        s.nameid.push_back(C.inv_name.v[i]);
+      }
+    } else if (type == 4) {  // TRA (keyed by chr1): (p1, chr2, p2, type)
+      size_t n = C.tra_chr1.v.size();
+      for (size_t i = 0; i < n; i++) {
+        if (C.tra_chr1.v[i] != chrom) continue;
+        s.pos.push_back(C.tra_p1.v[i]);
+        s.len.push_back(C.tra_p2.v[i]);
+        s.seqlen.push_back(C.tra_type.v[i]);
+        s.seqoff.push_back(C.tra_chr2.v[i]);
+        s.nameid.push_back(C.tra_name.v[i]);
+      }
     } else {
       size_t n = C.ins_chr.v.size();
       for (size_t i = 0; i < n; i++) {

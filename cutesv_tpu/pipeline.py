@@ -141,18 +141,34 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
                                          disp["rid"])
                     handle = device_models._cluster_stream_dispatch(
                         stream, cfg.min_support, bias)
-                    pending.append((svtype, c, handle))
+                    pending.append((svtype, c, "indel", handle))
+                    fingerprints[(svtype, c)] = fp
+                for svtype, is_inv, bias in (
+                        ("DUP", False, cfg.max_cluster_bias_DUP),
+                        ("INV", True, cfg.max_cluster_bias_INV)):
+                    snap = sd.snapshot(svtype, c)
+                    if len(snap["pos"]) == 0:
+                        continue
+                    fp, disp = sigstore.prepare_snapshot_pair(svtype, snap)
+                    handle = device_models._pair_cluster_start(
+                        disp["k1"], disp["k2"], disp["aux"], disp["keys"],
+                        cfg.min_support, bias, is_inv)
+                    pending.append((svtype, c, "pair", handle))
                     fingerprints[(svtype, c)] = fp
             if finished and pending:
                 # decode is over, so blocking scalar reads are no longer
                 # hidden: start every n_kept copy async before the compact
                 # phase blocks on any (one tunnel round trip, not 2*k)
-                device_models.prefetch_counts(*[h for _, _, h in pending])
-            for svtype, c, handle in pending:
+                device_models.prefetch_counts(
+                    *[h for _, _, _, h in pending])
+            for svtype, c, kind, handle in pending:
                 # mid-decode, blocking here for n_kept and starting the
                 # compaction + host copy is free (the decode runs on
                 # native threads) — resolve later finds the rows local
-                nk_comp = device_models._cluster_stream_compact(handle)
+                if kind == "pair":
+                    nk_comp = device_models._pair_cluster_compact(handle)
+                else:
+                    nk_comp = device_models._cluster_stream_compact(handle)
                 if nk_comp is not None and nk_comp[1] is not None:
                     import jax
                     jax.tree_util.tree_map(
@@ -805,15 +821,22 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             list(sig["INS"].items()), True, cfg.min_support,
             cfg.max_cluster_bias_INS, n_shards=cfg.n_shards,
             early={c: h for (t, c), h in early_k.items() if t == "INS"})
+        def pair_state(svtype, chrom, sigs, is_inv, bias):
+            # reuse the streaming decode's early pair kernel (already
+            # compacted + host-copying) when its fingerprint validated
+            h = early_k.get((svtype, chrom))
+            if h is not None:
+                return ("pending", h)
+            return device_models.resolve_pair_start(
+                sigs, is_inv, cfg.min_support, bias, cfg.n_shards)
+
         inv_states = {
-            chrom: device_models.resolve_pair_start(
-                sigs, True, cfg.min_support, cfg.max_cluster_bias_INV,
-                cfg.n_shards)
+            chrom: pair_state("INV", chrom, sigs, True,
+                              cfg.max_cluster_bias_INV)
             for chrom, sigs in sig["INV"].items()}
         dup_states = {
-            chrom: device_models.resolve_pair_start(
-                sigs, False, cfg.min_support, cfg.max_cluster_bias_DUP,
-                cfg.n_shards)
+            chrom: pair_state("DUP", chrom, sigs, False,
+                              cfg.max_cluster_bias_DUP)
             for chrom, sigs in sig["DUP"].items()}
         tra_states = {
             chrom: device_models.resolve_tra_start(

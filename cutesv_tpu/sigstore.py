@@ -187,6 +187,35 @@ def prepare_snapshot(snap: dict, is_ins: bool):
             dict(pos=pos[live], length=ln[live], rid=lrank[live]))
 
 
+def prepare_snapshot_pair(svtype: str, snap: dict):
+    """DUP/INV counterpart of :func:`prepare_snapshot`: sort + dedup one
+    chromosome's streaming snapshot with the store's exact keys
+    (DUP: (p1, p2, name); INV: (strand, b1, b2, name), cuteSV:763-810)
+    and strip sentinel rows, yielding pair-cluster kernel args whose row
+    order equals the final store's filtered per-chromosome tuples.
+    Returns (fingerprint, {k1, k2, aux, keys})."""
+    n_raw = len(snap["pos"])
+    k1, k2, lrank = snap["pos"], snap["length"], snap["name_lrank"]
+    if svtype == "INV":
+        st = snap["strand"]
+        order = np.lexsort((lrank, k2, k1, st))
+        st, k1, k2, lr = st[order], k1[order], k2[order], lrank[order]
+        keep = _dedup_mask(st, k1, k2, lr)
+        st, k1, k2, lr = st[keep], k1[keep], k2[keep], lr[keep]
+        aux = st.astype(np.int64)
+    else:
+        order = np.lexsort((lrank, k2, k1))
+        k1, k2, lr = k1[order], k2[order], lrank[order]
+        keep = _dedup_mask(k1, k2, lr)
+        k1, k2, lr = k1[keep], k2[keep], lr[keep]
+        aux = np.zeros(len(k1), np.int64)
+    # resolution-side sentinel filter (drop_sentinel_rows semantics over
+    # the kernel's two coordinates)
+    live = ~((k1 == 0) & (k2 == 0))
+    return (dict(n_raw=n_raw),
+            dict(k1=k1[live], k2=k2[live], aux=aux[live], keys=lr[live]))
+
+
 def build_store_native(nd, cfg, early=None) -> SigStore:
     """Merge the native decoder's signature arrays into a SigStore.
 
@@ -329,6 +358,9 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
             seq_off=c["seq_off"]))
 
     # ---- DUP: key (chr, pos1, pos2, name); tuple rows ------------------
+    # (early pair-kernel validation only needs the row-count fingerprint;
+    # the tuple lists are still built globally for host emission)
+    early_cols("DUP", A["dup_chr"])
     rid = rank[A["dup_name"]]
     ck = chrom_rank[A["dup_chr"]]
     order = np.lexsort((rid, A["dup_p2"], A["dup_p1"], ck))
@@ -342,6 +374,7 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
         for chrom, lo, hi in per_chrom_slices(ck)}
 
     # ---- INV: key (chr, strand, bp1, bp2, name); tuple rows ------------
+    early_cols("INV", A["inv_chr"])
     rid = rank[A["inv_name"]]
     ck = chrom_rank[A["inv_chr"]]
     st = A["inv_strand"].astype(np.int64)
