@@ -376,7 +376,8 @@ def _cover_fn(cfg: Config):
     return cover_counts_device
 
 
-def _batched_cover_multi(specs, store, cfg: Config) -> None:
+def _batched_cover_multi(specs, store, cfg: Config,
+                         extra_blocks=()) -> None:
     """Cross-chromosome AND cross-SV-type cover-kernel batching shared by
     every genotype pass: windows and primary read intervals are offset
     into disjoint coordinate ranges so ONE dominance-count kernel
@@ -392,11 +393,17 @@ def _batched_cover_multi(specs, store, cfg: Config) -> None:
     ``specs``: list of (per_chrom, win_groups_fn, apply_fn) passes.
     ``win_groups_fn(jobs)`` returns one or more window lists (each the
     length of ``jobs``); ``apply_fn(chrom, cands, jobs, census, counts)``
-    receives the per-group cover-count slices in the same order."""
-    state = dict(offset=0, windows=[], starts=[], ends=[], spans=[])
+    receives the per-group cover-count slices in the same order.
+
+    ``extra_blocks``: additional (windows, starts, ends, sink) dicts
+    counted in the SAME kernel call against their own interval sets —
+    the TRA pass rides here (its intervals are the full read tables,
+    not the census). Each sink(counts) receives its windows' counts."""
+    state = dict(offset=0, windows=[], starts=[], ends=[], spans=[],
+                 extras=[])
 
     def flush():
-        if state["spans"]:
+        if state["spans"] or state["extras"]:
             from cutesv_tpu.genotype import cover_counts
             cover = _cover_fn(cfg) or cover_counts
             allc = cover(state["windows"],
@@ -407,7 +414,10 @@ def _batched_cover_multi(specs, store, cfg: Config) -> None:
                 cands, jobs = per_chrom[chrom]
                 counts = [allc[lo:lo + m] for lo, m in ranges]
                 apply_fn(chrom, cands, jobs, store.census[chrom], counts)
-        state.update(offset=0, windows=[], starts=[], ends=[], spans=[])
+            for lo, m, sink in state["extras"]:
+                sink(allc[lo:lo + m])
+        state.update(offset=0, windows=[], starts=[], ends=[], spans=[],
+                     extras=[])
 
     # chromosome union in first-appearance order: each chromosome's
     # census is appended once, shared by every spec active on it
@@ -465,6 +475,27 @@ def _batched_cover_multi(specs, store, cfg: Config) -> None:
         state["starts"].append(census["start"][prim] + offset)
         state["ends"].append(census["end"][prim] + offset)
         state["offset"] = offset + span
+    for blk in extra_blocks:
+        wins, starts, ends, sink = (blk["windows"], blk["starts"],
+                                    blk["ends"], blk["sink"])
+        if not wins:
+            sink(np.zeros(0, np.int64))
+            continue
+        hi = int(ends.max()) + 2 if len(ends) else 0
+        hi = max(hi, max(e for _, e in wins) + 2)
+        if hi > 1_000_000_000:
+            from cutesv_tpu.genotype import cover_counts
+            sink(np.asarray(cover_counts(wins, starts, ends)))
+            continue
+        if state["offset"] + hi > 1_000_000_000:
+            flush()
+        off = state["offset"]
+        lo = len(state["windows"])
+        state["windows"].extend((a + off, b + off) for a, b in wins)
+        state["extras"].append((lo, len(wins), blk["sink"]))
+        state["starts"].append(starts + off)
+        state["ends"].append(ends + off)
+        state["offset"] = off + hi
     flush()
 
 
@@ -615,16 +646,18 @@ def _fill_gt_two_windows(cands: List[list], jobs: List[dict], store, chrom,
     return one[chrom][0]
 
 
-def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
-    """Batched TRA genotyping (call_gt_tra, cuteSV_resolveTRA.py:260-309):
-    ONE cover-kernel call computes the strict covering counts for every
-    candidate's two breakpoint windows across all chromosomes. The
-    reference's early-exit semantics — the gt_round iteration cap and the
+def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
+    """Batched TRA genotyping (call_gt_tra, cuteSV_resolveTRA.py:260-309),
+    riding the shared cover-kernel call: returns (extra_blocks, finalize)
+    for :func:`_batched_cover_multi` — the strict covering counts for
+    every candidate's two breakpoint windows count in the SAME kernel
+    dispatch as the DEL/INS/DUP/INV genotype windows. The reference's
+    early-exit semantics — the gt_round iteration cap and the
     threshold_ref_count bound, both order-sensitive — are detected with
     cheap searchsorted prechecks, and only candidates that could hit them
     (or whose read tables carry ambiguous primary names) replay the exact
     per-candidate host loop. Byte-identical to the inline path."""
-    from cutesv_tpu.genotype import (call_gt_tra, cover_counts, gl_table,
+    from cutesv_tpu.genotype import (call_gt_tra, gl_table,
                                      support_inter_counts,
                                      threshold_ref_count)
 
@@ -634,7 +667,7 @@ def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
             j["chr1"] = chrom
             jobs.append(j)
     if not jobs:
-        return
+        return [], lambda: None
     tables = store.read_tables
     lengths = store.chrom_lengths
     bias = cfg.max_cluster_bias_TRA
@@ -686,23 +719,19 @@ def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
             e = min(int(pos) + bias, lengths[chrom])
             win_by_chrom.setdefault(chrom, []).append((k, which, s, e))
 
-    # ---- ONE batched cover-kernel call over every window ---------------
+    # ---- covering counts ride the SHARED cover-kernel call -------------
     # strict covering (start < s and end > e, count_coverage's test) is
     # the kernel's non-strict test on the (s-1, e+1) window
     covers = np.zeros((len(jobs), 2), np.int64)
     inters = np.zeros((len(jobs), 2), np.int64)
     overlaps = np.zeros((len(jobs), 2), np.int64)
-    state = dict(offset=0, windows=[], starts=[], ends=[], slots=[])
+    blocks = []
 
-    def flush():
-        if state["slots"]:
-            cover = _cover_fn(cfg) or cover_counts
-            allc = cover(state["windows"],
-                         np.concatenate(state["starts"]),
-                         np.concatenate(state["ends"]))
-            for i, (k, which) in enumerate(state["slots"]):
-                covers[k, which] = int(allc[i])
-        state.update(offset=0, windows=[], starts=[], ends=[], slots=[])
+    def make_sink(wl):
+        def sink(counts):
+            for i, (k, which, _, _) in enumerate(wl):
+                covers[k, which] = int(counts[i])
+        return sink
 
     for chrom, wl in win_by_chrom.items():
         ti = tinfo(chrom)
@@ -714,24 +743,9 @@ def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
             overlaps[k, which] = (
                 int(np.searchsorted(ti["ps_sorted"], e, "left"))
                 - int(np.searchsorted(ti["pe_sorted"], s, "right")))
-        hi = int(ti["pe"].max()) + 2
-        hi = max(hi, max(e + 3 for _, _, _, e in wl))
-        if hi > 1_000_000_000:
-            # beyond the kernels' int32 coordinate budget: host sweep
-            allc = cover_counts([(s - 1, e + 1) for _, _, s, e in wl],
-                                ti["ps"], ti["pe"])
-            for i, (k, which, _, _) in enumerate(wl):
-                covers[k, which] = int(allc[i])
-        else:
-            if state["offset"] + hi > 1_000_000_000:
-                flush()
-            off = state["offset"]
-            state["windows"].extend((s - 1 + off, e + 1 + off)
-                                    for _, _, s, e in wl)
-            state["slots"].extend((k, which) for k, which, _, _ in wl)
-            state["starts"].append(ti["ps"] + off)
-            state["ends"].append(ti["pe"] + off)
-            state["offset"] = off + hi
+        blocks.append(dict(
+            windows=[(s - 1, e + 1) for _, _, s, e in wl],
+            starts=ti["ps"], ends=ti["pe"], sink=make_sink(wl)))
         # support-covering counts (vectorized; strict via shifted window)
         supports = [jobs[k]["support"] for k, _, _, _ in wl]
         inter = support_inter_counts(
@@ -739,41 +753,52 @@ def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
             [[(s - 1, e + 1) for _, _, s, e in wl]])
         for i, (k, which, _, _) in enumerate(wl):
             inters[k, which] = int(inter[i])
-    flush()
 
-    # ---- finalize: fast path or exact replay ---------------------------
-    table = gl_table()
-    stats = dict(fast=0, replay=0, unresolvable=0)
-    for k, j in enumerate(jobs):
-        cand = j["cand"]
-        if not resolvable[k]:
-            # SA-tag contig absent from the header (call_gt_tra's
-            # degraded "unresolvable" genotype)
-            dr, gt, gl, gq, qual = ".", "./.", ".,.,.", ".", "."
-            stats["unresolvable"] += 1
-        else:
-            support = j["support"]
-            up_bound = threshold_ref_count(len(support))
-            c1, c2 = int(covers[k, 0]), int(covers[k, 1])
-            fast = (names_ok
-                    and int(overlaps[k, 0]) < cfg.gt_round
-                    and int(overlaps[k, 1]) < cfg.gt_round
-                    and c1 < up_bound and c1 + c2 < up_bound)
-            if fast:
-                dr = (c1 - int(inters[k, 0])) + (c2 - int(inters[k, 1]))
-                gt, gl, gq, qual = table.lookup(dr, len(support))
-                stats["fast"] += 1
+    def finalize():
+        # fast path or exact replay, after the kernel filled ``covers``
+        table = gl_table()
+        stats = dict(fast=0, replay=0, unresolvable=0)
+        for k, j in enumerate(jobs):
+            cand = j["cand"]
+            if not resolvable[k]:
+                # SA-tag contig absent from the header (call_gt_tra's
+                # degraded "unresolvable" genotype)
+                dr, gt, gl, gq, qual = ".", "./.", ".,.,.", ".", "."
+                stats["unresolvable"] += 1
             else:
-                _, dr, gt, gl, gq, qual = call_gt_tra(
-                    tables, lengths, j["pos1"], j["pos2"], j["chr1"],
-                    j["chr2"], support, bias, cfg.gt_round)
-                stats["replay"] += 1
-        cand[6] = str(dr)
-        cand[7] = str(gt)
-        cand[8] = str(gl)
-        cand[9] = str(gq)
-        cand[10] = str(qual)
-    store.tra_cover_stats = stats
+                support = j["support"]
+                up_bound = threshold_ref_count(len(support))
+                c1, c2 = int(covers[k, 0]), int(covers[k, 1])
+                fast = (names_ok
+                        and int(overlaps[k, 0]) < cfg.gt_round
+                        and int(overlaps[k, 1]) < cfg.gt_round
+                        and c1 < up_bound and c1 + c2 < up_bound)
+                if fast:
+                    dr = ((c1 - int(inters[k, 0]))
+                          + (c2 - int(inters[k, 1])))
+                    gt, gl, gq, qual = table.lookup(dr, len(support))
+                    stats["fast"] += 1
+                else:
+                    _, dr, gt, gl, gq, qual = call_gt_tra(
+                        tables, lengths, j["pos1"], j["pos2"], j["chr1"],
+                        j["chr2"], support, bias, cfg.gt_round)
+                    stats["replay"] += 1
+            cand[6] = str(dr)
+            cand[7] = str(gt)
+            cand[8] = str(gl)
+            cand[9] = str(gq)
+            cand[10] = str(qual)
+        store.tra_cover_stats = stats
+
+    return blocks, finalize
+
+
+def _tra_cover_pass(per_chrom: Dict[str, tuple], store, cfg: Config) -> None:
+    """Standalone form of the batched TRA genotype pass (tests / host
+    callers); the pipeline rides the shared cover call instead."""
+    blocks, finalize = _tra_cover_prepare(per_chrom, store, cfg)
+    _batched_cover_multi([], store, cfg, extra_blocks=blocks)
+    finalize()
 
 
 def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
@@ -902,6 +927,28 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             dup_res[chrom] = resolve_dup(
                 sigs, chrom, cfg.min_support, cfg.max_cluster_bias_DUP,
                 cfg.min_size, cfg.max_size, action, names=names)
+    # TRA resolution happens BEFORE the cover pass so its genotype
+    # windows ride the same kernel call (candidates/logs still emit in
+    # the reference's DEL,INS,INV,DUP,TRA order below)
+    tra_batch = action and use_device and store.names is not None
+    tra_res: Dict[str, tuple] = {}
+    tra_out: Dict[str, list] = {}
+    for chrom, sigs_t in sig["TRA"].items():
+        if use_device:
+            jobs_t: Optional[list] = [] if tra_batch else None
+            tra_out[chrom] = device_models.resolve_tra_finish(
+                tra_states.get(chrom), sigs_t, chrom, cfg.min_support,
+                cfg.diff_ratio_filtering_TRA, cfg.max_cluster_bias_TRA,
+                store.read_tables, store.chrom_lengths, action,
+                cfg.gt_round, names=names, jobs_out=jobs_t)
+            if tra_batch:
+                tra_res[chrom] = (tra_out[chrom], jobs_t)
+        else:
+            tra_out[chrom] = host_models.resolve_tra(
+                sigs_t, chrom, cfg.min_support,
+                cfg.diff_ratio_filtering_TRA, cfg.max_cluster_bias_TRA,
+                store.read_tables, store.chrom_lengths, action,
+                cfg.gt_round, names=names)
     # ONE read-support cover pass for every SV type and chromosome: the
     # census uploads once and the kernel round-trip is paid once
     specs = []
@@ -913,8 +960,14 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
     if action and use_device:
         specs.append(_two_windows_cover_spec(inv_res, (5, 6, 8, 9, 10)))
         specs.append(_two_windows_cover_spec(dup_res, (5, 6, 7, 8, 9)))
-    if specs:
-        _batched_cover_multi(specs, store, cfg)
+    tra_finalize = None
+    tra_blocks = []
+    if tra_batch:
+        tra_blocks, tra_finalize = _tra_cover_prepare(tra_res, store, cfg)
+    if specs or tra_blocks:
+        _batched_cover_multi(specs, store, cfg, extra_blocks=tra_blocks)
+    if tra_finalize is not None:
+        tra_finalize()
     for chrom in sig["DEL"]:
         cands, jobs = del_res[chrom]
         if action and not filled:
@@ -941,30 +994,9 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
                                          cfg, 5, 6, 7, 8, 9)
         log.info("Finished %s:%s." % (chrom, "DUP"))
         add(chrom, cands)
-    # TRA: device cluster kernel (dispatched above with DUP/INV) + the
-    # batched cover pass on rank-identity stores; the host oracle keeps
-    # the inline per-candidate genotype replay
-    tra_batch = action and use_device and store.names is not None
-    tra_res: Dict[str, tuple] = {}
-    for chrom, sigs in sig["TRA"].items():
-        if use_device:
-            jobs_t: Optional[list] = [] if tra_batch else None
-            cands = device_models.resolve_tra_finish(
-                tra_states.get(chrom), sigs, chrom, cfg.min_support,
-                cfg.diff_ratio_filtering_TRA, cfg.max_cluster_bias_TRA,
-                store.read_tables, store.chrom_lengths, action,
-                cfg.gt_round, names=names, jobs_out=jobs_t)
-            if tra_batch:
-                tra_res[chrom] = (cands, jobs_t)
-        else:
-            cands = host_models.resolve_tra(
-                sigs, chrom, cfg.min_support, cfg.diff_ratio_filtering_TRA,
-                cfg.max_cluster_bias_TRA, store.read_tables,
-                store.chrom_lengths, action, cfg.gt_round, names=names)
+    for chrom in sig["TRA"]:
         log.info("Finished %s:%s." % (chrom, "TRA/BND"))
-        add(chrom, cands)
-    if tra_batch:
-        _tra_cover_pass(tra_res, store, cfg)
+        add(chrom, tra_out[chrom])
     return results
 
 

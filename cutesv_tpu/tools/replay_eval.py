@@ -112,12 +112,59 @@ def force_call_window(prefix: str, wd: str, disc_cfg,
     shutil.rmtree(fc_wd, ignore_errors=True)
 
 
+def messy_eval(out_dir: str, genome_mb: float, seed: int,
+               min_support: int, bias: float, offset: int,
+               engine: str, decoder: str, force_call: bool) -> None:
+    """Generate the messy stress corpus (tools/simulate.py --messy), run
+    one full discovery pass, score presence/genotype against its truth
+    set, and optionally round-trip force calling. The heterogeneity
+    (coverage waves down to ~5x, ONT noise density, chimeras) is the
+    point: deltas vs the clean-corpus table are expected and documented
+    in docs/EVAL.md."""
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import run_pipeline
+    from cutesv_tpu.tools.simulate import simulate_messy
+
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = os.path.join(out_dir, "messy")
+    t0 = time.time()
+    info = simulate_messy(prefix, genome_mb=genome_mb, seed=seed)
+    log.info("messy corpus: %d reads (%.1fs)", info["n_reads"],
+             time.time() - t0)
+    wd = prefix + "_wd"
+    if os.path.isdir(wd):
+        shutil.rmtree(wd)
+    os.makedirs(wd)
+    cfg = Config(input=prefix + ".bam", reference=prefix + ".fa",
+                 output=prefix + ".vcf", work_dir=wd, genotype=True,
+                 min_support=min_support, engine=engine, decoder=decoder)
+    run_pipeline(cfg, ["replay_eval", "messy"])
+    res = eval_window(prefix + ".vcf", prefix + ".truth.bed",
+                      prefix + ".zygosity.bed", bias, offset)
+    print("type\ttruth_rows\tpresence\tgenotype")
+    for svtype in ("DEL", "INS", "DUP", "INV", "BND"):
+        if svtype not in res:
+            continue
+        m1, m2, tot = res[svtype]
+        print("%s\t%d\t%d (%.1f%%)\t%d (%.1f%%)"
+              % (svtype, tot, m1, 100.0 * m1 / max(tot, 1),
+                 m2, 100.0 * m2 / max(tot, 1)))
+    if force_call:
+        fc_agg: Dict[str, list] = {}
+        force_call_window(prefix, wd, cfg, fc_agg)
+        print("force-calling GT concordance (regenotyped vs discovery):")
+        for svtype in sorted(fc_agg):
+            m, tot = fc_agg[svtype]
+            print("%s\t%d/%d (%.1f%%)"
+                  % (svtype, m, tot, 100.0 * m / max(tot, 1)))
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="replay_eval",
         description="Replay VISOR truth beds genome-wide and report "
                     "aggregate presence/genotype recall.")
-    p.add_argument("--beds", required=True,
+    p.add_argument("--beds", required=False, default=None,
                    help="Comma-separated VISOR HACk truth beds (.bed/.gz).")
     p.add_argument("--out", required=True, help="Scratch/output directory.")
     p.add_argument("--chroms", default=None,
@@ -139,9 +186,21 @@ def main(argv=None) -> int:
     p.add_argument("--force_call", action="store_true",
                    help="Also regenotype each window's discovery VCF "
                         "(-Ivcf round trip) and report GT concordance.")
+    p.add_argument("--messy", type=float, default=None, metavar="MB",
+                   help="Instead of replaying beds, generate the messy "
+                        "stress corpus of MB megabases and evaluate it.")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
+
+    if args.messy is not None:
+        messy_eval(args.out, args.messy, args.seed, args.min_support,
+                   args.bias, args.offset, args.engine, args.decoder,
+                   args.force_call)
+        return 0
+    if not args.beds:
+        p.error("--beds is required unless --messy is given")
 
     from cutesv_tpu.config import Config
     from cutesv_tpu.pipeline import run_pipeline
