@@ -230,8 +230,13 @@ def _check_status(status: int, path: str, detail: str = ""):
 def _extract(lib, handle, path: str) -> NativeDecode:
     name_blob = _fetch(lib, handle, 0)
     name_off = _fetch(lib, handle, 1)
-    names = [name_blob[name_off[i]:name_off[i + 1]].decode("ascii")
-             for i in range(len(name_off) - 1)]
+    # one whole-blob decode + str slicing is ~2x faster than a bytes
+    # slice + .decode() per name (at human scale this loop is hundreds
+    # of ms of pure python); BAM qnames are ASCII by spec, and latin-1
+    # maps any stray byte 1:1 so the slice offsets stay valid
+    blob_s = name_blob.decode("latin-1")
+    offs = name_off.tolist()
+    names = [blob_s[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]
     name_rank = _fetch(lib, handle, 2)
     chrom_blob = _fetch(lib, handle, 3)
     chrom_off = _fetch(lib, handle, 4)

@@ -235,9 +235,11 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
 
     A = nd.arrays
     rank = np.asarray(nd.name_rank, np.int64)
-    names_by_rank = [""] * len(nd.names)
-    for i, r in enumerate(rank):
-        names_by_rank[r] = nd.names[i]
+    # vectorized scatter (the per-name python loop costs ~0.1 s per
+    # 250k names; object arrays keep the strings by reference)
+    _nbr = np.empty(len(nd.names), object)
+    _nbr[rank] = np.asarray(nd.names, dtype=object)
+    names_by_rank = _nbr.tolist()
     chrom_order = sorted(range(len(nd.chroms)), key=lambda i: nd.chroms[i])
     chrom_rank = np.zeros(len(nd.chroms), np.int64)
     for r, i in enumerate(chrom_order):

@@ -320,6 +320,49 @@ def test_distributed_two_process_cli(tmp_path):
         outs[0].decode()[-1500:]
 
 
+def test_distributed_cram_two_process_cli(tmp_path):
+    """CRAM --distributed: a real 2-process jax.distributed run where
+    each process decodes a disjoint container-aligned byte range
+    (round-3; BAM counterpart above). Byte-identical to the
+    single-process CRAM run; both processes must log the sharded
+    decode."""
+    import os
+    import subprocess
+    import sys
+
+    from cutesv_tpu.cli import main
+    from tests.test_sharded_decode import _bam_to_cram
+
+    base = _distributed_fixture(tmp_path)
+    cram = tmp_path / "in.cram"
+    _bam_to_cram(tmp_path / "in.bam", cram, max_slice=25)
+    cbase = [str(cram), base[1]]
+    assert main(cbase + [str(tmp_path / "refc.vcf"),
+                         str(tmp_path / "wrc"), "--engine", "host"]) == 0
+    port = 21000 + (os.getpid() % 10000)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cutesv_tpu.cli"] + cbase
+            + [str(tmp_path / ("mc%d.vcf" % i)),
+               str(tmp_path / ("wc%d" % i)),
+               "--engine", "host", "--distributed",
+               "--coordinator", "localhost:%d" % port,
+               "--num_processes", "2", "--process_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    assert procs[0].returncode == 0, outs[0].decode()[-2000:]
+    assert procs[1].returncode == 0, outs[1].decode()[-2000:]
+    assert not (tmp_path / "mc1.vcf").exists()  # only host 0 emits
+    assert _vcf_body(tmp_path / "mc0.vcf") == _vcf_body(
+        tmp_path / "refc.vcf")
+    assert all(b"sharded decode: shard" in o for o in outs), \
+        outs[0].decode()[-1500:]
+
+
 def test_distributed_device_sharded_two_process_cli(tmp_path):
     """Distributed x device-engine x sharded kernels combined: a real
     2-process jax.distributed run where each process resolves its
