@@ -59,6 +59,10 @@ def get_lib():
     lib.bamdecode_snapshot_get.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_int64)]
+    lib.bamdecode_ins_seq_spans.restype = ctypes.c_int64
+    lib.bamdecode_ins_seq_spans.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
     lib.bamdecode_status.restype = ctypes.c_int
     lib.bamdecode_status.argtypes = [ctypes.c_void_p]
     lib.bamdecode_n_records.restype = ctypes.c_int64
@@ -310,9 +314,11 @@ class StreamingDecode:
         (including DONE)."""
         return int(self._lib.bamdecode_n_refs(self._handle))
 
-    _SNAP_TYPE = {"DEL": 0, "INS": 1, "DUP": 2, "INV": 3, "TRA": 4}
+    _SNAP_TYPE = {"DEL": 0, "INS": 1, "DUP": 2, "INV": 3, "TRA": 4,
+                  "CEN": 5}
     # (field_id, name) per snapshot type; DUP reuses pos/length for
-    # (p1, p2), INV adds the strand, TRA the bnd type + mate chrom id
+    # (p1, p2), INV adds the strand, TRA the bnd type + mate chrom id,
+    # CEN is the per-chromosome read census
     _SNAP_LAYOUT = {
         0: tuple(enumerate(_SNAP_FIELDS[:4])),
         1: tuple(enumerate(_SNAP_FIELDS)),
@@ -320,6 +326,7 @@ class StreamingDecode:
         3: tuple(enumerate(_SNAP_FIELDS[:4])) + ((4, "strand"),),
         4: tuple(enumerate(_SNAP_FIELDS[:4])) + ((4, "bnd_type"),
                                                  (6, "chr2")),
+        5: ((0, "start"), (1, "end"), (4, "is_primary"), (2, "name")),
     }
 
     def snapshot(self, sv_type: str, chrom_id: int) -> Dict[str,
@@ -345,6 +352,23 @@ class StreamingDecode:
                 out[name] = np.frombuffer(buf, np.int64).copy()
         assert all(len(v) == n for v in out.values())
         return out
+
+    def ins_seq_spans(self, offs, lens):
+        """Copy INS sequence blob spans (safe mid-decode: the read takes
+        the decoder's merge lock). Returns the concatenated bytes."""
+        offs = np.ascontiguousarray(offs, np.int64)
+        lens = np.ascontiguousarray(lens, np.int64)
+        total = int(lens.sum())
+        out = ctypes.create_string_buffer(max(total, 1))
+        w = self._lib.bamdecode_ins_seq_spans(
+            self._handle,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offs), out)
+        if w != total:
+            raise RuntimeError("bamdecode_ins_seq_spans(%d != %d)"
+                               % (w, total))
+        return out.raw[:total]
 
     def join(self) -> NativeDecode:
         """Wait for the decode thread, check status, extract everything."""

@@ -1783,6 +1783,16 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.seqoff.push_back(C.tra_chr2.v[i]);
         s.nameid.push_back(C.tra_name.v[i]);
       }
+    } else if (type == 5) {  // census: (start, end, is_primary, name_id)
+      size_t n = C.cen_chr.v.size();
+      for (size_t i = 0; i < n; i++) {
+        if (C.cen_chr.v[i] != chrom) continue;
+        s.pos.push_back(C.cen_start.v[i]);
+        s.len.push_back(C.cen_end.v[i]);
+        s.seqlen.push_back(C.cen_prim.v[i]);
+        s.nameid.push_back(C.cen_name.v[i]);
+      }
+      return (int64_t)s.pos.size();  // no local ranks needed
     } else {
       size_t n = C.ins_chr.v.size();
       for (size_t i = 0; i < n; i++) {
@@ -1862,6 +1872,27 @@ int bamdecode_snapshot_get(CResult* r, int field, const void** data,
     case 6: return set(s.seqoff);
     default: return 1;
   }
+}
+
+// Copy ``n`` spans of the (append-only) INS sequence blob into a caller
+// buffer laid end to end; safe mid-decode (the blob may reallocate on
+// growth, so reads take the same lock the workers' merges do). Returns
+// the bytes written, or -1 when a span is out of range.
+int64_t bamdecode_ins_seq_spans(CResult* r, const int64_t* offs,
+                                const int64_t* lens, int64_t n,
+                                char* out) {
+  Decoder* d = r->dec;
+  std::lock_guard<std::mutex> g(d->snap_mu);
+  const std::string& blob = d->C.ins_seq_blob;
+  int64_t w = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (offs[i] < 0 || lens[i] < 0
+        || (uint64_t)(offs[i] + lens[i]) > (uint64_t)blob.size())
+      return -1;
+    memcpy(out + w, blob.data() + offs[i], (size_t)lens[i]);
+    w += lens[i];
+  }
+  return w;
 }
 
 int bamdecode_status(CResult* r) { return r->status; }

@@ -94,6 +94,73 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
             and not cfg.distributed)
 
 
+class _NativeBlobView:
+    """Lazy view over the native decoder's (append-only) INS sequence
+    blob: slicing copies the span under the decoder's merge lock, so
+    mid-decode emission can render ALT sequences without materializing
+    the blob."""
+
+    def __init__(self, sd):
+        self._sd = sd
+
+    def __getitem__(self, sl):
+        return self._sd.ins_seq_spans([sl.start], [sl.stop - sl.start])
+
+
+def _stream_tail_emit(sd, cfg: Config, svtype: str, c: int, cols,
+                      nk_comp, census_cache):
+    """Mid-decode per-chromosome tail for DEL/INS: fetch the cluster
+    kernel, run host emission and (under --genotype) the cover/genotype
+    fill — all hidden under the remaining chromosomes' decode. Read
+    identities are the decoder's interned name ids (one consistent
+    space with the census snapshot); candidate chrom fields carry a
+    placeholder patched after join. Byte-identical to the post-decode
+    path (same _emit_* / _del_ins_apply functions; host cover counts
+    equal the device kernel's). Results are only trusted once the
+    chromosome's fingerprint validates against the final arrays."""
+    from cutesv_tpu.genotype import cover_counts
+    from cutesv_tpu.models import device as dm
+
+    is_ins = svtype == "INS"
+    res = dm._cluster_stream_fetch(nk_comp)
+    if res is None:
+        return ([], [])
+    cid, pos, length, sidx = res
+    if is_ins:
+        live = ~(((cols["pos"] >> 1) == 0) & (cols["length"] == 0))
+        stream = dm.IndelStream(
+            (cols["pos"] >> 1)[live], cols["length"][live],
+            cols["name_id"][live], seq_len=cols["seq_len"][live],
+            seq_blob=_NativeBlobView(sd), seq_off=cols["seq_off"][live])
+    else:
+        live = ~((cols["pos"] == 0) & (cols["length"] == 0))
+        stream = dm.IndelStream(cols["pos"][live], cols["length"][live],
+                                cols["name_id"][live])
+    emit = dm._emit_ins if is_ins else dm._emit_del
+    thr = (cfg.diff_ratio_merging_INS if is_ins
+           else cfg.diff_ratio_merging_DEL)
+    bias = (cfg.max_cluster_bias_INS if is_ins
+            else cfg.max_cluster_bias_DEL)
+    cands, jobs = emit(cid, pos, length, sidx, stream, None, thr, bias,
+                       min(cfg.min_support, 5), cfg.remain_reads_ratio,
+                       cfg.genotype, need_names=False)
+    if cfg.genotype and cands:
+        census = census_cache.get(c)
+        if census is None:
+            s = sd.snapshot("CEN", c)
+            census = census_cache[c] = dict(
+                start=s["start"], end=s["end"],
+                is_primary=s["is_primary"].astype(np.int8),
+                name=s["name"])
+        if len(census["start"]) == 0:
+            return ([], [])  # the batched pass's empty-chrom contract
+        prim = census["is_primary"] == 1
+        covers = cover_counts([j["window"] for j in jobs],
+                              census["start"][prim], census["end"][prim])
+        _del_ins_apply(None, cands, jobs, census, [covers])
+    return (cands, [])
+
+
 def _decode_bam_native_streaming(cfg: Config, bed_ids):
     """Decode on a native thread; as each chromosome completes, snapshot
     its DEL/INS rows, sort/dedup them with the store's exact keys (local
@@ -114,6 +181,16 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids, reference=None)
     handles: Dict[tuple, object] = {}
     fingerprints: Dict[tuple, dict] = {}
+    early_results: Dict[tuple, tuple] = {}
+    census_cache: Dict[int, dict] = {}
+    # full mid-decode tail (emission + genotype) needs rendered read
+    # names nowhere; --report_readid does, so it keeps the kernel-only
+    # overlap. CUTESV_STREAM_TAIL=0 forces the tail off.
+    tail_env = os.environ.get("CUTESV_STREAM_TAIL")
+    tail_ok = not cfg.report_readid and tail_env != "0"
+    # "force" runs the tail even for the final batch (tests: small
+    # fixtures decode in one poll, so nothing completes mid-decode)
+    tail_force = tail_env == "force"
     done = set()
     try:
         while True:
@@ -173,6 +250,23 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
                     import jax
                     jax.tree_util.tree_map(
                         lambda x: x.copy_to_host_async(), nk_comp[1])
+                if kind == "indel" and tail_ok and (not finished
+                                                   or tail_force):
+                    # chromosomes completed before end-of-decode run the
+                    # FULL tail here (emission + genotype), hidden under
+                    # the remaining decode; the final batch keeps the
+                    # batched-kernel cover path (no decode left to hide
+                    # under, and one kernel call beats per-chrom sweeps)
+                    try:
+                        early_results[(svtype, c)] = _stream_tail_emit(
+                            sd, cfg, svtype, c,
+                            fingerprints[(svtype, c)], nk_comp,
+                            census_cache)
+                        continue  # kernel consumed by the tail
+                    except Exception:
+                        log.warning("streaming tail failed; falling back "
+                                    "to post-decode resolve",
+                                    exc_info=True)
                 handles[(svtype, c)] = nk_comp
             if finished:
                 break
@@ -189,9 +283,19 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     store.early_kernels = {
         (t, nd.chroms[c]): h for (t, c), h in handles.items()
         if (t, nd.chroms[c]) in valid}
-    n_early = len(handles)
-    log.info("streaming decode: %d/%d early cluster kernels validated"
-             % (len(store.early_kernels), n_early))
+    store.early_results = {}
+    for (t, c), res in early_results.items():
+        chrom = nd.chroms[c]
+        if (t, chrom) not in valid:
+            continue  # a late SA row invalidated the chromosome
+        for cand in res[0]:
+            cand[0] = chrom  # placeholder patched now the name is known
+        store.early_results[(t, chrom)] = res
+    n_early = len(handles) + len(early_results)
+    log.info("streaming decode: %d early kernels + %d full tails "
+             "validated of %d dispatched"
+             % (len(store.early_kernels), len(store.early_results),
+                n_early))
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]
     return store, None, references, nd.n_records
@@ -838,12 +942,17 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
         # batch, DUP/INV per chromosome — device compute overlaps host
         # emission and dispatch latency is paid once, not per stage
         early_k = getattr(store, "early_kernels", None) or {}
+        # chromosomes whose FULL tail (emission + genotype) already ran
+        # during the streaming decode skip resolution entirely
+        early_res = getattr(store, "early_results", None) or {}
         del_state = device_models.resolve_indel_multi_start(
-            list(sig["DEL"].items()), False, cfg.min_support,
+            [(c, s) for c, s in sig["DEL"].items()
+             if ("DEL", c) not in early_res], False, cfg.min_support,
             cfg.max_cluster_bias_DEL, n_shards=cfg.n_shards,
             early={c: h for (t, c), h in early_k.items() if t == "DEL"})
         ins_state = device_models.resolve_indel_multi_start(
-            list(sig["INS"].items()), True, cfg.min_support,
+            [(c, s) for c, s in sig["INS"].items()
+             if ("INS", c) not in early_res], True, cfg.min_support,
             cfg.max_cluster_bias_INS, n_shards=cfg.n_shards,
             early={c: h for (t, c), h in early_k.items() if t == "INS"})
         def pair_state(svtype, chrom, sigs, is_inv, bias):
@@ -890,6 +999,8 @@ def resolve_all(store: sigstore.SigStore, cfg: Config) -> Dict[str, List]:
             ins_state, cfg.diff_ratio_merging_INS, min_sup5,
             cfg.remain_reads_ratio, action,
             need_names=cfg.report_readid)
+        for (t, c), res in early_res.items():
+            (del_res if t == "DEL" else ins_res)[c] = res
     else:
         def rows_of(sigs):
             # native columnar stream -> resolver tuple rows

@@ -169,6 +169,51 @@ def test_snapshot_prepare_validation_and_early_resolve(tmp_path):
     sd.free()
 
 
+def test_streaming_full_tail_identical(tmp_path, monkeypatch):
+    """The mid-decode per-chromosome tail (kernel fetch + emission +
+    genotype, round-3) must produce byte-identical VCFs to the plain
+    path. Small fixtures decode in one poll, so CUTESV_STREAM_TAIL=force
+    runs the tail for the final batch too."""
+    from cutesv_tpu.pipeline import run_pipeline as rp
+    from tests.test_e2e_alltypes import _build
+
+    bam, fa = _build(tmp_path)
+    outs = {}
+    for label, env in (("tail", "force"), ("plain", "0")):
+        monkeypatch.setenv("CUTESV_STREAM_TAIL", env)
+        monkeypatch.setenv("CUTESV_STREAM_DISPATCH", "1")
+        out = tmp_path / ("t_%s.vcf" % label)
+        wd = tmp_path / ("tw_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(wd), genotype=True, min_support=3,
+                     engine="device", decoder="native")
+        stats = rp(cfg, ["x"])
+        assert stats["n_calls"] > 0
+        outs[label] = out.read_text().split("#CHROM")[-1]
+    assert outs["tail"] == outs["plain"]
+
+
+def test_streaming_full_tail_identical_no_genotype(tmp_path, monkeypatch):
+    from cutesv_tpu.pipeline import run_pipeline as rp
+    from tests.test_e2e_alltypes import _build
+
+    bam, fa = _build(tmp_path)
+    outs = {}
+    for label, env in (("tail", "force"), ("plain", "0")):
+        monkeypatch.setenv("CUTESV_STREAM_TAIL", env)
+        monkeypatch.setenv("CUTESV_STREAM_DISPATCH", "1")
+        out = tmp_path / ("n_%s.vcf" % label)
+        wd = tmp_path / ("nw_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+                     work_dir=str(wd), genotype=False, min_support=3,
+                     engine="device", decoder="native")
+        rp(cfg, ["x"])
+        outs[label] = out.read_text().split("#CHROM")[-1]
+    assert outs["tail"] == outs["plain"]
+
+
 def test_pair_snapshot_early_resolve_identical(tmp_path):
     """DUP/INV streaming snapshots: the early pair-cluster kernels must
     validate against the final store and resolve to identical candidates
