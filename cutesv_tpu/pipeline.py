@@ -187,10 +187,16 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     # names nowhere; --report_readid does, so it keeps the kernel-only
     # overlap. CUTESV_STREAM_TAIL=0 forces the tail off.
     tail_env = os.environ.get("CUTESV_STREAM_TAIL")
-    tail_ok = not cfg.report_readid and tail_env != "0"
-    # "force" runs the tail even for the final batch (tests: small
-    # fixtures decode in one poll, so nothing completes mid-decode)
+    # the FULL tail (emission + genotype mid-decode) steals host CPU
+    # from the inflate workers; measured a net wash at 2 cores (resolve
+    # -0.3 s, decode +0.5 s) and a clear win where cores are plentiful,
+    # so it defaults on only at >= 4 cores. CUTESV_STREAM_TAIL=1/0
+    # forces; "force" additionally runs it for the final batch (tests:
+    # small fixtures decode in one poll, so nothing completes mid-run)
     tail_force = tail_env == "force"
+    tail_ok = (not cfg.report_readid
+               and (tail_env in ("1", "force")
+                    or (tail_env != "0" and (os.cpu_count() or 1) >= 4)))
     done = set()
     try:
         while True:
