@@ -918,7 +918,8 @@ class CramWriter:
                  ref_seqs=None, core_series: bool = False,
                  detached_mates: bool = False, multi_ref: bool = False,
                  rans_order: int = 0, store_quals: bool = False,
-                 version=(3, 0), arith: bool = False, fqz: bool = False):
+                 version=(3, 0), arith: bool = False, fqz: bool = False,
+                 fqz_profile=None):
         """``ref_seqs``: optional {chrom: sequence}; when given, M runs
         whose bases match the reference are stored implicitly and single
         mismatches become 'X' substitution features (the layout real
@@ -957,6 +958,11 @@ class CramWriter:
             self._fqz_ids = {_W_IDS[k] for k in fqz}
         else:
             self._fqz_ids = set()
+        # fqz_profile: extra fqz_encode kwargs (dedup/use_dtab/...) plus
+        # auto_selectors / auto_reverse, which synthesize per-record
+        # selector / reverse lists at write time (fixture knobs for the
+        # full profile space)
+        self._fqz_profile = dict(fqz_profile or {})
         self._pending: List[BamRecord] = []
         self._counter = 0
         self.max_slice = max_slice
@@ -1235,14 +1241,24 @@ class CramWriter:
             if self.version >= (3, 1):
                 if cid in self._fqz_ids and data:
                     # fqzcomp the stream; record spans chunked (any
-                    # positive split reproduces the bytes)
+                    # positive split reproduces the bytes). fqz_profile
+                    # kwargs pass straight to fqz_encode so fixtures can
+                    # exercise every profile bit (selectors/reverse/
+                    # dedup/dtab; fixed_len needs equal record spans)
                     from cutesv_tpu.io.cram_codecs31 import fqz_encode
                     lens, left = [], len(data)
                     while left > 0:
                         lens.append(min(1000, left))
                         left -= lens[-1]
+                    kw = dict(self._fqz_profile)
+                    n_recs = len(lens)
+                    if kw.pop("auto_selectors", False):
+                        kw["selectors"] = [i % 3 for i in range(n_recs)]
+                        kw.setdefault("n_params", 2)
+                    if kw.pop("auto_reverse", False):
+                        kw["reverse"] = [i % 2 == 1 for i in range(n_recs)]
                     write_block(buf, FQZ, CT_EXTERNAL, cid, data,
-                                precompressed=fqz_encode(data, lens))
+                                precompressed=fqz_encode(data, lens, **kw))
                     continue
                 method = (TOK if cid == _W_IDS["RN"]
                           else (ARITH if self._arith else NX16))

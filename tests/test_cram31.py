@@ -192,6 +192,31 @@ def test_fqz_on_needed_blocks_decodes_both_stacks(tmp_path, use_native):
 
 
 @pytest.mark.parametrize("use_native", [False, True])
+def test_fqz_full_profiles_on_needed_blocks(tmp_path, use_native):
+    """Full fqzcomp profile bits (multi-param/selector, reverse, dedup,
+    dtab) on consumed blocks decode identically on both stacks through
+    real container reads (round-3; writer fqz_profile knob)."""
+    bam, fa = _fixture(tmp_path)
+    with BamReader(str(bam)) as r:
+        refs = r.references
+        records = list(r)
+    c30 = tmp_path / "p30.cram"
+    c31 = tmp_path / "p31.cram"
+    with CramWriter(str(c30), refs, store_quals=True) as w:
+        for rec in records:
+            w.write(rec)
+    with CramWriter(str(c31), refs, store_quals=True, version=(3, 1),
+                    fqz={"RN", "BF", "AP"},
+                    fqz_profile=dict(auto_selectors=True,
+                                     auto_reverse=True, dedup=True,
+                                     use_dtab=True)) as w:
+        for rec in records:
+            w.write(rec)
+    assert _read_all(c31, fa, use_native) == _read_all(c30, fa,
+                                                       use_native)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
 def test_corrupt_nx16_needed_block_fails_loudly(tmp_path, use_native):
     """A method-5 block with garbage payload is a loud corrupt-input
     error on both stacks, never a silent misdecode."""
