@@ -169,15 +169,18 @@ def test_snapshot_prepare_validation_and_early_resolve(tmp_path):
     sd.free()
 
 
-def test_streaming_full_tail_identical(tmp_path, monkeypatch):
+def test_streaming_full_tail_identical(tmp_path, monkeypatch, caplog):
     """The mid-decode per-chromosome tail (kernel fetch + emission +
     genotype, round-3) must produce byte-identical VCFs to the plain
-    path. Small fixtures decode in one poll, so CUTESV_STREAM_TAIL=force
-    runs the tail for the final batch too."""
-    from cutesv_tpu.pipeline import run_pipeline as rp
-    from tests.test_e2e_alltypes import _build
+    path — and BOTH the DEL and INS tails (the INS one renders ALT
+    sequences through the native blob view) must actually fire. Small
+    fixtures decode in one poll, so CUTESV_STREAM_TAIL=force runs the
+    tail for the final batch too."""
+    import logging
 
-    bam, fa = _build(tmp_path)
+    from cutesv_tpu.pipeline import run_pipeline as rp
+
+    bam, fa = _two_chrom_fixture(tmp_path)
     outs = {}
     for label, env in (("tail", "force"), ("plain", "0")):
         monkeypatch.setenv("CUTESV_STREAM_TAIL", env)
@@ -185,13 +188,59 @@ def test_streaming_full_tail_identical(tmp_path, monkeypatch):
         out = tmp_path / ("t_%s.vcf" % label)
         wd = tmp_path / ("tw_%s" % label)
         wd.mkdir()
-        cfg = Config(input=str(bam), reference=str(fa), output=str(out),
+        cfg = Config(input=bam, reference=fa, output=str(out),
                      work_dir=str(wd), genotype=True, min_support=3,
                      engine="device", decoder="native")
-        stats = rp(cfg, ["x"])
+        with caplog.at_level(logging.INFO, logger="cutesv_tpu"):
+            caplog.clear()
+            stats = rp(cfg, ["x"])
         assert stats["n_calls"] > 0
+        if label == "tail":
+            msg = next(m for m in caplog.messages if "full tails" in m)
+            n_tails = int(msg.split("+")[1].split()[0])
+            assert n_tails >= 2, msg  # DEL and INS tails both fired
         outs[label] = out.read_text().split("#CHROM")[-1]
     assert outs["tail"] == outs["plain"]
+    # the INS tail rendered a real ALT sequence, not a placeholder
+    assert any("\tINS\t" not in line and "cuteSV.INS." in line
+               and len(line.split("\t")[4]) > 10
+               for line in outs["tail"].splitlines())
+
+
+def test_streaming_tail_invalidated_fingerprint_falls_back(
+        tmp_path, monkeypatch):
+    """A chromosome whose fingerprint fails validation (late SA row
+    semantics) must DISCARD its early tail results and resolve normally
+    — output identical to the plain path."""
+    from cutesv_tpu import sigstore as ss
+    from cutesv_tpu.pipeline import run_pipeline as rp
+
+    bam, fa = _two_chrom_fixture(tmp_path)
+    orig = ss.prepare_snapshot
+
+    def corrupt(snap, is_ins):
+        cols, disp = orig(snap, is_ins)
+        cols = dict(cols, n_raw=cols["n_raw"] + 1)  # will never validate
+        return cols, disp
+
+    outs = {}
+    for label, env, patch in (("bad", "force", True), ("plain", "0",
+                                                       False)):
+        monkeypatch.setenv("CUTESV_STREAM_TAIL", env)
+        monkeypatch.setenv("CUTESV_STREAM_DISPATCH", "1")
+        if patch:
+            monkeypatch.setattr(ss, "prepare_snapshot", corrupt)
+        else:
+            monkeypatch.setattr(ss, "prepare_snapshot", orig)
+        out = tmp_path / ("f_%s.vcf" % label)
+        wd = tmp_path / ("fw_%s" % label)
+        wd.mkdir()
+        cfg = Config(input=bam, reference=fa, output=str(out),
+                     work_dir=str(wd), genotype=True, min_support=3,
+                     engine="device", decoder="native")
+        rp(cfg, ["x"])
+        outs[label] = out.read_text().split("#CHROM")[-1]
+    assert outs["bad"] == outs["plain"]
 
 
 def test_streaming_full_tail_identical_no_genotype(tmp_path, monkeypatch):
