@@ -154,6 +154,36 @@ def test_simulate_then_call_then_eval(tmp_path):
         assert fn == t2, (svtype, fn, t2)
 
 
+def test_messy_simulator_call_and_eval(tmp_path):
+    """The heterogeneous stress corpus (coverage waves, ONT noise,
+    chimeras, clip storms — round 3) runs the full pipeline and scores
+    sanely; host and device engines agree byte-for-byte on it."""
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.pipeline import run_pipeline
+    from cutesv_tpu.tools.replay_eval import eval_window
+    from cutesv_tpu.tools.simulate import simulate_messy
+
+    pre = str(tmp_path / "m")
+    info = simulate_messy(pre, genome_mb=2.0, n_chroms=2, seed=3)
+    assert info["n_reads"] > 1000
+    outs = {}
+    for engine in ("device", "host"):
+        wd = tmp_path / ("wd_" + engine)
+        wd.mkdir()
+        out = pre + ".%s.vcf" % engine
+        cfg = Config(input=pre + ".bam", reference=pre + ".fa",
+                     output=out, work_dir=str(wd), genotype=True,
+                     min_support=3, engine=engine, decoder="auto")
+        stats = run_pipeline(cfg, ["x"])
+        assert stats["n_calls"] > 0
+        outs[engine] = open(out).read().split("#CHROM")[-1]
+    assert outs["device"] == outs["host"]
+    res = eval_window(pre + ".device.vcf", pre + ".truth.bed",
+                      pre + ".zygosity.bed", 0.7, 1000)
+    m1, m2, tot = res["DEL"]
+    assert tot > 10 and m1 >= 0.5 * tot  # waves cost recall, not all
+
+
 def test_console_script_targets_resolve():
     """Every [project.scripts] target (incl. the reference-named `cuteSV`
     alias) imports and is callable."""
