@@ -179,9 +179,20 @@ def scan_block_table(path: str):
     and uncompressed size. This is the shared, communication-free basis
     for sharded decode: every process scans the same file and derives
     identical block-aligned byte ranges (the BGZF BSIZE chain is
-    deterministic). Cost is ~3 small reads per ~25 KB block.
+    deterministic). The native mmap scanner handles regular files
+    (~30x the python loop at human-genome scale, which is minutes of
+    pure python per host); the python loop stays the oracle/fallback
+    and owns the designed malformed-input errors.
     """
     import numpy as np
+
+    try:
+        from cutesv_tpu.io.native import scan_bgzf_native
+        got = scan_bgzf_native(path)
+        if got is not None:
+            return got
+    except Exception:
+        pass  # fall through to the python scanner (and its errors)
 
     offs: list = []
     isizes: list = []

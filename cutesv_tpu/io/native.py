@@ -59,6 +59,13 @@ def get_lib():
     lib.bamdecode_snapshot_get.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_int64)]
+    lib.bamdecode_scan_bgzf.restype = ctypes.c_int
+    lib.bamdecode_scan_bgzf.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.bamdecode_scan_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
     lib.bamdecode_ins_seq_spans.restype = ctypes.c_int64
     lib.bamdecode_ins_seq_spans.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
@@ -81,6 +88,28 @@ def get_lib():
     lib.bamdecode_block_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def scan_bgzf_native(path: str):
+    """Native BGZF block-table scan; returns (offsets, isizes) int64
+    arrays or None when the caller should use the python fallback
+    (non-regular file, or malformed input whose designed error message
+    the python scanner owns)."""
+    lib = get_lib()
+    offs = ctypes.POINTER(ctypes.c_int64)()
+    isz = ctypes.POINTER(ctypes.c_int64)()
+    n = ctypes.c_int64()
+    rc = lib.bamdecode_scan_bgzf(path.encode(), ctypes.byref(offs),
+                                 ctypes.byref(isz), ctypes.byref(n))
+    if rc != 0:
+        return None
+    try:
+        o = np.ctypeslib.as_array(offs, shape=(n.value,)).copy()
+        i = np.ctypeslib.as_array(isz, shape=(n.value,)).copy()
+    finally:
+        lib.bamdecode_scan_free(offs)
+        lib.bamdecode_scan_free(isz)
+    return o, i
 
 
 def block_decode(method: int, data: bytes, raw_size: int) -> bytes:

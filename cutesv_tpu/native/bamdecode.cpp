@@ -1895,6 +1895,72 @@ int64_t bamdecode_ins_seq_spans(CResult* r, const int64_t* offs,
   return w;
 }
 
+// BGZF block-table scan for sharded-decode planning (mmap'd, ~30x the
+// pure-python scanner at human-genome scale). Returns 0 and malloc'd
+// int64 arrays (caller frees with bamdecode_scan_free); non-zero means
+// the caller should fall back to the python scanner (which raises the
+// designed error messages on malformed input).
+int bamdecode_scan_bgzf(const char* path, int64_t** offs_out,
+                        int64_t** isizes_out, int64_t* n_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  int fd = fileno(f);
+  struct stat st;
+  if (fd < 0 || fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)
+      || st.st_size <= 0) {
+    fclose(f);
+    return 2;
+  }
+  const uint8_t* map = (const uint8_t*)mmap(nullptr, (size_t)st.st_size,
+                                            PROT_READ, MAP_PRIVATE, fd, 0);
+  fclose(f);
+  if (map == MAP_FAILED) return 2;
+  madvise((void*)map, (size_t)st.st_size, MADV_SEQUENTIAL);
+  size_t size = (size_t)st.st_size, pos = 0;
+  std::vector<int64_t> offs, isz;
+  int rc = 0;
+  while (pos < size) {
+    if (pos + 28 > size) { rc = 3; break; }
+    const uint8_t* h = map + pos;
+    if (h[0] != 0x1f || h[1] != 0x8b) { rc = 3; break; }
+    uint16_t xlen = (uint16_t)(h[10] | (h[11] << 8));
+    if (pos + 12 + (size_t)xlen > size) { rc = 3; break; }
+    const uint8_t* extra = h + 12;
+    int bsize = -1;
+    for (int o = 0; o + 4 <= (int)xlen;) {
+      uint8_t s1 = extra[o], s2 = extra[o + 1];
+      uint16_t slen = (uint16_t)(extra[o + 2] | (extra[o + 3] << 8));
+      if (s1 == 66 && s2 == 67 && slen == 2 && o + 6 <= (int)xlen)
+        bsize = extra[o + 4] | (extra[o + 5] << 8);
+      if (o + 4 + (int)slen > (int)xlen) break;
+      o += 4 + slen;
+    }
+    if (bsize < 0 || (size_t)bsize + 1 < 12u + xlen + 8u
+        || pos + (size_t)bsize + 1 > size) { rc = 3; break; }
+    const uint8_t* tail = map + pos + (size_t)bsize + 1 - 8;
+    uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8)
+                     | ((uint32_t)tail[6] << 16)
+                     | ((uint32_t)tail[7] << 24);
+    offs.push_back((int64_t)pos);
+    isz.push_back((int64_t)isize);
+    pos += (size_t)bsize + 1;
+  }
+  munmap((void*)map, size);
+  if (rc) return rc;
+  int64_t n = (int64_t)offs.size();
+  int64_t* po = (int64_t*)malloc(sizeof(int64_t) * (size_t)(n ? n : 1));
+  int64_t* pi = (int64_t*)malloc(sizeof(int64_t) * (size_t)(n ? n : 1));
+  if (!po || !pi) { free(po); free(pi); return 2; }
+  memcpy(po, offs.data(), sizeof(int64_t) * (size_t)n);
+  memcpy(pi, isz.data(), sizeof(int64_t) * (size_t)n);
+  *offs_out = po;
+  *isizes_out = pi;
+  *n_out = n;
+  return 0;
+}
+
+void bamdecode_scan_free(int64_t* p) { free(p); }
+
 int bamdecode_status(CResult* r) { return r->status; }
 int64_t bamdecode_n_records(CResult* r) { return r->n_records; }
 

@@ -42,6 +42,31 @@ def test_sharded_decode_union_bit_identical(tmp_path, n):
         assert np.array_equal(merged.arrays[key], whole.arrays[key]), key
 
 
+def test_native_block_scan_matches_python(tmp_path):
+    """The native mmap BGZF block-table scan equals the python oracle,
+    and malformed input falls back to the python scanner's designed
+    errors."""
+    from cutesv_tpu.io import bgzf as bg
+    from cutesv_tpu.io import native as nio
+
+    bam, fa = _build(tmp_path)
+    nat = nio.scan_bgzf_native(str(bam))
+    assert nat is not None
+    orig = nio.scan_bgzf_native
+    try:
+        nio.scan_bgzf_native = lambda path: None
+        py = bg.scan_block_table(str(bam))
+    finally:
+        nio.scan_bgzf_native = orig
+    assert np.array_equal(py[0], nat[0])
+    assert np.array_equal(py[1], nat[1])
+    bad = tmp_path / "bad.bam"
+    bad.write_bytes(b"\x1f\x8bgarbage-not-a-block-header" * 4)
+    assert nio.scan_bgzf_native(str(bad)) is None
+    with pytest.raises(ValueError):
+        bg.scan_block_table(str(bad))
+
+
 def test_boundary_mismatch_is_fatal(tmp_path):
     bam, fa = _build(tmp_path)
     cfg = Config(input=str(bam), reference=str(fa), min_support=3)
