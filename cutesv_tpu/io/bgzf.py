@@ -227,6 +227,11 @@ def scan_block_table(path: str):
                 raise ValueError("truncated BGZF block in %s" % path)
             fh.seek(off + total - 4)
             isize = int.from_bytes(fh.read(4), "little")
+            if isize > 65536:
+                # BGZF caps a block's inflated size at 64 KiB; the
+                # decoders reject such footers too
+                raise ValueError("implausible BGZF isize at offset %d "
+                                 "in %s" % (off, path))
             offs.append(off)
             isizes.append(isize)
             off += total

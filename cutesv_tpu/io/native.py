@@ -265,8 +265,11 @@ def _extract(lib, handle, path: str) -> NativeDecode:
     name_off = _fetch(lib, handle, 1)
     # one whole-blob decode + str slicing is ~2x faster than a bytes
     # slice + .decode() per name (at human scale this loop is hundreds
-    # of ms of pure python); BAM qnames are ASCII by spec, and latin-1
-    # maps any stray byte 1:1 so the slice offsets stay valid
+    # of ms of pure python). BAM qnames are ASCII by spec; keep the
+    # python-oracle decoder's strictness (io/bam.py raises on >=0x80)
+    # by validating the blob once at C speed before the fast path
+    if not name_blob.isascii():
+        name_blob.decode("ascii")  # raises the oracle's UnicodeDecodeError
     blob_s = name_blob.decode("latin-1")
     offs = name_off.tolist()
     names = [blob_s[offs[i]:offs[i + 1]] for i in range(len(offs) - 1)]

@@ -522,6 +522,45 @@ struct RawBuf {
   const char* data() const { return mem.get(); }
 };
 
+// Parse one BGZF block header inside a mapping; fills the payload span,
+// inflated size and the next block position. False on ANY irregularity
+// (magic, overruns, missing BSIZE, isize beyond the 64 KiB spec cap) —
+// callers decide truncated vs fallback. Shared by the chunk reader and
+// the block-table scanner so their validation cannot drift.
+inline bool bgzf_parse_block_at(const uint8_t* map, size_t size,
+                                size_t pos, size_t* cdata_off,
+                                uint32_t* cdata_len, uint32_t* isize,
+                                size_t* next_pos) {
+  if (pos + 28 > size) return false;
+  const uint8_t* h = map + pos;
+  if (h[0] != 0x1f || h[1] != 0x8b) return false;
+  uint16_t xlen = (uint16_t)(h[10] | (h[11] << 8));
+  if (pos + 12 + (size_t)xlen > size) return false;
+  const uint8_t* extra = h + 12;
+  int bsize = -1;
+  for (int o = 0; o + 4 <= (int)xlen;) {
+    uint8_t s1 = extra[o], s2 = extra[o + 1];
+    uint16_t slen = (uint16_t)(extra[o + 2] | (extra[o + 3] << 8));
+    if (s1 == 66 && s2 == 67 && slen == 2 && o + 6 <= (int)xlen)
+      bsize = extra[o + 4] | (extra[o + 5] << 8);
+    if (o + 4 + (int)slen > (int)xlen) break;
+    o += 4 + slen;
+  }
+  if (bsize < 0 || (size_t)bsize + 1 < 12u + xlen + 8u
+      || pos + (size_t)bsize + 1 > size)
+    return false;
+  size_t cl = (size_t)bsize + 1 - 12 - xlen - 8;
+  const uint8_t* tail = h + 12 + xlen + cl;
+  uint32_t is = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8)
+                | ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
+  if (is > 65536) return false;
+  *cdata_off = pos + 12 + xlen;
+  *cdata_len = (uint32_t)cl;
+  *isize = is;
+  *next_pos = pos + (size_t)bsize + 1;
+  return true;
+}
+
 struct BgzfChunkReader {
   FILE* f;
   int n_threads;
@@ -576,9 +615,10 @@ struct BgzfChunkReader {
     if (map) munmap((void*)map, map_size);
   }
 
-  void seek_to(int64_t off) {
+  bool seek_to(int64_t off) {
     map_pos = (size_t)off;
-    if (!map) fseek(f, (long)off, SEEK_SET);
+    if (!map) return fseek(f, (long)off, SEEK_SET) == 0;
+    return true;
   }
 
   // Scan up to max_blocks BGZF block headers in the mapping (no copy).
@@ -589,37 +629,14 @@ struct BgzfChunkReader {
     c.cbuf.len = 0;
     for (int i = 0; i < max_blocks; i++) {
       if (map_pos >= map_size) { eof = true; break; }
-      if (map_pos + 12 > map_size)
+      size_t coff, nxt;
+      uint32_t clen, isize;
+      if (!bgzf_parse_block_at(map, map_size, map_pos, &coff, &clen,
+                               &isize, &nxt))
         { eof = true; truncated = true; break; }
-      const uint8_t* hdr = map + map_pos;
-      if (hdr[0] != 0x1f || hdr[1] != 0x8b)
-        { eof = true; truncated = true; break; }
-      uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
-      if (map_pos + 12 + (size_t)xlen > map_size)
-        { eof = true; truncated = true; break; }
-      const uint8_t* extra = hdr + 12;
-      int bsize = -1;
-      for (int off = 0; off + 4 <= (int)xlen;) {
-        uint8_t si1 = extra[off], si2 = extra[off + 1];
-        uint16_t slen = (uint16_t)(extra[off + 2] | (extra[off + 3] << 8));
-        if (si1 == 66 && si2 == 67 && slen == 2 && off + 6 <= (int)xlen)
-          bsize = extra[off + 4] | (extra[off + 5] << 8);
-        if (off + 4 + (int)slen > (int)xlen) break;
-        off += 4 + slen;
-      }
-      if (bsize < 0 || (size_t)bsize + 1 < 12u + xlen + 8u)
-        { eof = true; truncated = true; break; }
-      if (map_pos + (size_t)bsize + 1 > map_size)
-        { eof = true; truncated = true; break; }
-      size_t cdata_len = (size_t)bsize + 1 - 12 - xlen - 8;
-      const uint8_t* tail = hdr + 12 + xlen + cdata_len;
-      uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8) |
-                       ((uint32_t)tail[6] << 16) | ((uint32_t)tail[7] << 24);
-      if (isize > 65536) { eof = true; truncated = true; break; }
-      c.blocks.push_back({map_pos + 12 + xlen, (uint32_t)cdata_len, isize,
-                          c.total});
+      c.blocks.push_back({coff, clen, isize, c.total});
       c.total += isize;
-      map_pos += (size_t)bsize + 1;
+      map_pos = nxt;
     }
     t_read += std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t0).count();
@@ -1387,7 +1404,7 @@ struct Decoder {
       rd.ra_active = false;
       rd.eof = false;
       rd.truncated = false;
-      rd.seek_to(P.range_start);
+      if (!rd.seek_to(P.range_start)) return bail(5);
       std::string first;
       bool stream_ended = false;
       if (!rd.next_chunk(first, 1024)) stream_ended = true;
@@ -1920,30 +1937,16 @@ int bamdecode_scan_bgzf(const char* path, int64_t** offs_out,
   std::vector<int64_t> offs, isz;
   int rc = 0;
   while (pos < size) {
-    if (pos + 28 > size) { rc = 3; break; }
-    const uint8_t* h = map + pos;
-    if (h[0] != 0x1f || h[1] != 0x8b) { rc = 3; break; }
-    uint16_t xlen = (uint16_t)(h[10] | (h[11] << 8));
-    if (pos + 12 + (size_t)xlen > size) { rc = 3; break; }
-    const uint8_t* extra = h + 12;
-    int bsize = -1;
-    for (int o = 0; o + 4 <= (int)xlen;) {
-      uint8_t s1 = extra[o], s2 = extra[o + 1];
-      uint16_t slen = (uint16_t)(extra[o + 2] | (extra[o + 3] << 8));
-      if (s1 == 66 && s2 == 67 && slen == 2 && o + 6 <= (int)xlen)
-        bsize = extra[o + 4] | (extra[o + 5] << 8);
-      if (o + 4 + (int)slen > (int)xlen) break;
-      o += 4 + slen;
+    size_t coff, nxt;
+    uint32_t clen, isize;
+    if (!bgzf_parse_block_at(map, size, pos, &coff, &clen, &isize,
+                             &nxt)) {
+      rc = 3;  // malformed: python scanner owns the designed error
+      break;
     }
-    if (bsize < 0 || (size_t)bsize + 1 < 12u + xlen + 8u
-        || pos + (size_t)bsize + 1 > size) { rc = 3; break; }
-    const uint8_t* tail = map + pos + (size_t)bsize + 1 - 8;
-    uint32_t isize = (uint32_t)tail[4] | ((uint32_t)tail[5] << 8)
-                     | ((uint32_t)tail[6] << 16)
-                     | ((uint32_t)tail[7] << 24);
     offs.push_back((int64_t)pos);
     isz.push_back((int64_t)isize);
-    pos += (size_t)bsize + 1;
+    pos = nxt;
   }
   munmap((void*)map, size);
   if (rc) return rc;

@@ -808,8 +808,14 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
             ps = np.asarray(t.start)[prim]
             pe = np.asarray(t.end)[prim]
             info[chrom] = dict(ps=ps, pe=pe,
-                               ps_sorted=np.sort(ps),
-                               pe_sorted=np.sort(pe),
+                               # ALL rows, not just primaries: the
+                               # gt_round cap fires on a primary's fetch
+                               # POSITION among every overlapping row
+                               # (secondary/supplementary included), so
+                               # the conservative no-cap precheck needs
+                               # the total overlap count
+                               as_sorted=np.sort(np.asarray(t.start)),
+                               ae_sorted=np.sort(np.asarray(t.end)),
                                census=dict(start=np.asarray(t.start),
                                            end=np.asarray(t.end),
                                            is_primary=np.asarray(t.prim),
@@ -847,12 +853,16 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
         ti = tinfo(chrom)
         if ti is None or len(ti["ps"]) == 0:
             continue
-        # searchsorted precheck inputs: primary rows overlapping the
-        # fetch window (#start < e minus #end <= s) for the gt_round cap
+        # searchsorted precheck inputs: ALL rows overlapping the fetch
+        # window (#start < e minus #end <= s). count_coverage's
+        # iteration cap fires when a primary row's position among every
+        # fetched row reaches gt_round, so fewer than gt_round TOTAL
+        # overlapping rows is the conservative no-cap guarantee (a
+        # primary-only count misses caps behind secondary pileups)
         for k, which, s, e in wl:
             overlaps[k, which] = (
-                int(np.searchsorted(ti["ps_sorted"], e, "left"))
-                - int(np.searchsorted(ti["pe_sorted"], s, "right")))
+                int(np.searchsorted(ti["as_sorted"], e, "left"))
+                - int(np.searchsorted(ti["ae_sorted"], s, "right")))
         blocks.append(dict(
             windows=[(s - 1, e + 1) for _, _, s, e in wl],
             starts=ti["ps"], ends=ti["pe"], sink=make_sink(wl)))

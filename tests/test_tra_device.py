@@ -112,6 +112,52 @@ def test_tra_device_no_action_matches_host():
     assert dev == host
 
 
+def test_tra_secondary_pileup_triggers_replay():
+    """The gt_round iteration cap fires on a primary row's fetch
+    POSITION among ALL overlapping rows (secondary/supplementary
+    included, count_coverage cuteSV_genotype.py:72-93): a window with
+    many non-primary rows before its one primary must route through the
+    exact replay, not the fast path (round-3 review finding)."""
+    from cutesv_tpu.models import device as device_models
+
+    lengths = {"chr1": 1_000_000, "chr2": 1_000_000}
+    # chr1 window around 50_000: 40 secondaries first, then 1 primary
+    n_sec = 40
+    starts = [49_000 + i for i in range(n_sec)] + [48_500]
+    ends = [52_000 + i for i in range(n_sec)] + [56_000]
+    prim = [0] * n_sec + [1]
+    names = list(range(n_sec + 1))
+    t1 = ReadTable(np.array(starts), np.array(ends),
+                   np.array(prim, np.int8), np.array(names, np.int64))
+    t2 = ReadTable(np.array([58_000, 59_000]), np.array([62_000, 63_000]),
+                   np.array([1, 1], np.int8),
+                   np.array([100, 101], np.int64))
+    tables = {"chr1": t1, "chr2": t2}
+    sigs = sorted([("A", 50_000 + i, "chr2", 60_000 + i, 200 + i)
+                   for i in range(5)],
+                  key=lambda r: (r[2], r[0], r[1], r[3], r[4]))
+    all_names = ["r%03d" % i for i in range(300)]
+    gt_round = 5
+    inline = host_models.resolve_tra(
+        sigs, "chr1", 3, 0.6, 1_000, tables, lengths, True, gt_round,
+        names=all_names)
+    state = device_models.resolve_tra_start(sigs, 3, 1_000)
+    jobs = []
+    cands = device_models.resolve_tra_finish(
+        state, sigs, "chr1", 3, 0.6, 1_000, tables, lengths, True,
+        gt_round, names=all_names, jobs_out=jobs)
+    store = SimpleNamespace(read_tables=tables, chrom_lengths=lengths,
+                            names=all_names, census={})
+    cfg = Config(engine="host", gt_round=gt_round,
+                 max_cluster_bias_TRA=1_000, min_support=3)
+    _tra_cover_pass({"chr1": (cands, jobs)}, store, cfg)
+    assert cands == inline
+    assert len(cands) >= 1
+    # only one primary overlaps, but 41 total rows do: the cap CAN fire,
+    # so the pass must have replayed, not fast-pathed
+    assert store.tra_cover_stats["replay"] >= 1
+
+
 def test_tra_missing_mate_chrom_unresolvable():
     """SA-tag contig absent from the header: the batched pass must fill
     call_gt_tra's degraded genotype, not crash (call_gt_tra's early
