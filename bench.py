@@ -386,6 +386,21 @@ def main():
     else:
         base_rate = float("nan")
 
+    # measured decompression lower bound of THIS corpus on THIS host:
+    # the decode stage cannot beat it, so the JSON carries the evidence
+    # for how much of the wall is irreducible inflate
+    floor_s = None
+    try:
+        from cutesv_tpu.io.native import get_lib
+        lib = get_lib()
+        nthr = min(os.cpu_count() or 1, 4)
+        f1 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
+        f2 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
+        cands = [x for x in (f1, f2) if x > 0]
+        floor_s = round(min(cands), 2) if cands else None
+    except Exception:
+        pass
+
     rate = n_reads / dt_native
     result = {
         "metric": "synthetic %dMb 4-chrom %dx all-SV-type end-to-end calling "
@@ -401,6 +416,7 @@ def main():
         "stages_s": {k: round(best_stats[k], 2)
                      for k in ("decode_s", "resolve_s", "emit_s")
                      if best_stats and k in best_stats},
+        "inflate_floor_s": floor_s,
         "outputs_identical": identical,
     }
     print(json.dumps(result))

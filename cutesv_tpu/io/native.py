@@ -66,6 +66,9 @@ def get_lib():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ctypes.POINTER(ctypes.c_int64)]
     lib.bamdecode_scan_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+    lib.bamdecode_inflate_floor.restype = ctypes.c_double
+    lib.bamdecode_inflate_floor.argtypes = [ctypes.c_char_p,
+                                            ctypes.c_int]
     lib.bamdecode_ins_seq_spans.restype = ctypes.c_int64
     lib.bamdecode_ins_seq_spans.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),

@@ -1964,6 +1964,67 @@ int bamdecode_scan_bgzf(const char* path, int64_t** offs_out,
 
 void bamdecode_scan_free(int64_t* p) { free(p); }
 
+// Pure BGZF inflate wall for ``path`` with ``threads`` workers, block
+// table pre-scanned (bench artifact support: the measured lower bound
+// of the decode stage on this host, so "decode sits at the inflate
+// floor" is verifiable from the emitted JSON). Inflates into small
+// per-thread scratch buffers — decompression compute only. Returns
+// seconds, or -1 on any error.
+double bamdecode_inflate_floor(const char* path, int threads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int fd = fileno(f);
+  struct stat st;
+  if (fd < 0 || fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)
+      || st.st_size <= 0) {
+    fclose(f);
+    return -1;
+  }
+  const uint8_t* map = (const uint8_t*)mmap(nullptr, (size_t)st.st_size,
+                                            PROT_READ, MAP_PRIVATE, fd, 0);
+  fclose(f);
+  if (map == MAP_FAILED) return -1;
+  size_t size = (size_t)st.st_size, pos = 0;
+  struct Span { size_t off; uint32_t clen, isize; };
+  std::vector<Span> blocks;
+  while (pos < size) {
+    size_t coff, nxt;
+    uint32_t clen, isize;
+    if (!bgzf_parse_block_at(map, size, pos, &coff, &clen, &isize,
+                             &nxt)) {
+      munmap((void*)map, size);
+      return -1;
+    }
+    blocks.push_back({coff, clen, isize});
+    pos = nxt;
+  }
+  if (threads < 1) threads = 1;
+  std::atomic<size_t> next{0};
+  std::atomic<bool> bad{false};
+  auto t0 = std::chrono::steady_clock::now();
+  auto worker = [&]() {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    std::vector<char> scratch(65536);
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size()) break;
+      size_t actual = 0;
+      if (libdeflate_deflate_decompress(
+              d, map + blocks[i].off, blocks[i].clen, scratch.data(),
+              blocks[i].isize, &actual) != LIBDEFLATE_SUCCESS)
+        bad.store(true, std::memory_order_relaxed);
+    }
+    libdeflate_free_decompressor(d);
+  };
+  std::vector<std::thread> ts;
+  for (int i = 0; i < threads; i++) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+  double dt = std::chrono::duration<double>(
+      std::chrono::steady_clock::now() - t0).count();
+  munmap((void*)map, size);
+  return bad.load() ? -1 : dt;
+}
+
 int bamdecode_status(CResult* r) { return r->status; }
 int64_t bamdecode_n_records(CResult* r) { return r->n_records; }
 
