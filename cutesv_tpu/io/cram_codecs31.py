@@ -1576,6 +1576,11 @@ def _name_tok_decode_inner(buf: bytes) -> bytes:
             ttype = buf[off]
             off += 1
             clen, off = read_uint7(buf, off)
+            # a declared stream length past the end of the block is a
+            # corrupt stream, not a silently-short slice (the native
+            # decoder's cram_need errors here; fresh-seed mutation
+            # campaign divergence, round 3)
+            _need(buf, off, clen)
             streams[(col, ttype)] = [
                 rans_nx16_decode(buf[off:off + clen]), 0]
             off += clen

@@ -126,6 +126,18 @@ def test_strict_interop_gate_disables_unvalidated_codecs(tmp_path,
     assert cram_mod._decompress(cram_mod.NX16, enc, len(data)) == data
 
 
+def test_name_tok_truncated_stream_payload_rejected():
+    """A per-(column,type) stream whose declared length runs past the
+    block end must raise on BOTH stacks — python used to slice short and
+    decode garbage-but-valid bytes while native's cram_need errored
+    (fresh-seed mutation campaign divergence, round 3)."""
+    blob = bytes.fromhex(
+        "0900000001000000000402000320010606032001000200032001010105"
+        "2003726400020003200107071f0004000c5962008800880088008800000"
+        "80200000c0200000402000000020001005120010b")
+    _both_raise(8, blob, 9)
+
+
 def test_name_tok_delta_against_non_numeric_prev():
     """A DELTA token whose previous-column token is a STRING: native
     used to strtoull it silently to 0 while python raised."""
