@@ -194,7 +194,9 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     # forces; "force" additionally runs it for the final batch (tests:
     # small fixtures decode in one poll, so nothing completes mid-run)
     tail_force = tail_env == "force"
-    tail_ok = (not cfg.report_readid
+    # force calling (-Ivcf) never consumes discovery candidates, so the
+    # tail's emission/genotype would be thrown away — keep kernels-only
+    tail_ok = (not cfg.report_readid and not getattr(cfg, "Ivcf", None)
                and (tail_env in ("1", "force")
                     or (tail_env != "0" and (os.cpu_count() or 1) >= 4)))
     done = set()
