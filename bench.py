@@ -393,7 +393,10 @@ def main():
     try:
         from cutesv_tpu.io.native import get_lib
         lib = get_lib()
-        nthr = min(os.cpu_count() or 1, 4)
+        # same worker count the decode stage's inflate uses (min of the
+        # CLI default threads and hw+1), so the floor really is a lower
+        # bound for decode_s on any host
+        nthr = min(16, (os.cpu_count() or 1) + 1)
         f1 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
         f2 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
         cands = [x for x in (f1, f2) if x > 0]

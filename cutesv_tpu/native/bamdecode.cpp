@@ -1912,6 +1912,27 @@ int64_t bamdecode_ins_seq_spans(CResult* r, const int64_t* offs,
   return w;
 }
 
+// mmap a whole regular file read-only; shared prologue of the scan and
+// floor entry points. Returns nullptr when the caller should fall back.
+static const uint8_t* map_whole_file(const char* path, size_t* size_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  int fd = fileno(f);
+  struct stat st;
+  if (fd < 0 || fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)
+      || st.st_size <= 0) {
+    fclose(f);
+    return nullptr;
+  }
+  const uint8_t* map = (const uint8_t*)mmap(nullptr, (size_t)st.st_size,
+                                            PROT_READ, MAP_PRIVATE, fd, 0);
+  fclose(f);
+  if (map == MAP_FAILED) return nullptr;
+  madvise((void*)map, (size_t)st.st_size, MADV_SEQUENTIAL);
+  *size_out = (size_t)st.st_size;
+  return map;
+}
+
 // BGZF block-table scan for sharded-decode planning (mmap'd, ~30x the
 // pure-python scanner at human-genome scale). Returns 0 and malloc'd
 // int64 arrays (caller frees with bamdecode_scan_free); non-zero means
@@ -1919,21 +1940,10 @@ int64_t bamdecode_ins_seq_spans(CResult* r, const int64_t* offs,
 // designed error messages on malformed input).
 int bamdecode_scan_bgzf(const char* path, int64_t** offs_out,
                         int64_t** isizes_out, int64_t* n_out) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return 1;
-  int fd = fileno(f);
-  struct stat st;
-  if (fd < 0 || fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)
-      || st.st_size <= 0) {
-    fclose(f);
-    return 2;
-  }
-  const uint8_t* map = (const uint8_t*)mmap(nullptr, (size_t)st.st_size,
-                                            PROT_READ, MAP_PRIVATE, fd, 0);
-  fclose(f);
-  if (map == MAP_FAILED) return 2;
-  madvise((void*)map, (size_t)st.st_size, MADV_SEQUENTIAL);
-  size_t size = (size_t)st.st_size, pos = 0;
+  size_t size = 0;
+  const uint8_t* map = map_whole_file(path, &size);
+  if (!map) return 2;
+  size_t pos = 0;
   std::vector<int64_t> offs, isz;
   int rc = 0;
   while (pos < size) {
@@ -1971,20 +1981,10 @@ void bamdecode_scan_free(int64_t* p) { free(p); }
 // per-thread scratch buffers — decompression compute only. Returns
 // seconds, or -1 on any error.
 double bamdecode_inflate_floor(const char* path, int threads) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  int fd = fileno(f);
-  struct stat st;
-  if (fd < 0 || fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)
-      || st.st_size <= 0) {
-    fclose(f);
-    return -1;
-  }
-  const uint8_t* map = (const uint8_t*)mmap(nullptr, (size_t)st.st_size,
-                                            PROT_READ, MAP_PRIVATE, fd, 0);
-  fclose(f);
-  if (map == MAP_FAILED) return -1;
-  size_t size = (size_t)st.st_size, pos = 0;
+  size_t size = 0;
+  const uint8_t* map = map_whole_file(path, &size);
+  if (!map) return -1;
+  size_t pos = 0;
   struct Span { size_t off; uint32_t clen, isize; };
   std::vector<Span> blocks;
   while (pos < size) {
@@ -2011,7 +2011,8 @@ double bamdecode_inflate_floor(const char* path, int threads) {
       size_t actual = 0;
       if (libdeflate_deflate_decompress(
               d, map + blocks[i].off, blocks[i].clen, scratch.data(),
-              blocks[i].isize, &actual) != LIBDEFLATE_SUCCESS)
+              blocks[i].isize, &actual) != LIBDEFLATE_SUCCESS
+          || actual != blocks[i].isize)  // same test inflate_blocks uses
         bad.store(true, std::memory_order_relaxed);
     }
     libdeflate_free_decompressor(d);

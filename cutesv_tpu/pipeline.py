@@ -89,9 +89,11 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
     # n_shards > 1 is fine: early per-chromosome kernels are exact
     # single-device results the sharded resolver reuses as singleton
     # jobs; only multi-host runs keep the structural exclusion (their
-    # decode path is decode_sharded, not StreamingDecode)
+    # decode path is decode_sharded, not StreamingDecode). Force calling
+    # (-Ivcf) never consumes early kernels or tails, so its decode runs
+    # plain — no mid-decode work to throw away.
     return (not is_cram and cfg.engine in ("device", "auto")
-            and not cfg.distributed)
+            and not cfg.distributed and not getattr(cfg, "Ivcf", None))
 
 
 class _NativeBlobView:
@@ -194,9 +196,7 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     # forces; "force" additionally runs it for the final batch (tests:
     # small fixtures decode in one poll, so nothing completes mid-run)
     tail_force = tail_env == "force"
-    # force calling (-Ivcf) never consumes discovery candidates, so the
-    # tail's emission/genotype would be thrown away — keep kernels-only
-    tail_ok = (not cfg.report_readid and not getattr(cfg, "Ivcf", None)
+    tail_ok = (not cfg.report_readid
                and (tail_env in ("1", "force")
                     or (tail_env != "0" and (os.cpu_count() or 1) >= 4)))
     done = set()
