@@ -294,6 +294,26 @@ def run_once(bam, fa, engine, decoder, outdir):
     return dt, stats, out
 
 
+def run_pool_once(bam, fa, outdir):
+    """Pool-parallel python baseline: the reference's multiprocessing
+    architecture (Pool over chromosome decode tasks / type merges /
+    per-chrom resolve+emit, cuteSV:1058-1236) over the same python
+    oracle stack the 1-process baseline times. Its one-time virtual
+    offset index (the .bai equivalent) is built+cached untimed."""
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.tools import baseline_pool
+
+    baseline_pool.build_chrom_index(bam)  # cached; untimed like .bai
+    out = os.path.join(outdir, "bench_pool.vcf")
+    cfg = Config(input=bam, reference=fa, output=out, work_dir=outdir,
+                 genotype=True, min_support=3, engine="host",
+                 decoder="python")
+    t0 = time.time()
+    stats = baseline_pool.run_pool_baseline(cfg, ["bench"])
+    dt = time.time() - t0
+    return dt, stats, out
+
+
 def _corpus_id(bam):
     """Cheap content id for the bench corpus: size + blake2 of the first
     and last MiB (full-file hashing would dominate small bench runs)."""
@@ -341,8 +361,9 @@ def main():
     budget = int(os.environ.get("BENCH_BASELINE_TIMEOUT", "400"))
     native_runs = []
     base_runs = []
+    pool_runs = []
     best_stats = None
-    vcf_native = vcf_py = None
+    vcf_native = vcf_py = vcf_pool = None
     base_spent = 0.0
     for rep in range(3):
         dt_n, stats_n, vcf_native = run_once(bam, fa, "device", "native",
@@ -350,41 +371,62 @@ def main():
         if not native_runs or dt_n < min(native_runs):
             best_stats = stats_n
         native_runs.append(dt_n)
-        # another baseline rep only while the total baseline budget holds
-        # (one rep always runs so the ratio never falls back to a stale
-        # cached rate just because the budget is tight)
-        expected = base_runs[-1] if base_runs else 0.0
-        if do_baseline and (not base_runs
-                            or base_spent + expected <= budget):
-            t0 = time.time()
-            signal.alarm(max(30, budget - int(base_spent)))
-            try:
-                dt_b, _, vcf_py = run_once(bam, fa, "host", "python",
-                                           outdir)
-                base_runs.append(dt_b)
-            except TimeoutError:
-                do_baseline = False
-            finally:
-                base_spent += time.time() - t0
-                signal.alarm(0)
+        # more baseline reps only while the total baseline budget holds
+        # (one rep of each always runs so the ratios never fall back to
+        # stale cached rates just because the budget is tight); the
+        # POOLED baseline interleaves in the same weather window as the
+        # 1-process one so both ratios compare like with like
+        for runs, fn in ((base_runs,
+                          lambda: run_once(bam, fa, "host", "python",
+                                           outdir)),
+                         (pool_runs,
+                          lambda: run_pool_once(bam, fa, outdir))):
+            expected = runs[-1] if runs else 0.0
+            if do_baseline and (not runs
+                                or base_spent + expected <= budget):
+                t0 = time.time()
+                signal.alarm(max(30, budget - int(base_spent)))
+                try:
+                    dt_b, _, out_vcf = fn()
+                    runs.append(dt_b)
+                    if runs is base_runs:
+                        vcf_py = out_vcf
+                    else:
+                        vcf_pool = out_vcf
+                except TimeoutError:
+                    do_baseline = False
+                finally:
+                    base_spent += time.time() - t0
+                    signal.alarm(0)
 
     dt_native = min(native_runs)
     identical = None
     baseline_provenance = "skipped"
+
+    def _body(path):
+        return open(path).read().split("#CHROM")[-1]
+
     if base_runs:
         base_rate = n_reads / min(base_runs)
-        json.dump({"rate": base_rate}, open(rate_file, "w"))
+        rates = {"rate": base_rate}
+        if pool_runs:
+            rates["rate_pool"] = n_reads / min(pool_runs)
+        json.dump(rates, open(rate_file, "w"))
         baseline_provenance = "fresh (interleaved min-of-%d)" % len(
             base_runs)
         if vcf_py is not None:
-            identical = (
-                open(vcf_native).read().split("#CHROM")[-1]
-                == open(vcf_py).read().split("#CHROM")[-1])
+            identical = _body(vcf_native) == _body(vcf_py)
+            if vcf_pool is not None:
+                identical = identical and _body(vcf_pool) == _body(vcf_py)
     elif os.path.exists(rate_file):
-        base_rate = json.load(open(rate_file))["rate"]
+        cached = json.load(open(rate_file))
+        base_rate = cached["rate"]
+        if "rate_pool" in cached:
+            pool_runs = [n_reads / cached["rate_pool"]]
         baseline_provenance = "cached"
     else:
         base_rate = float("nan")
+    pool_rate = n_reads / min(pool_runs) if pool_runs else None
 
     # measured decompression lower bound of THIS corpus on THIS host:
     # the decode stage cannot beat it, so the JSON carries the evidence
@@ -411,10 +453,19 @@ def main():
                       genome_mb, COVERAGE),
         "value": round(rate, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rate / base_rate, 2),
+        # the HEADLINE ratio is vs the POOL-PARALLEL baseline — the
+        # reference's own multiprocessing architecture (round-3 verdict:
+        # a 1-process denominator overstates the ratio on multi-core
+        # hosts); the 1-process ratio is reported alongside
+        "vs_baseline": round(rate / (pool_rate or base_rate), 2),
+        "vs_baseline_1p": round(rate / base_rate, 2),
+        "vs_baseline_pool": (round(rate / pool_rate, 2)
+                             if pool_rate else None),
+        "baseline_pool_nprocs": os.cpu_count(),
         "corpus_id": _corpus_id(bam),
         "native_runs_s": [round(t, 2) for t in native_runs],
         "baseline_runs_s": [round(t, 2) for t in base_runs],
+        "baseline_pool_runs_s": [round(t, 2) for t in pool_runs],
         "baseline_provenance": baseline_provenance,
         "stages_s": {k: round(best_stats[k], 2)
                      for k in ("decode_s", "resolve_s", "emit_s")
@@ -424,9 +475,11 @@ def main():
     }
     print(json.dumps(result))
     # extra context on stderr (driver records stdout json only)
-    print("native: %.2fs (%d calls)  baseline: %.1f reads/s  "
-          "outputs_identical=%s  warm=%.2fs"
-          % (dt_native, best_stats["n_calls"], base_rate, identical, dt_w),
+    print("native: %.2fs (%d calls)  baseline_1p: %.1f reads/s  "
+          "baseline_pool: %s reads/s  outputs_identical=%s  warm=%.2fs"
+          % (dt_native, best_stats["n_calls"], base_rate,
+             ("%.1f" % pool_rate) if pool_rate else "n/a", identical,
+             dt_w),
           file=sys.stderr)
 
 
