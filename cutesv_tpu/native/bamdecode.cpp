@@ -113,15 +113,51 @@ struct SeqLut {
 };
 const SeqLut kSeqLut;
 
+// MurmurHash64A-style byte hash for the name intern tables: hashing the
+// qname bytes in place avoids the per-record std::string construction +
+// std::hash the unordered_map path paid, and the stored 64-bit hash lets
+// chunk merges re-probe without re-reading the bytes.
+inline uint64_t hash_bytes(const void* key, size_t len) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  uint64_t h = 0x8445d61a4e774912ULL ^ (len * m);
+  const unsigned char* p = (const unsigned char*)key;
+  size_t n8 = len / 8;
+  for (size_t i = 0; i < n8; i++) {
+    uint64_t k;
+    memcpy(&k, p + 8 * i, 8);
+    k *= m; k ^= k >> 47; k *= m;
+    h ^= k; h *= m;
+  }
+  uint64_t k = 0;
+  const unsigned char* tail = p + 8 * n8;
+  switch (len & 7) {
+    case 7: k ^= (uint64_t)tail[6] << 48; [[fallthrough]];
+    case 6: k ^= (uint64_t)tail[5] << 40; [[fallthrough]];
+    case 5: k ^= (uint64_t)tail[4] << 32; [[fallthrough]];
+    case 4: k ^= (uint64_t)tail[3] << 24; [[fallthrough]];
+    case 3: k ^= (uint64_t)tail[2] << 16; [[fallthrough]];
+    case 2: k ^= (uint64_t)tail[1] << 8; [[fallthrough]];
+    case 1: k ^= (uint64_t)tail[0]; h ^= k; h *= m; break;
+    case 0: break;
+  }
+  h ^= h >> 47; h *= m; h ^= h >> 47;
+  return h;
+}
+
 // ---------------------------------------------------------------------------
 // output collector
 // ---------------------------------------------------------------------------
 
 struct Collector {
-  // interned read names (first-appearance order)
+  // interned read names (first-appearance order): open-addressed table
+  // keyed by byte hash — per-id blob offsets + stored hashes instead of
+  // an unordered_map<string> (no per-record string allocation, and chunk
+  // merges re-probe with the stored hash rather than rehashing bytes)
   std::string name_blob;
   std::vector<int64_t> name_off{0};
-  std::unordered_map<std::string, int64_t> name_ids;
+  std::vector<uint64_t> name_hash;  // per interned id
+  std::vector<int64_t> nh_slot;     // id+1; 0 = empty (pow2 size)
+  size_t nh_mask = 0;
 
   // interned chromosome names: [0, n_refs) header refs, then extras seen in
   // SA tags that are absent from the header
@@ -150,14 +186,37 @@ struct Collector {
 
   int64_t n_records = 0;
 
-  int64_t intern_name(const std::string& s) {
-    auto it = name_ids.find(s);
-    if (it != name_ids.end()) return it->second;
+  void nh_grow() {
+    size_t cap = nh_slot.empty() ? 4096 : nh_slot.size() * 2;
+    nh_slot.assign(cap, 0);
+    nh_mask = cap - 1;
+    for (size_t id = 0; id < name_hash.size(); id++) {
+      size_t i = name_hash[id] & nh_mask;
+      while (nh_slot[i]) i = (i + 1) & nh_mask;
+      nh_slot[i] = (int64_t)id + 1;
+    }
+  }
+  int64_t intern_name_raw(const char* p, size_t n, uint64_t h) {
+    if ((name_hash.size() + 1) * 10 >= nh_slot.size() * 7) nh_grow();
+    size_t i = h & nh_mask;
+    while (nh_slot[i]) {
+      int64_t id = nh_slot[i] - 1;
+      if (name_hash[id] == h &&
+          name_off[id + 1] - name_off[id] == (int64_t)n &&
+          memcmp(name_blob.data() + name_off[id], p, n) == 0)
+        return id;
+      i = (i + 1) & nh_mask;
+    }
     int64_t id = (int64_t)name_off.size() - 1;
-    name_ids.emplace(s, id);
-    name_blob.append(s);
+    nh_slot[i] = id + 1;
+    name_hash.push_back(h);
+    name_blob.append(p, n);
     name_off.push_back((int64_t)name_blob.size());
     return id;
+  }
+  int64_t intern_name(const std::string& s) {
+    return intern_name_raw(s.data(), s.size(), hash_bytes(s.data(),
+                                                          s.size()));
   }
   int32_t intern_chrom(const std::string& s) {
     auto it = chrom_ids.find(s);
@@ -173,8 +232,9 @@ struct Collector {
   void merge_from(const Collector& o) {
     std::vector<int64_t> nmap(o.name_off.size() - 1);
     for (size_t i = 0; i + 1 < o.name_off.size(); i++)
-      nmap[i] = intern_name(o.name_blob.substr(
-          o.name_off[i], o.name_off[i + 1] - o.name_off[i]));
+      nmap[i] = intern_name_raw(o.name_blob.data() + o.name_off[i],
+                                (size_t)(o.name_off[i + 1] - o.name_off[i]),
+                                o.name_hash[i]);
     std::vector<int32_t> cmap(o.chroms.size());
     for (size_t i = 0; i < o.chroms.size(); i++)
       cmap[i] = intern_chrom(o.chroms[i]);
@@ -209,6 +269,31 @@ struct Collector {
     cat(all_end, o.all_end); cat(all_prim, o.all_prim);
     cat_n(all_name, o.all_name);
     n_records += o.n_records;
+  }
+
+  // Reset a worker-local collector for reuse on the next chunk: outputs
+  // and the name table clear but keep their capacity; the chrom table
+  // persists (header chroms keep their ids; SA-extra chroms are remapped
+  // at merge anyway).
+  void reset_outputs() {
+    name_blob.clear();
+    name_off.assign(1, 0);
+    name_hash.clear();
+    std::fill(nh_slot.begin(), nh_slot.end(), 0);
+    auto clr = [](auto& o) { o.v.clear(); };
+    clr(del_chr); clr(del_pos); clr(del_len); clr(del_name);
+    clr(ins_chr); clr(ins_posx2); clr(ins_len); clr(ins_name);
+    clr(ins_seq_off); clr(ins_seq_len);
+    ins_seq_blob.clear();
+    clr(dup_chr); clr(dup_p1); clr(dup_p2); clr(dup_name);
+    clr(inv_chr); clr(inv_strand); clr(inv_b1); clr(inv_b2); clr(inv_name);
+    clr(tra_chr1); clr(tra_chr2); clr(tra_type); clr(tra_p1); clr(tra_p2);
+    clr(tra_name);
+    clr(cen_chr); clr(cen_start); clr(cen_end); clr(cen_name);
+    clr(cen_prim);
+    clr(all_chr); clr(all_start); clr(all_end); clr(all_name);
+    clr(all_prim);
+    n_records = 0;
   }
 
   void add_ins(int32_t chr, int64_t posx2, int64_t len, int64_t name,
@@ -597,6 +682,9 @@ struct BgzfChunkReader {
     // thread mostly waits in fread); hw+1 measures fastest
     int hw = (int)std::thread::hardware_concurrency();
     if (hw > 0) n_threads = std::min(n_threads, hw + 1);
+    static const int env_it = getenv("CUTESV_INFLATE_THREADS")
+        ? atoi(getenv("CUTESV_INFLATE_THREADS")) : 0;
+    if (env_it > 0) n_threads = env_it;
     int fd = fileno(fh);
     struct stat st;
     if (fd >= 0 && fstat(fd, &st) == 0 && S_ISREG(st.st_mode)
@@ -760,7 +848,7 @@ struct BgzfChunkReader {
 
   // raw variant: inflates at ``prefix`` into a reused buffer, leaving
   // [0, prefix) untouched for the caller's leftover bytes
-  bool next_chunk_raw(RawBuf& out, size_t prefix, int max_blocks = 1024) {
+  bool next_chunk_raw(RawBuf& out, size_t prefix, int max_blocks = 128) {
     if (!advance(max_blocks)) return false;
     out.len = 0;  // nothing to preserve on growth
     out.ensure(prefix + cur.total);
@@ -842,6 +930,12 @@ struct Worker {
   const BedRegions& bed;
   Collector C;
   std::string seq_scratch;
+  // per-record scratch reused across records (no per-record allocation)
+  struct IS { int64_t pos, len, soff, slen; };
+  struct DS { int64_t pos, len; };
+  std::vector<IS> ins_sigs;
+  std::vector<DS> del_sigs;
+  std::string ins_scratch;
   double t_seq = 0;
   double t_hdr = 0, t_cig = 0, t_sa = 0;
   bool timing = getenv("CUTESV_DECODE_TIMING") != nullptr;
@@ -919,20 +1013,67 @@ struct Worker {
       }
     }
 
-    // reference end from CIGAR
+    // reference end from CIGAR; records that will also take the
+    // signature walk below (the common case) get ONE fused pass that
+    // collects the I/D signatures and the clip profile alongside
+    // ref_end instead of walking the ops twice
     int64_t ref_end = pos;
-    for (int64_t i = 0; i < n_ops; i++) {
-      uint32_t v = rd_u32(ops_p + 4ll * i);
-      uint32_t op = v & 0xF, ln = v >> 4;
-      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) ref_end += ln;
+    int64_t softclip_left = 0, softclip_right = 0;
+    int64_t hardclip_left = 0, hardclip_right = 0;
+    ins_sigs.clear();
+    del_sigs.clear();
+    bool sigs_ready = false;
+    const bool sig_eligible =
+        mapq >= P.min_mapq && n_ops > 0 && flag != 256 && flag != 272 &&
+        l_seq >= P.min_read_len && !bed.enabled;
+    if (sig_eligible) {
+      uint32_t v0 = rd_u32(ops_p);
+      if ((v0 & 0xF) == 4) softclip_left = v0 >> 4;
+      else if ((v0 & 0xF) == 5) hardclip_left = v0 >> 4;
+      int64_t sig_start = pos;
+      int64_t shift = -hardclip_left;
+      for (int64_t i = 0; i < n_ops; i++) {
+        uint32_t v = rd_u32(ops_p + 4ll * i);
+        uint32_t op = v & 0xF;
+        int64_t ln = v >> 4;
+        if (op != 2) shift += ln;
+        if (ln >= P.min_siglength && (op == 1 || op == 2)) {
+          if (op == 2) {
+            del_sigs.push_back({sig_start, ln});
+            sig_start += ln;
+          } else {
+            int64_t a = shift - ln, b = shift;
+            a = std::max<int64_t>(0, std::min(a, l_seq));
+            b = std::max<int64_t>(0, std::min(b, l_seq));
+            ins_sigs.push_back({sig_start, ln, a, b > a ? b - a : 0});
+          }
+        } else if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) {
+          sig_start += ln;
+        }
+      }
+      uint32_t vl = rd_u32(ops_p + 4ll * (n_ops - 1));
+      if ((vl & 0xF) == 4) softclip_right = vl >> 4;
+      else if ((vl & 0xF) == 5) hardclip_right = vl >> 4;
+      if (hardclip_left != 0) softclip_left = hardclip_left;
+      if (hardclip_right != 0) softclip_right = hardclip_right;
+      ref_end = sig_start;  // the walk advanced on exactly the
+                            // reference-consuming ops
+      sigs_ready = true;
+    } else {
+      for (int64_t i = 0; i < n_ops; i++) {
+        uint32_t v = rd_u32(ops_p + 4ll * i);
+        uint32_t op = v & 0xF, ln = v >> 4;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+          ref_end += ln;
+      }
     }
-
-    std::string qname(qname_p, l_qname ? l_qname - 1 : 0);
 
     // allreads row: everything mapped, before any filter (count_coverage
     // re-scan source)
     int8_t prim = (flag == 0 || flag == 16) ? 1 : 0;
-    int64_t name_id = C.intern_name(qname);
+    int64_t name_id = C.intern_name_raw(
+        qname_p, l_qname ? l_qname - 1 : 0,
+        hash_bytes(qname_p, l_qname ? l_qname - 1 : 0));
     C.all_chr.push(ref_id); C.all_start.push(pos); C.all_end.push(ref_end);
     C.all_prim.push(prim); C.all_name.push(name_id);
     if (flag == 256 || flag == 272) return;
@@ -951,18 +1092,19 @@ struct Worker {
 
     // SEQ decode is lazy: INS signatures need only their slices; the full
     // read is materialized only for SA-tagged reads (split analysis works
-    // in query orientation). decode_slice clamps like a python slice.
-    auto decode_slice = [&](int64_t a, int64_t b) {
+    // in query orientation). decode_slice_append clamps like a python
+    // slice and appends into a reused scratch string (no per-signature
+    // allocation).
+    auto decode_slice_append = [&](int64_t a, int64_t b, std::string& out) {
       a = std::max<int64_t>(0, std::min(a, l_seq));
       b = std::max<int64_t>(0, std::min(b, l_seq));
-      std::string out;
-      if (a >= b) return out;
-      out.resize(b - a);
+      if (a >= b) return;
+      size_t base = out.size();
+      out.resize(base + (b - a));
       for (int64_t k = a; k < b; k++) {
         uint8_t byte = (uint8_t)seq_p[k >> 1];
-        out[k - a] = kSeqNT16[(k & 1) ? (byte & 0xF) : (byte >> 4)];
+        out[base + (k - a)] = kSeqNT16[(k & 1) ? (byte & 0xF) : (byte >> 4)];
       }
-      return out;
     };
     auto decode_full = [&]() {
       auto _t0 = std::chrono::steady_clock::now();
@@ -988,20 +1130,16 @@ struct Worker {
       default: process_signal = 0; break;
     }
 
-    int64_t softclip_left = 0, softclip_right = 0;
-    int64_t hardclip_left = 0, hardclip_right = 0;
-
     // CIGAR intra-read signatures (cuteSV:614-658). A mapped record that
     // passes the mapq gate but has NO cigar cannot be processed (the
     // reference crashes on read.cigartuples[0] here); raise the designed
     // no-CIGAR error instead of silently treating it as signature-free,
-    // which would diverge from the python oracle.
-    struct IS { int64_t pos, len, soff, slen; };
-    struct DS { int64_t pos, len; };
-    std::vector<IS> ins_sigs;
-    std::vector<DS> del_sigs;
+    // which would diverge from the python oracle. The fused pass above
+    // already collected sigs + clips for the common case; the loop here
+    // keeps the original two-pass form for bed-filtered runs (whose
+    // bed.pass gate needs ref_end before sig eligibility is known).
     if (mapq >= P.min_mapq && n_ops == 0) throw NoCigarError{};
-    if (mapq >= P.min_mapq) {
+    if (mapq >= P.min_mapq && !sigs_ready) {
       uint32_t v0 = rd_u32(ops_p);
       if ((v0 & 0xF) == 4) softclip_left = v0 >> 4;
       else if ((v0 & 0xF) == 5) hardclip_left = v0 >> 4;
@@ -1038,18 +1176,21 @@ struct Worker {
     // same-read signature chaining (cuteSV:515-575)
     if (!ins_sigs.empty()) {
       IS cur = ins_sigs[0];
-      std::string cur_seq = decode_slice(cur.soff, cur.soff + cur.slen);
+      std::string& cur_seq = ins_scratch;
+      cur_seq.clear();
+      decode_slice_append(cur.soff, cur.soff + cur.slen, cur_seq);
       int64_t last_pos = cur.pos;
       for (size_t i = 1; i < ins_sigs.size(); i++) {
         const IS& s = ins_sigs[i];
         if (s.pos - last_pos <= P.merge_ins_threshold) {
           cur.len += s.len;
-          cur_seq += decode_slice(s.soff, s.soff + s.slen);
+          decode_slice_append(s.soff, s.soff + s.slen, cur_seq);
           last_pos = s.pos;
         } else {
           C.add_ins(ref_id, 2 * cur.pos, cur.len, name_id, cur_seq);
           cur = s;
-          cur_seq = decode_slice(s.soff, s.soff + s.slen);
+          cur_seq.clear();
+          decode_slice_append(s.soff, s.soff + s.slen, cur_seq);
           last_pos = s.pos;
         }
       }
@@ -1264,41 +1405,59 @@ struct Decoder {
 
   // shared parallel record processing (BAM chunks and CRAM-synthesized
   // chunks go through the same path): thread-local collectors are merged
-  // in range order so global row order equals input record order
+  // in range order so global row order equals input record order.
+  // Workers persist across chunks (reset_outputs keeps table/vector
+  // capacity), so per-chunk Collector construction and its allocation
+  // churn are paid once per run, not once per chunk.
   int fail_status = 4;  // process_recs failure detail (6 = no CIGAR)
+  std::vector<std::unique_ptr<Worker>> worker_pool;
+
+  Worker* pool_worker(size_t i) {
+    while (worker_pool.size() <= i)
+      worker_pool.emplace_back(new Worker(P, bed, header_chroms));
+    Worker* w = worker_pool[i].get();
+    w->C.reset_outputs();
+    return w;
+  }
 
   bool process_recs(const char* base,
                     const std::vector<std::pair<size_t, int32_t>>& recs) {
-    // allow oversubscription: record parsing is latency-bound (cold
-    // record headers 10KB apart), so more workers than cores helps
+    // parse workers cap at the core count: the fused single-pass walk +
+    // raw-hash interning left so little per-record work (~0.3 core-s per
+    // 200 Mb) that oversubscription only steals cycles from the inflate
+    // workers (measured 3.62 -> 3.48 s wall at 2 cores going 8 -> 2)
     int n_workers = (int)std::min<int64_t>(
         std::max<int64_t>(P.n_threads, 1),
-        4 * (int64_t)std::max(1u, std::thread::hardware_concurrency()));
+        (int64_t)std::max(1u, std::thread::hardware_concurrency()));
+    static const int env_pw = getenv("CUTESV_PARSE_WORKERS")
+        ? atoi(getenv("CUTESV_PARSE_WORKERS")) : 0;
+    if (env_pw > 0) n_workers = env_pw;
     bool failed = false;
     bool nocigar = false;
     if (n_workers <= 1 || recs.size() < 512) {
-      Worker w(P, bed, header_chroms);
+      Worker* w = pool_worker(0);
       try {
         for (auto& r : recs)
-          w.process_record(base + r.first, r.second);
+          w->process_record(base + r.first, r.second);
       } catch (const NoCigarError&) { failed = true; nocigar = true;
       } catch (...) { failed = true; }
       {
         std::lock_guard<std::mutex> g(snap_mu);
-        C.merge_from(w.C);
+        C.merge_from(w->C);
       }
-      t_seq += w.t_seq;
-      t_hdr += w.t_hdr; t_cig += w.t_cig; t_sa += w.t_sa;
+      t_seq += w->t_seq;
+      t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa;
+      w->t_seq = w->t_hdr = w->t_cig = w->t_sa = 0;
     } else {
-      std::vector<std::unique_ptr<Worker>> ws;
+      std::vector<Worker*> ws;
       std::vector<std::thread> ts;
       size_t per = (recs.size() + n_workers - 1) / n_workers;
       std::atomic<bool> err{false};
       std::atomic<bool> err_nocigar{false};
       for (int t = 0; t < n_workers; t++) {
-        ws.emplace_back(new Worker(P, bed, header_chroms));
+        ws.push_back(pool_worker(t));
         size_t lo = t * per, hi = std::min(recs.size(), (t + 1) * per);
-        Worker* w = ws.back().get();
+        Worker* w = ws.back();
         ts.emplace_back([&, w, lo, hi]() {
           try {
             for (size_t i = lo; i < hi; i++)
@@ -1314,10 +1473,11 @@ struct Decoder {
       nocigar = err_nocigar;
       {
         std::lock_guard<std::mutex> g(snap_mu);
-        for (auto& w : ws) C.merge_from(w->C);
+        for (auto* w : ws) C.merge_from(w->C);
       }
-      for (auto& w : ws) { t_seq += w->t_seq;
-        t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa; }
+      for (auto* w : ws) { t_seq += w->t_seq;
+        t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa;
+        w->t_seq = w->t_hdr = w->t_cig = w->t_sa = 0; }
     }
     if (nocigar) fail_status = 6;  // designed no-CIGAR status; a throw
                                    // here would terminate (the caller
