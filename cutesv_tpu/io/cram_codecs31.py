@@ -13,12 +13,54 @@ The name tokeniser models read names as token columns (digit runs /
 alpha runs / single chars) diffed against the previous name (MATCH /
 DELTA / DUP), one rANS-Nx16-compressed byte stream per (column, type).
 
-Interop caveat (documented): this environment has no htslib/htscodecs
-and zero egress, so byte-level interoperability with htscodecs-produced
-streams cannot be validated here; the container framing of the token
-streams is therefore kept deliberately simple (see ``name_tok_encode``).
-Validation is self-roundtrip plus python<->native cross-stack equality,
-the same caveat STATUS.md records for the CRAM family generally.
+Interop status, choice by choice (this environment has no
+htslib/htscodecs and zero egress, so nothing here has decoded
+externally-produced bytes; the precise split below replaces the blanket
+caveat — round-3 verdict item 3):
+
+TRANSCRIBED FROM THE SPEC DOCUMENT and pinned by hand-derived
+known-answer vectors (tests/test_cram_vectors.py) on both stacks:
+  * uint7 varint (big-endian 7-bit groups, MSB continuation)
+  * rANS-Nx16 entropy core: L=2**15 lower bound, 16-bit-word
+    renormalisation, 12-bit frequencies, 4/32 interleaved states,
+    x' = (x//f)<<12 | (x%f) + cum[s], order-1 slice-per-state layout
+  * alphabet RLE serialisation (first, second==first+1 run marker,
+    remaining count, 0 terminator) and the order-0 frequency list
+  * format-byte flag values (ORDER1/N32/STRIPE/NOSZ/CAT/RLE/PACK) and
+    the uint7 uncompressed-length prefix (absent under NOSZ)
+  * PACK metadata (n_symbols, symbol list, uint7 packed length;
+    1/2/4-bit packing LSB-first), RLE metadata (uint7 meta_len<<1 with
+    a raw/compressed bit, n_symbols byte with 0 meaning 256, run
+    symbols, uint7 run-minus-1 lengths in literal order, uint7 literal
+    length), STRIPE framing (substream count byte, uint7 compressed
+    lengths, NOSZ substreams), CAT passthrough
+  * order-1 frequency matrix with zero-run compression and the
+    optional order-0-compressed table (comp byte = shift<<4 | flag)
+
+SELF-DEFINED IN THIS REPO (no spec bytes were available to transcribe;
+gated behind CUTESV_CRAM31_INTEROP=strict, decode vectors pinned in
+tests/test_cram_vectors.py where deterministic):
+  * name tokeniser (method 8) container framing: <u32 uncompressed
+    len> <u32 n_names> <use_arith byte> <uint7 n_columns>, then per
+    column a uint7 stream count and per stream a type byte + uint7
+    compressed length + rANS-Nx16 stream. The token TYPES and the
+    DUP/DIFF/MATCH/DELTA column model follow the spec's architecture;
+    the explicit per-column framing and the DIGITS <u32> payload
+    encoding are ours.
+  * adaptive arithmetic coder (method 6): the carry-handled range
+    coder, its adaptive frequency model bump/halving schedule, and the
+    flag-byte framing are ours (the spec's method 6 shares the
+    transform flag family; its exact model constants were not
+    available to transcribe).
+  * fqzcomp (method 7): the parameter-block serialisation (qmap /
+    qtab / ptab / dtab table writes, selector byte, per-record length
+    varints) and all model constants are ours; the architecture
+    (quality-history + position context over a range coder) follows
+    the spec's description.
+
+Validation for the self-defined parts is self-roundtrip, python<->
+native cross-stack equality, and mutation campaigns
+(tests/campaign_block_codecs.py).
 """
 from __future__ import annotations
 
