@@ -50,6 +50,10 @@ def get_lib():
     lib.bamdecode_poll.argtypes = [ctypes.c_void_p]
     lib.bamdecode_n_refs.restype = ctypes.c_int32
     lib.bamdecode_n_refs.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_range_refids.restype = None
+    lib.bamdecode_range_refids.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.bamdecode_join.restype = ctypes.c_int
     lib.bamdecode_join.argtypes = [ctypes.c_void_p]
     lib.bamdecode_snapshot.restype = ctypes.c_int64
@@ -330,11 +334,12 @@ class StreamingDecode:
 
     DONE = 2 ** 31 - 1  # INT32_MAX progress sentinel
 
-    def __init__(self, path: str, cfg, bed_ids=None, reference=None):
+    def __init__(self, path: str, cfg, bed_ids=None, reference=None,
+                 byte_range=None):
         self._lib = get_lib()
         self._path = path
         params, ref_arg, bc_p, bs_p, be_p, n_bed, ka = _call_args(
-            cfg, bed_ids, reference)
+            cfg, bed_ids, reference, byte_range)
         self._keepalive = ka
         self._handle = self._lib.bamdecode_start(
             path.encode(), ref_arg, params, bc_p, bs_p, be_p, n_bed)
@@ -348,6 +353,17 @@ class StreamingDecode:
         """Header reference count; valid once poll() returned >= 0
         (including DONE)."""
         return int(self._lib.bamdecode_n_refs(self._handle))
+
+    def range_refids(self):
+        """(first, last) refid merged so far (-1 while nothing merged):
+        under a byte range these are the possibly-partial boundary
+        chromosomes, whose census/sig completeness cannot be assumed."""
+        first = ctypes.c_int32()
+        last = ctypes.c_int32()
+        self._lib.bamdecode_range_refids(self._handle,
+                                         ctypes.byref(first),
+                                         ctypes.byref(last))
+        return int(first.value), int(last.value)
 
     _SNAP_TYPE = {"DEL": 0, "INS": 1, "DUP": 2, "INV": 3, "TRA": 4,
                   "CEN": 5}

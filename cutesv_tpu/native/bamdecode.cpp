@@ -1396,6 +1396,11 @@ struct Decoder {
   // record-order rows merged). INT32_MAX once the run is complete.
   std::mutex snap_mu;
   std::atomic<int32_t> progress{-1};
+  // first/last refid actually merged — under a byte range these name the
+  // possibly-partial boundary chromosomes (the python side excludes them
+  // from mid-decode tails; census/sig completeness cannot be assumed)
+  std::atomic<int32_t> first_ref{-1};
+  std::atomic<int32_t> last_ref{-1};
   std::string err_msg;  // set on decode failure (see bamdecode_err)
   // sharded decode outputs, in uncompressed offsets relative to the
   // range start (global when range_start<=0): first record boundary
@@ -1487,6 +1492,16 @@ struct Decoder {
       int32_t refid = rd_i32(base + recs.back().first);
       int32_t cur = progress.load(std::memory_order_relaxed);
       if (refid > cur) progress.store(refid, std::memory_order_release);
+      if (refid >= 0) last_ref.store(refid, std::memory_order_release);
+      if (first_ref.load(std::memory_order_relaxed) < 0) {
+        for (auto& rr : recs) {  // first MAPPED record of the range
+          int32_t fr = rd_i32(base + rr.first);
+          if (fr >= 0) {
+            first_ref.store(fr, std::memory_order_release);
+            break;
+          }
+        }
+      }
     }
     return !failed;
   }
@@ -1629,6 +1644,15 @@ struct Decoder {
         prefetch.join();
         return bail(fail_status);
       }
+      // test-only pacing knob: lets streaming-overlap tests observe
+      // per-chromosome completion deterministically on corpora that
+      // would otherwise decode faster than the python poll interval
+      static const int chunk_delay_ms =
+          getenv("CUTESV_DECODE_CHUNK_DELAY_MS")
+              ? atoi(getenv("CUTESV_DECODE_CHUNK_DELAY_MS")) : 0;
+      if (chunk_delay_ms > 0)
+        std::this_thread::sleep_for(
+            std::chrono::milliseconds(chunk_delay_ms));
       prefetch.join();
       if (stopped) break;
       if (rd.inflate_bad.load(std::memory_order_relaxed)) return bail(5);
@@ -1899,6 +1923,13 @@ int32_t bamdecode_poll(CResult* r) {
 // store that publishes the first refid, and before the DONE sentinel)
 int32_t bamdecode_n_refs(CResult* r) {
   return (int32_t)r->dec->ref_lens.size();
+}
+
+// first/last refid merged so far (-1 while nothing merged): the
+// possibly-partial boundary chromosomes of a ranged (sharded) decode
+void bamdecode_range_refids(CResult* r, int32_t* first, int32_t* last) {
+  *first = r->dec->first_ref.load(std::memory_order_acquire);
+  *last = r->dec->last_ref.load(std::memory_order_acquire);
 }
 
 int bamdecode_join(CResult* r) {

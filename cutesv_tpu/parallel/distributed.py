@@ -351,11 +351,22 @@ def merge_partial_decodes(parts):
     else:
         arrays["ins_seq_rank"] = np.empty(0, np.int64)
 
-    return NativeDecode(
+    nd = NativeDecode(
         names=names, name_rank=name_rank, chroms=list(head.chroms),
         ref_lengths=head.ref_lengths,
         n_records=sum(p.n_records for p in parts),
         arrays=arrays, ins_seq_blob=blob)
+    # per-part local->merged id/offset maps: the streaming sharded
+    # decode remaps its own part's snapshot fingerprints into the
+    # merged spaces before validating them against the merged arrays
+    nd.part_name_remaps = remaps
+    bases = []
+    off = 0
+    for p in parts:
+        bases.append(off)
+        off += len(p.ins_seq_blob)
+    nd.part_blob_bases = bases
+    return nd
 
 
 def allgather_obj(obj):

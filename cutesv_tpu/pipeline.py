@@ -69,7 +69,8 @@ def decode_bam(cfg: Config):
     return _decode_bam_python(cfg)
 
 
-def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
+def _stream_dispatch_ok(cfg: Config, is_cram: bool,
+                        for_distributed: bool = False) -> bool:
     """Streaming decode->dispatch overlap for plain single-process
     device-engine BAM runs: cluster kernels for completed chromosomes
     launch while later chromosomes still decode. Much of the resolve
@@ -88,12 +89,15 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool) -> bool:
         return False
     # n_shards > 1 is fine: early per-chromosome kernels are exact
     # single-device results the sharded resolver reuses as singleton
-    # jobs; only multi-host runs keep the structural exclusion (their
-    # decode path is decode_sharded, not StreamingDecode). Force calling
-    # (-Ivcf) never consumes early kernels or tails, so its decode runs
-    # plain — no mid-decode work to throw away.
+    # jobs. Multi-host runs overlap too since round 4 — their ranged
+    # decode goes through _decode_sharded_streaming, which calls this
+    # gate with for_distributed=True (the plain-run exclusion below is
+    # about not taking the whole-file StreamingDecode path). Force
+    # calling (-Ivcf) never consumes early kernels or tails, so its
+    # decode runs plain — no mid-decode work to throw away.
     return (not is_cram and cfg.engine in ("device", "auto")
-            and not cfg.distributed and not getattr(cfg, "Ivcf", None))
+            and (for_distributed or not cfg.distributed)
+            and not getattr(cfg, "Ivcf", None))
 
 
 class _NativeBlobView:
@@ -163,24 +167,30 @@ def _stream_tail_emit(sd, cfg: Config, svtype: str, c: int, cols,
     return (cands, [])
 
 
-def _decode_bam_native_streaming(cfg: Config, bed_ids):
-    """Decode on a native thread; as each chromosome completes, snapshot
-    its DEL/INS rows, sort/dedup them with the store's exact keys (local
-    name/seq ranks are order-isomorphic to the final global ranks
-    restricted to the same rows) and dispatch its cluster kernel. After
-    the join, build_store_native validates each snapshot fingerprint
-    against the final rows — a later read's SA tag can add signatures to
-    an already-passed chromosome — and only validated chromosomes reuse
-    the early kernels (resolve re-dispatches the rest)."""
+def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
+                         allow_done_tail: bool = True):
+    """Shared poll/dispatch loop of the streaming decode paths: as each
+    chromosome completes, snapshot its rows, sort/dedup them with the
+    store's exact keys and dispatch its cluster kernel (plus, where
+    eligible, the full mid-decode DEL/INS tail). Runs until the decode
+    thread reports DONE; the caller joins and validates fingerprints.
+
+    ``tail_chrom_ok(c)``: extra per-chromosome gate for the FULL tail
+    (sharded decode excludes its possibly-partial range-start
+    chromosome, whose local census may be missing a prefix another
+    shard owns). ``allow_done_tail``: whether CUTESV_STREAM_TAIL=force
+    may tail the final batch (never under a byte range — the range-end
+    chromosome's census may be cut by the budget).
+
+    Returns (handles, fingerprints, early_results) keyed (svtype,
+    chrom_id)."""
     import time as _time
 
-    from cutesv_tpu.io import native as native_io
     from cutesv_tpu.models import device as device_models
     from cutesv_tpu.models.device import IndelStream
     from cutesv_tpu.utils.jaxsetup import setup_jax
 
     setup_jax()
-    sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids, reference=None)
     handles: Dict[tuple, object] = {}
     fingerprints: Dict[tuple, dict] = {}
     early_results: Dict[tuple, tuple] = {}
@@ -195,98 +205,98 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     # so it defaults on only at >= 4 cores. CUTESV_STREAM_TAIL=1/0
     # forces; "force" additionally runs it for the final batch (tests:
     # small fixtures decode in one poll, so nothing completes mid-run)
-    tail_force = tail_env == "force"
+    tail_force = tail_env == "force" and allow_done_tail
     tail_ok = (not cfg.report_readid
                and (tail_env in ("1", "force")
                     or (tail_env != "0" and (os.cpu_count() or 1) >= 4)))
     done = set()
-    try:
-        while True:
-            p = sd.poll()
-            finished = p == sd.DONE
-            if finished:
-                # the run finished: every remaining chromosome's rows are
-                # final, so snapshot them too — their prepared columns
-                # become the store streams (no global re-sort) and their
-                # cluster kernels dispatch before the store is built
-                p = sd.n_refs()
-            pending = []
-            for c in range(0, p):
-                if c in done:
+    while True:
+        p = sd.poll()
+        finished = p == sd.DONE
+        if finished:
+            # the run finished: every remaining chromosome's rows are
+            # final, so snapshot them too — their prepared columns
+            # become the store streams (no global re-sort) and their
+            # cluster kernels dispatch before the store is built
+            p = sd.n_refs()
+        pending = []
+        for c in range(0, p):
+            if c in done:
+                continue
+            done.add(c)
+            for svtype, is_ins, bias in (
+                    ("DEL", False, cfg.max_cluster_bias_DEL),
+                    ("INS", True, cfg.max_cluster_bias_INS)):
+                snap = sd.snapshot(svtype, c)
+                if len(snap["pos"]) == 0:
                     continue
-                done.add(c)
-                for svtype, is_ins, bias in (
-                        ("DEL", False, cfg.max_cluster_bias_DEL),
-                        ("INS", True, cfg.max_cluster_bias_INS)):
-                    snap = sd.snapshot(svtype, c)
-                    if len(snap["pos"]) == 0:
-                        continue
-                    fp, disp = sigstore.prepare_snapshot(snap, is_ins)
-                    stream = IndelStream(disp["pos"], disp["length"],
-                                         disp["rid"])
-                    handle = device_models._cluster_stream_dispatch(
-                        stream, cfg.min_support, bias)
-                    pending.append((svtype, c, "indel", handle))
-                    fingerprints[(svtype, c)] = fp
-                for svtype, is_inv, bias in (
-                        ("DUP", False, cfg.max_cluster_bias_DUP),
-                        ("INV", True, cfg.max_cluster_bias_INV)):
-                    snap = sd.snapshot(svtype, c)
-                    if len(snap["pos"]) == 0:
-                        continue
-                    fp, disp = sigstore.prepare_snapshot_pair(svtype, snap)
-                    handle = device_models._pair_cluster_start(
-                        disp["k1"], disp["k2"], disp["aux"], disp["keys"],
-                        cfg.min_support, bias, is_inv)
-                    pending.append((svtype, c, "pair", handle))
-                    fingerprints[(svtype, c)] = fp
-            if finished and pending:
-                # decode is over, so blocking scalar reads are no longer
-                # hidden: start every n_kept copy async before the compact
-                # phase blocks on any (one tunnel round trip, not 2*k)
-                device_models.prefetch_counts(
-                    *[h for _, _, _, h in pending])
-            for svtype, c, kind, handle in pending:
-                # mid-decode, blocking here for n_kept and starting the
-                # compaction + host copy is free (the decode runs on
-                # native threads) — resolve later finds the rows local
-                if kind == "pair":
-                    nk_comp = device_models._pair_cluster_compact(handle)
-                else:
-                    nk_comp = device_models._cluster_stream_compact(handle)
-                if nk_comp is not None and nk_comp[1] is not None:
-                    import jax
-                    jax.tree_util.tree_map(
-                        lambda x: x.copy_to_host_async(), nk_comp[1])
-                if kind == "indel" and tail_ok and (not finished
-                                                   or tail_force):
-                    # chromosomes completed before end-of-decode run the
-                    # FULL tail here (emission + genotype), hidden under
-                    # the remaining decode; the final batch keeps the
-                    # batched-kernel cover path (no decode left to hide
-                    # under, and one kernel call beats per-chrom sweeps)
-                    try:
-                        early_results[(svtype, c)] = _stream_tail_emit(
-                            sd, cfg, svtype, c,
-                            fingerprints[(svtype, c)], nk_comp,
-                            census_cache)
-                        continue  # kernel consumed by the tail
-                    except Exception:
-                        log.warning("streaming tail failed; falling back "
-                                    "to post-decode resolve",
-                                    exc_info=True)
-                handles[(svtype, c)] = nk_comp
-            if finished:
-                break
-            _time.sleep(0.02)
-        nd = sd.join()
-    finally:
-        sd.free()
-    _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
-                             nd.chroms)
-    early_fp = {(t, nd.chroms[c]): fp
-                for (t, c), fp in fingerprints.items()}
-    store = sigstore.build_store_native(nd, cfg, early=early_fp)
+                fp, disp = sigstore.prepare_snapshot(snap, is_ins)
+                stream = IndelStream(disp["pos"], disp["length"],
+                                     disp["rid"])
+                handle = device_models._cluster_stream_dispatch(
+                    stream, cfg.min_support, bias)
+                pending.append((svtype, c, "indel", handle))
+                fingerprints[(svtype, c)] = fp
+            for svtype, is_inv, bias in (
+                    ("DUP", False, cfg.max_cluster_bias_DUP),
+                    ("INV", True, cfg.max_cluster_bias_INV)):
+                snap = sd.snapshot(svtype, c)
+                if len(snap["pos"]) == 0:
+                    continue
+                fp, disp = sigstore.prepare_snapshot_pair(svtype, snap)
+                handle = device_models._pair_cluster_start(
+                    disp["k1"], disp["k2"], disp["aux"], disp["keys"],
+                    cfg.min_support, bias, is_inv)
+                pending.append((svtype, c, "pair", handle))
+                fingerprints[(svtype, c)] = fp
+        if finished and pending:
+            # decode is over, so blocking scalar reads are no longer
+            # hidden: start every n_kept copy async before the compact
+            # phase blocks on any (one tunnel round trip, not 2*k)
+            device_models.prefetch_counts(
+                *[h for _, _, _, h in pending])
+        for svtype, c, kind, handle in pending:
+            # mid-decode, blocking here for n_kept and starting the
+            # compaction + host copy is free (the decode runs on
+            # native threads) — resolve later finds the rows local
+            if kind == "pair":
+                nk_comp = device_models._pair_cluster_compact(handle)
+            else:
+                nk_comp = device_models._cluster_stream_compact(handle)
+            if nk_comp is not None and nk_comp[1] is not None:
+                import jax
+                jax.tree_util.tree_map(
+                    lambda x: x.copy_to_host_async(), nk_comp[1])
+            if (kind == "indel" and tail_ok
+                    and (not finished or tail_force)
+                    and (tail_chrom_ok is None or tail_chrom_ok(c))):
+                # chromosomes completed before end-of-decode run the
+                # FULL tail here (emission + genotype), hidden under
+                # the remaining decode; the final batch keeps the
+                # batched-kernel cover path (no decode left to hide
+                # under, and one kernel call beats per-chrom sweeps)
+                try:
+                    early_results[(svtype, c)] = _stream_tail_emit(
+                        sd, cfg, svtype, c,
+                        fingerprints[(svtype, c)], nk_comp,
+                        census_cache)
+                    continue  # kernel consumed by the tail
+                except Exception:
+                    log.warning("streaming tail failed; falling back "
+                                "to post-decode resolve",
+                                exc_info=True)
+            handles[(svtype, c)] = nk_comp
+        if finished:
+            break
+        _time.sleep(0.02)
+    return handles, fingerprints, early_results
+
+
+def _attach_early_to_store(store, nd, handles, fingerprints,
+                           early_results) -> None:
+    """Keep the early kernels / full-tail results whose fingerprints
+    validated against the (final or merged) arrays; patch the tails'
+    chromosome-name placeholders."""
     valid = getattr(store, "early_valid", set())
     store.early_kernels = {
         (t, nd.chroms[c]): h for (t, c), h in handles.items()
@@ -304,6 +314,111 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
              "validated of %d dispatched"
              % (len(store.early_kernels), len(store.early_results),
                 n_early))
+
+
+def _decode_bam_native_streaming(cfg: Config, bed_ids):
+    """Decode on a native thread; as each chromosome completes, snapshot
+    its DEL/INS rows, sort/dedup them with the store's exact keys (local
+    name/seq ranks are order-isomorphic to the final global ranks
+    restricted to the same rows) and dispatch its cluster kernel. After
+    the join, build_store_native validates each snapshot fingerprint
+    against the final rows — a later read's SA tag can add signatures to
+    an already-passed chromosome — and only validated chromosomes reuse
+    the early kernels (resolve re-dispatches the rest)."""
+    from cutesv_tpu.io import native as native_io
+
+    sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids, reference=None)
+    try:
+        handles, fingerprints, early_results = _streaming_poll_loop(
+            sd, cfg)
+        nd = sd.join()
+    finally:
+        sd.free()
+    _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
+                             nd.chroms)
+    early_fp = {(t, nd.chroms[c]): fp
+                for (t, c), fp in fingerprints.items()}
+    store = sigstore.build_store_native(nd, cfg, early=early_fp)
+    _attach_early_to_store(store, nd, handles, fingerprints, early_results)
+    references = [(nd.chroms[i], int(nd.ref_lengths[i]))
+                  for i in range(len(nd.ref_lengths))]
+    return store, None, references, nd.n_records
+
+
+def _shard_tail_gate(sd, range_start: int):
+    """Full-tail gate for a ranged (sharded) streaming decode: the
+    range-START chromosome may be missing a record prefix the
+    predecessor shard owns, and the count fingerprints only audit
+    signature streams — its local census could silently be short, so it
+    never runs the mid-decode tail. Shard 0 (range_start <= 0) owns the
+    file start, so its first chromosome is complete. (The range-END
+    chromosome is excluded by allow_done_tail=False: it only completes
+    at DONE.)"""
+    def tail_chrom_ok(c):
+        first, _last = sd.range_refids()
+        return range_start <= 0 or c != first
+    return tail_chrom_ok
+
+
+def _decode_sharded_streaming(cfg: Config, bed_ids):
+    """--distributed BAM decode WITH the mid-decode overlap (round-3
+    verdict item 5): this host inflates only its block-aligned byte
+    range through the streaming decoder, dispatching cluster kernels —
+    and, where eligible, full DEL/INS tails — for chromosomes that
+    complete inside the range while later blocks still decode. After
+    the allgather+merge, each fingerprint (raw per-chromosome row
+    count) is validated against the MERGED arrays, so any chromosome
+    another shard contributed rows to (a range boundary cut, or a
+    foreign read's SA tag) discards its early work and is re-resolved
+    from the global sort. The local snapshot columns are remapped into
+    the merged name-id / sequence-blob spaces before validation.
+
+    Full tails additionally exclude the range-START chromosome (its
+    local census may be missing a prefix the predecessor shard owns —
+    the count fingerprints only audit signature streams, not the
+    census) and the final DONE batch (the range-END chromosome's
+    census can be cut by the uncompressed-length budget). Shard 0 owns
+    the file start, so its first chromosome is complete."""
+    import jax
+
+    from cutesv_tpu.io import native as native_io
+    from cutesv_tpu.parallel.distributed import (allgather_obj,
+                                                 check_shard_boundaries,
+                                                 merge_partial_decodes,
+                                                 plan_shard_ranges)
+
+    n = jax.process_count()
+    k = jax.process_index()
+    ranges = plan_shard_ranges(cfg.input, n)
+    rng = ranges[k][:2]
+    sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids,
+                                   reference=None, byte_range=rng)
+    try:
+        handles, fingerprints, early_results = _streaming_poll_loop(
+            sd, cfg, tail_chrom_ok=_shard_tail_gate(sd, rng[0]),
+            allow_done_tail=False)
+        nd_local = sd.join()
+    finally:
+        sd.free()
+    log.info("sharded decode: shard %d/%d decoded %d records (streaming)",
+             k, n, nd_local.n_records)
+    parts = allgather_obj(nd_local)
+    check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
+    nd = merge_partial_decodes(parts)
+    _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
+                             nd.chroms)
+    remap = nd.part_name_remaps[k]
+    blob_base = nd.part_blob_bases[k]
+    early_fp = {}
+    for (t, c), fp in fingerprints.items():
+        fp = dict(fp)
+        if "name_id" in fp:
+            fp["name_id"] = remap[fp["name_id"]]
+        if "seq_off" in fp:
+            fp["seq_off"] = fp["seq_off"] + blob_base
+        early_fp[(t, nd.chroms[c])] = fp
+    store = sigstore.build_store_native(nd, cfg, early=early_fp)
+    _attach_early_to_store(store, nd, handles, fingerprints, early_results)
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]
     return store, None, references, nd.n_records
@@ -355,7 +470,15 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
         if jax.process_count() > 1:
             # multi-host: inflate only this host's byte range (BGZF
             # blocks for BAM, containers for CRAM), then exchange the
-            # (small) signature partials
+            # (small) signature partials. BAM ranges stream: early
+            # kernels/tails for chromosomes completed inside the range
+            # overlap the remaining decode (validated post-merge)
+            if _stream_dispatch_ok(cfg, is_cram, for_distributed=True):
+                try:
+                    return _decode_sharded_streaming(cfg, bed_ids)
+                except Exception:
+                    log.warning("sharded streaming decode failed; "
+                                "decoding without overlap", exc_info=True)
             from cutesv_tpu.parallel.distributed import decode_sharded
             nd = decode_sharded(cfg, bed_ids, is_cram=is_cram)
             _check_coordinate_sorted(nd.arrays["all_chr"],
@@ -1138,6 +1261,13 @@ def _filter_store_chroms(store: sigstore.SigStore, keep) -> sigstore.SigStore:
               for t, per in store.sigs.items()},
         census=store.census, read_tables=store.read_tables,
         chrom_lengths=store.chrom_lengths, names=store.names)
+    # early kernels / full-tail results follow their chromosome's owner
+    # (a dropped chromosome's early work is simply unused on this host)
+    for attr in ("early_kernels", "early_results"):
+        src = getattr(store, attr, None)
+        if src:
+            setattr(out, attr, {(t, c): v for (t, c), v in src.items()
+                                if keep(c)})
     return out
 
 

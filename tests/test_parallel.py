@@ -405,3 +405,143 @@ def test_distributed_device_sharded_two_process_cli(tmp_path):
     assert not (tmp_path / "mp1.vcf").exists()  # only host 0 emits
     assert _vcf_body(tmp_path / "mp0.vcf") == _vcf_body(
         tmp_path / "ref.vcf")
+
+
+def test_shard_tail_gate_unit():
+    """The sharded streaming decode's mid-decode-tail gate: the
+    range-start chromosome is excluded (its local census may be missing
+    a prefix another shard owns) unless the range starts at the file
+    head (shard 0)."""
+    from cutesv_tpu.pipeline import _shard_tail_gate
+
+    class FakeSd:
+        def __init__(self, first, last):
+            self._r = (first, last)
+
+        def range_refids(self):
+            return self._r
+
+    gate = _shard_tail_gate(FakeSd(1, 3), range_start=4096)
+    assert not gate(1)          # first-partial chromosome: never tail
+    assert gate(2) and gate(3)  # interior chromosomes: eligible
+    gate0 = _shard_tail_gate(FakeSd(0, 3), range_start=0)
+    assert gate0(0)             # shard 0 owns the file start
+
+
+def test_range_refids_reports_boundary_chromosomes(tmp_path):
+    """StreamingDecode.range_refids names the first/last chromosome a
+    ranged decode actually merged — the possibly-partial boundary
+    chromosomes of a shard."""
+    import numpy as np
+
+    from cutesv_tpu.config import Config
+    from cutesv_tpu.io import native as native_io
+    from cutesv_tpu.parallel.distributed import plan_shard_ranges
+
+    base = _distributed_fixture(tmp_path)
+    cfg = Config(input=base[0], min_support=3)
+    ranges = plan_shard_ranges(base[0], 2)
+    # second shard starts mid-file: its first merged refid must match
+    # the refid of its first owned record
+    sd = native_io.StreamingDecode(base[0], cfg,
+                                   byte_range=ranges[1][:2])
+    try:
+        nd = sd.join()
+        first, last = sd.range_refids()
+    finally:
+        sd.free()
+    chrs = np.asarray(nd.arrays["all_chr"])
+    assert len(chrs) > 0
+    assert first == int(chrs[0])
+    assert last == int(chrs[-1])
+    # and the whole-file decode spans all chromosomes
+    sd = native_io.StreamingDecode(base[0], cfg)
+    try:
+        sd.join()
+        first0, last0 = sd.range_refids()
+    finally:
+        sd.free()
+    assert (first0, last0) == (0, 1)
+
+
+def _tails_fixture(tmp_path):
+    """A corpus big enough that chromosomes complete MID-decode on each
+    shard (ranges span several 128-block inflate chunks), so the forced
+    streaming tails really run inside the 2-process ranged decode."""
+    import random
+
+    from tests import simdata
+
+    rng = random.Random(9)
+    n_chrom = 4
+    clen = 600_000
+    names = ["chr%d" % (i + 1) for i in range(n_chrom)]
+    seqs = simdata.make_reference(rng, {c: clen for c in names})
+    plans = []
+    for cid, c in enumerate(names):
+        ref = seqs[c]
+        for i, s in enumerate(range(0, clen - 8_000, 500)):
+            if 98_000 <= s <= 99_500:
+                # DEL @100k len 150 carriers (support >= 3)
+                plans.append(simdata.read_with_del(
+                    ref, cid, s, 100_000, 150, 8_000 - (100_150 - s),
+                    "%s_d%03d" % (c, i)))
+            else:
+                plans.append(simdata.plain_read(ref, cid, s, 8_000,
+                                                "%s_r%04d" % (c, i)))
+    simdata.write_bam(str(tmp_path / "big.bam"),
+                      [(c, clen) for c in names], plans)
+    simdata.write_ref_fasta(str(tmp_path / "big.fa"), seqs)
+    return [str(tmp_path / "big.bam"), str(tmp_path / "big.fa")]
+
+
+def test_distributed_streaming_tails_two_process_cli(tmp_path):
+    """--distributed BAM decode WITH the mid-decode overlap (round-4):
+    a real 2-process run with CUTESV_STREAM_TAIL=force must run full
+    tails inside the ranged decode on at least one shard and stay
+    byte-identical to the single-process run."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from cutesv_tpu.cli import main
+
+    base = _tails_fixture(tmp_path)
+    assert main(base + [str(tmp_path / "ref.vcf"), str(tmp_path / "wr"),
+                        "--engine", "device"]) == 0
+    port = 22000 + (os.getpid() % 10000)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               CUTESV_STREAM_TAIL="force",
+               # pace the decode so per-chromosome completion is
+               # observable mid-run (the corpus would otherwise decode
+               # faster than the 20 ms poll interval)
+               CUTESV_DECODE_CHUNK_DELAY_MS="60",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cutesv_tpu.cli"] + base
+            + [str(tmp_path / ("st%d.vcf" % i)),
+               str(tmp_path / ("ws%d" % i)),
+               "--engine", "device", "--distributed",
+               "--coordinator", "localhost:%d" % port,
+               "--num_processes", "2", "--process_id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    assert procs[0].returncode == 0, outs[0].decode()[-2000:]
+    assert procs[1].returncode == 0, outs[1].decode()[-2000:]
+    assert _vcf_body(tmp_path / "st0.vcf") == _vcf_body(
+        tmp_path / "ref.vcf")
+    # both processes took the streaming sharded path...
+    assert all(b"(streaming)" in o for o in outs), \
+        outs[0].decode()[-1500:]
+    # ...and at least one shard ran validated full tails mid-decode
+    tails = 0
+    for o in outs:
+        m = re.search(rb"(\d+) full tails\s+validated|"
+                      rb"(\d+) full tails validated", o)
+        if m:
+            tails += int(m.group(1) or m.group(2))
+    assert tails >= 1, outs[0].decode()[-1500:]
