@@ -33,25 +33,40 @@ def _codes_to_str(codes) -> str:
     return (np.frombuffer(b"ACGT", np.uint8)[codes]).tobytes().decode()
 
 
+# hg38 primary-contig lengths in Mb (chr1..chr22, X, Y) — the shape used
+# by --human_layout to scale a synthetic genome to a human-like contig
+# size distribution (largest ~5x the smallest autosome, 24 contigs)
+_HUMAN_MB = [249, 242, 198, 190, 182, 171, 159, 145, 138, 134, 135, 133,
+             114, 107, 102, 90, 83, 80, 59, 64, 47, 51, 156, 57]
+
+
 def simulate(out_prefix: str, genome_mb: float = 10.0, n_chroms: int = 2,
              coverage: int = 20, read_len: int = 20_000,
              sv_spacing: int = 50_000, seed: int = 0,
-             zygosity: str = "het"):
+             zygosity: str = "het", human_layout: bool = False):
     from cutesv_tpu.io.bam import BamWriter
 
     rng = np.random.default_rng(seed)
-    n = int(genome_mb * 1_000_000) // n_chroms
-    chroms = ["chr%d" % (i + 1) for i in range(n_chroms)]
+    if human_layout:
+        total = int(genome_mb * 1_000_000)
+        scale = total / (sum(_HUMAN_MB) * 1_000_000)
+        sizes = [max(read_len + 200_001,
+                     int(mb * 1_000_000 * scale)) for mb in _HUMAN_MB]
+        chroms = ["chr%d" % (i + 1) for i in range(22)] + ["chrX", "chrY"]
+    else:
+        sizes = [int(genome_mb * 1_000_000) // n_chroms] * n_chroms
+        chroms = ["chr%d" % (i + 1) for i in range(n_chroms)]
     bam = out_prefix + ".bam"
     fa = out_prefix + ".fa"
     bed = out_prefix + ".truth.bed"
     gt_bed = out_prefix + ".zygosity.bed"
     n_reads = 0
     step = max(1, read_len // coverage)
-    with BamWriter(bam, [(c, n) for c in chroms]) as w, \
+    with BamWriter(bam, list(zip(chroms, sizes))) as w, \
             open(fa, "w") as fa_out, open(bed, "w") as bed_out, \
             open(gt_bed, "w") as gt_out:
         for chrom_id, chrom in enumerate(chroms):
+            n = sizes[chrom_id]
             ref = rng.integers(0, 4, size=n, dtype=np.uint8)
             sv_loci = []
             p = 100_000
@@ -537,6 +552,10 @@ def main(argv=None) -> int:
                    help="Generate the heterogeneous stress corpus "
                         "(ONT-like noise, coverage waves, chimeras, "
                         "clip storms) instead of the clean simulator.")
+    p.add_argument("--human_layout", action="store_true",
+                   help="24 contigs (chr1-22, X, Y) with hg38-"
+                        "proportional sizes scaled to --genome_mb "
+                        "(overrides --chroms).")
     args = p.parse_args(argv)
     logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                         format="%(asctime)s [%(levelname)s] %(message)s")
@@ -560,7 +579,8 @@ def main(argv=None) -> int:
         return 0
     info = simulate(args.out_prefix, args.genome_mb, args.chroms,
                     args.coverage, args.read_len, args.sv_spacing,
-                    args.seed, args.zygosity)
+                    args.seed, args.zygosity,
+                    human_layout=args.human_layout)
     logging.info("Simulated %d reads -> %s (%0.2fs)"
                  % (info["n_reads"], info["bam"], time.time() - t0))
     return 0
