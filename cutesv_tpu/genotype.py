@@ -127,15 +127,47 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
                  read_starts: np.ndarray, read_ends: np.ndarray) -> np.ndarray:
     """#{reads: start <= s and end >= e} per SV window [s, e).
 
-    Host implementation: offline sweep over SVs sorted by s, activating
-    reads in start order into a Fenwick tree over compressed end
-    coordinates (O((R+S) log R)). The device implementation in
-    ops/sweep.py computes the same counts with blocked comparisons.
-    """
+    Host implementation, vectorized via the set identity
+
+        cover = #{start <= s} - #{end < e} + #{start > s and end < e}
+
+    (|A \\ B| = |A| - |B| + |A^c ∩ B|): two searchsorteds over the
+    sorted starts/ends, plus the third term, which only reads SHORTER
+    than the window can contribute (a read strictly inside (s, e)) —
+    zero for long-read data, and counted exactly over the short-read
+    subset when present. Falls back to the original Fenwick sweep
+    (kept below as the oracle) when that subset is too large to
+    broadcast. The device implementation in ops/sweep.py computes the
+    same counts with blocked comparisons."""
     n_sv = len(sv_windows)
     out = np.zeros(n_sv, np.int64)
     if n_sv == 0 or len(read_starts) == 0:
         return out
+    rs = np.asarray(read_starts)
+    re_ = np.asarray(read_ends)
+    s_arr = np.fromiter((w[0] for w in sv_windows), np.float64, n_sv)
+    e_arr = np.fromiter((w[1] for w in sv_windows), np.float64, n_sv)
+    wmax = float(np.max(e_arr - s_arr))
+    small = (re_ - rs) < wmax
+    n_small = int(np.count_nonzero(small))
+    if n_small * n_sv > 8_000_000:
+        return _cover_counts_fenwick(sv_windows, rs, re_)
+    base = (np.searchsorted(np.sort(rs), s_arr, "right")
+            - np.searchsorted(np.sort(re_), e_arr, "left"))
+    if n_small:
+        ss, ee = rs[small], re_[small]
+        inside = ((ss[None, :] > s_arr[:, None])
+                  & (ee[None, :] < e_arr[:, None])).sum(axis=1)
+        base = base + inside
+    return base.astype(np.int64)
+
+
+def _cover_counts_fenwick(sv_windows, read_starts, read_ends) -> np.ndarray:
+    """Original offline sweep (the oracle the vectorized form is tested
+    against): SVs sorted by s, reads activated in start order into a
+    Fenwick tree over compressed end coordinates, O((R+S) log R)."""
+    n_sv = len(sv_windows)
+    out = np.zeros(n_sv, np.int64)
     order_r = np.argsort(read_starts, kind="stable")
     starts = np.asarray(read_starts)[order_r]
     ends = np.asarray(read_ends)[order_r]
@@ -194,13 +226,39 @@ def support_inter_counts(reads_chrom, support_sets, windows_list):
     The single masked searchsorted+bincount shared by the genotype and
     pipeline cover passes."""
     n_sv = len(support_sets)
-    uniq, st_u, en_u = prim_last_table(reads_chrom)
     lens = np.fromiter((len(s) for s in support_sets), np.int64, n_sv)
     total = int(lens.sum())
-    if n_sv == 0 or len(uniq) == 0 or total == 0:
+    if n_sv == 0 or total == 0:
         return np.zeros(n_sv, np.int64)
     flat_key = np.fromiter((k for s in support_sets for k in s),
                            np.int64, total)
+    tbl = reads_chrom.get("_prim_last")
+    name_col = reads_chrom["name"]
+    if (tbl is None and np.issubdtype(flat_key.dtype, np.integer)
+            and isinstance(name_col, np.ndarray)
+            and np.issubdtype(name_col.dtype, np.integer)):
+        prim = reads_chrom["is_primary"] == 1
+        p_rank = name_col[prim]
+        if len(p_rank) > 4 * total:
+            # support keys are a small fraction of a big census: build
+            # the last-primary table over the support-key subset only
+            # (restriction commutes with last-primary-per-name; the
+            # full table would pay a unique over every census row)
+            keys = np.unique(flat_key)
+            sub = np.isin(np.asarray(p_rank), keys)
+            p_sub = np.asarray(p_rank)[sub]
+            if len(p_sub):
+                uq, idx_rev = np.unique(p_sub[::-1], return_index=True)
+                last_idx = len(p_sub) - 1 - idx_rev
+                tbl = (uq, reads_chrom["start"][prim][sub][last_idx],
+                       reads_chrom["end"][prim][sub][last_idx])
+            else:
+                tbl = (p_sub, p_sub, p_sub)
+    if tbl is None:
+        tbl = prim_last_table(reads_chrom)
+    uniq, st_u, en_u = tbl
+    if len(uniq) == 0:
+        return np.zeros(n_sv, np.int64)
     flat_sv = np.repeat(np.arange(n_sv), lens)
     posn = np.minimum(np.searchsorted(uniq, flat_key), len(uniq) - 1)
     st, en = st_u[posn], en_u[posn]

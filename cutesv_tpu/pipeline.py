@@ -718,7 +718,15 @@ def _batched_cover_multi(specs, store, cfg: Config,
             continue
         hi = int(ends.max()) + 2 if len(ends) else 0
         hi = max(hi, max(e for _, e in wins) + 2)
-        if hi > 1_000_000_000:
+        if hi > 1_000_000_000 or len(wins) * 32 < len(starts):
+            # host sweep when forced by the int32 budget — or when this
+            # block's PRIVATE interval set dwarfs its window count: an
+            # extra block ships its own intervals (the specs' censuses
+            # are shared across window groups, these are not), so
+            # answering few windows via the device kernel pays an
+            # upload+sort of the whole table for counts a host
+            # searchsorted gets in O(m log n). TRA blocks (two windows
+            # per candidate over full read tables) sit squarely here.
             from cutesv_tpu.genotype import cover_counts
             sink(np.asarray(cover_counts(wins, starts, ends)))
             continue
@@ -922,6 +930,12 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
 
     info: Dict[str, Optional[dict]] = {}
 
+    # cached on the store: a pipeline run calls this once, but the
+    # tables (and these derived views) are also what -Ivcf replays hit
+    info: Dict[str, Optional[dict]] = getattr(store, "_tra_tinfo", None)
+    if info is None:
+        info = store._tra_tinfo = {}
+
     def tinfo(chrom):
         if chrom in info:
             return info[chrom]
@@ -929,9 +943,16 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
         if t is None:
             info[chrom] = None
         else:
+            starts = np.asarray(t.start)
             prim = np.asarray(t.prim) == 1
-            ps = np.asarray(t.start)[prim]
+            ps = starts[prim]
             pe = np.asarray(t.end)[prim]
+            # file order on a coordinate-sorted BAM IS start order, so
+            # the precheck's sorted-starts view needs no re-sort
+            if starts.size < 2 or np.all(starts[1:] >= starts[:-1]):
+                as_sorted = starts
+            else:
+                as_sorted = np.sort(starts)
             info[chrom] = dict(ps=ps, pe=pe,
                                # ALL rows, not just primaries: the
                                # gt_round cap fires on a primary's fetch
@@ -939,9 +960,9 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
                                # (secondary/supplementary included), so
                                # the conservative no-cap precheck needs
                                # the total overlap count
-                               as_sorted=np.sort(np.asarray(t.start)),
+                               as_sorted=as_sorted,
                                ae_sorted=np.sort(np.asarray(t.end)),
-                               census=dict(start=np.asarray(t.start),
+                               census=dict(start=starts,
                                            end=np.asarray(t.end),
                                            is_primary=np.asarray(t.prim),
                                            name=np.asarray(t.names)))
@@ -968,36 +989,38 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
     overlaps = np.zeros((len(jobs), 2), np.int64)
     blocks = []
 
-    def make_sink(wl):
+    def make_sink(ks, ws):
         def sink(counts):
-            for i, (k, which, _, _) in enumerate(wl):
-                covers[k, which] = int(counts[i])
+            covers[ks, ws] = np.asarray(counts, np.int64)
         return sink
 
     for chrom, wl in win_by_chrom.items():
         ti = tinfo(chrom)
         if ti is None or len(ti["ps"]) == 0:
             continue
+        m = len(wl)
+        ks = np.fromiter((k for k, _, _, _ in wl), np.int64, m)
+        ws = np.fromiter((w for _, w, _, _ in wl), np.int64, m)
+        ss = np.fromiter((s for _, _, s, _ in wl), np.int64, m)
+        es = np.fromiter((e for _, _, _, e in wl), np.int64, m)
         # searchsorted precheck inputs: ALL rows overlapping the fetch
         # window (#start < e minus #end <= s). count_coverage's
         # iteration cap fires when a primary row's position among every
         # fetched row reaches gt_round, so fewer than gt_round TOTAL
         # overlapping rows is the conservative no-cap guarantee (a
         # primary-only count misses caps behind secondary pileups)
-        for k, which, s, e in wl:
-            overlaps[k, which] = (
-                int(np.searchsorted(ti["as_sorted"], e, "left"))
-                - int(np.searchsorted(ti["ae_sorted"], s, "right")))
+        overlaps[ks, ws] = (
+            np.searchsorted(ti["as_sorted"], es, "left")
+            - np.searchsorted(ti["ae_sorted"], ss, "right"))
+        shifted = np.stack([ss - 1, es + 1], axis=1)
         blocks.append(dict(
-            windows=[(s - 1, e + 1) for _, _, s, e in wl],
-            starts=ti["ps"], ends=ti["pe"], sink=make_sink(wl)))
+            windows=list(map(tuple, shifted.tolist())),
+            starts=ti["ps"], ends=ti["pe"], sink=make_sink(ks, ws)))
         # support-covering counts (vectorized; strict via shifted window)
         supports = [jobs[k]["support"] for k, _, _, _ in wl]
-        inter = support_inter_counts(
-            ti["census"], supports,
-            [[(s - 1, e + 1) for _, _, s, e in wl]])
-        for i, (k, which, _, _) in enumerate(wl):
-            inters[k, which] = int(inter[i])
+        inter = support_inter_counts(ti["census"], supports,
+                                     [shifted.tolist()])
+        inters[ks, ws] = np.asarray(inter, np.int64)
 
     def finalize():
         # fast path or exact replay, after the kernel filled ``covers``

@@ -368,3 +368,31 @@ def test_call_gt_tra_unknown_contig_degrades():
     out = call_gt_tra(tables, {"chr1": 10_000}, 500, 777, "chr1",
                       "chrUnknown", {"r1"}, 50, 500)
     assert out == (1, ".", "./.", ".,.,.", ".", ".")
+
+
+def test_cover_counts_vectorized_equals_fenwick():
+    """The searchsorted identity (cover = #start<=s - #end<e + #inside)
+    must equal the Fenwick sweep oracle, including reads SHORTER than
+    the windows (the inside term) and boundary ties."""
+    import numpy as np
+
+    from cutesv_tpu.genotype import _cover_counts_fenwick, cover_counts
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n_r = int(rng.integers(1, 400))
+        n_sv = int(rng.integers(1, 60))
+        starts = rng.integers(0, 1000, n_r)
+        lens = rng.integers(1, 120, n_r)  # many reads shorter than windows
+        ends = starts + lens
+        wins = []
+        for _ in range(n_sv):
+            s = int(rng.integers(0, 1000))
+            wins.append((s, s + int(rng.integers(1, 200))))
+        got = cover_counts(wins, starts, ends)
+        want = _cover_counts_fenwick(wins, starts, ends)
+        assert np.array_equal(got, want), (trial, got, want)
+    # exact boundary semantics: start <= s (inclusive), end >= e (inclusive)
+    assert cover_counts([(10, 20)], np.array([10]), np.array([20]))[0] == 1
+    assert cover_counts([(10, 20)], np.array([11]), np.array([20]))[0] == 0
+    assert cover_counts([(10, 20)], np.array([10]), np.array([19]))[0] == 0
