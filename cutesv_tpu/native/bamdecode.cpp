@@ -30,6 +30,7 @@
 #include <string_view>
 #include <thread>
 #include <mutex>
+#include <condition_variable>
 #include <memory>
 #include <unordered_map>
 #include <vector>
@@ -697,10 +698,100 @@ struct BgzfChunkReader {
         madvise(m, map_size, MADV_SEQUENTIAL);
       }
     }
+    // persistent inflate workers (the caller thread participates too, so
+    // pool size is n_threads-1): spawning threads + allocating a
+    // decompressor per chunk cost ~3 spawns x ~775 chunks per 200 Mb
+    caller_d = libdeflate_alloc_decompressor();
+    for (int i = 0; i < n_threads - 1; i++)
+      pool.emplace_back([this]() { pool_main(); });
   }
   ~BgzfChunkReader() {
     if (rat.joinable()) rat.join();
+    finish_raw();  // a pending async job writes into caller-owned memory
+    {
+      std::lock_guard<std::mutex> lk(job_mu);
+      shutdown_ = true;
+    }
+    job_cv.notify_all();
+    for (auto& t : pool) t.join();
+    if (caller_d) libdeflate_free_decompressor(caller_d);
     if (map) munmap((void*)map, map_size);
+  }
+
+  // --- persistent inflate pool ---------------------------------------------
+  // One job (chunk -> dst) at a time; jobs are published either
+  // synchronously (inflate_blocks: caller helps, then waits) or
+  // asynchronously (start_next_raw/finish_raw: workers inflate the NEXT
+  // chunk while the caller parses the current one — this replaces the
+  // old per-chunk outer prefetch thread). All publish/consume calls come
+  // from one consumer thread at a time.
+  std::vector<std::thread> pool;
+  std::mutex job_mu;
+  std::condition_variable job_cv, done_cv;
+  const Chunk* job_chunk = nullptr;
+  char* job_dst = nullptr;
+  std::atomic<size_t> job_next{0};
+  uint64_t job_gen = 0;
+  int job_running = 0;
+  bool job_pending = false;  // async job published; finish_raw() due
+  bool shutdown_ = false;
+  libdeflate_decompressor* caller_d = nullptr;
+  std::chrono::steady_clock::time_point t_job0;
+
+  void inflate_span(libdeflate_decompressor* d, const Chunk& c, char* dst) {
+    for (;;) {
+      size_t i = job_next.fetch_add(1);
+      if (i >= c.blocks.size()) break;
+      const Blk& b = c.blocks[i];
+      const char* src = map ? (const char*)map + b.off
+                            : c.cbuf.data() + b.off;
+      size_t actual = 0;
+      auto rc = libdeflate_deflate_decompress(
+          d, src, b.clen, dst + b.out_off, b.isize, &actual);
+      // a corrupt deflate stream or an isize lying about the inflated
+      // length must not leave uninitialized bytes to be parsed as
+      // records: flag the chunk and let the consumer raise
+      if (rc != LIBDEFLATE_SUCCESS || actual != b.isize)
+        inflate_bad.store(true, std::memory_order_relaxed);
+    }
+  }
+
+  void pool_main() {
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    uint64_t seen = 0;
+    for (;;) {
+      const Chunk* c;
+      char* dst;
+      {
+        std::unique_lock<std::mutex> lk(job_mu);
+        job_cv.wait(lk, [&] { return shutdown_ || job_gen != seen; });
+        if (shutdown_) break;
+        seen = job_gen;
+        c = job_chunk;
+        dst = job_dst;
+      }
+      inflate_span(d, *c, dst);
+      {
+        std::lock_guard<std::mutex> lk(job_mu);
+        if (--job_running == 0) done_cv.notify_all();
+      }
+    }
+    if (d) libdeflate_free_decompressor(d);
+  }
+
+  void publish(const Chunk& c, char* dst) {
+    std::lock_guard<std::mutex> lk(job_mu);
+    job_chunk = &c;
+    job_dst = dst;
+    job_next.store(0, std::memory_order_relaxed);
+    job_running = (int)pool.size();
+    job_gen++;
+    job_cv.notify_all();
+  }
+
+  void wait_done() {
+    std::unique_lock<std::mutex> lk(job_mu);
+    done_cv.wait(lk, [&] { return job_running == 0; });
   }
 
   bool seek_to(int64_t off) {
@@ -786,34 +877,18 @@ struct BgzfChunkReader {
         std::chrono::steady_clock::now() - t0).count();
   }
 
+  // synchronous inflate (header phase, CRAM FASTA load): caller helps
+  // the pool, returns with the whole chunk inflated. Must not be called
+  // while an async job is pending.
   void inflate_blocks(const Chunk& c, char* dst) {
     auto t1 = std::chrono::steady_clock::now();
-    std::atomic<size_t> next{0};
-    auto worker = [&]() {
-      libdeflate_decompressor* d = libdeflate_alloc_decompressor();
-      for (;;) {
-        size_t i = next.fetch_add(1);
-        if (i >= c.blocks.size()) break;
-        const Blk& b = c.blocks[i];
-        const char* src = map ? (const char*)map + b.off
-                              : c.cbuf.data() + b.off;
-        size_t actual = 0;
-        auto rc = libdeflate_deflate_decompress(
-            d, src, b.clen, dst + b.out_off, b.isize, &actual);
-        // a corrupt deflate stream or an isize lying about the inflated
-        // length must not leave uninitialized bytes to be parsed as
-        // records: flag the chunk and let the consumer raise
-        if (rc != LIBDEFLATE_SUCCESS || actual != b.isize)
-          inflate_bad.store(true, std::memory_order_relaxed);
-      }
-      libdeflate_free_decompressor(d);
-    };
-    if (n_threads <= 1 || c.blocks.size() < 4) {
-      worker();
+    if (pool.empty() || c.blocks.size() < 4) {
+      job_next.store(0, std::memory_order_relaxed);
+      inflate_span(caller_d, c, dst);
     } else {
-      std::vector<std::thread> ts;
-      for (int i = 0; i < n_threads; i++) ts.emplace_back(worker);
-      for (auto& t : ts) t.join();
+      publish(c, dst);
+      inflate_span(caller_d, c, dst);
+      wait_done();
     }
     t_inflate += std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t1).count();
@@ -856,6 +931,43 @@ struct BgzfChunkReader {
     out.start = prefix;
     out.len = prefix + cur.total;
     return true;
+  }
+
+  // async raw variant: advance + hand the inflate to the pool and return
+  // immediately so the caller can parse the PREVIOUS chunk while this one
+  // inflates. finish_raw() must run before ``out`` is read, moved, or
+  // destroyed. (On the non-mmap path advance() may block in the
+  // read-ahead join before parsing — regular files all take mmap.)
+  bool start_next_raw(RawBuf& out, size_t prefix, int max_blocks = 128) {
+    if (!advance(max_blocks)) return false;
+    out.len = 0;  // nothing to preserve on growth
+    out.ensure(prefix + cur.total);
+    out.start = prefix;
+    out.len = prefix + cur.total;
+    t_job0 = std::chrono::steady_clock::now();
+    if (pool.empty()) {
+      job_next.store(0, std::memory_order_relaxed);
+      inflate_span(caller_d, cur, out.data() + prefix);
+      t_inflate += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - t_job0).count();
+    } else {
+      publish(cur, out.data() + prefix);
+      job_pending = true;
+    }
+    return true;
+  }
+
+  // join the pending async inflate, helping with leftover blocks. The
+  // accumulated t_inflate spans publish->done, i.e. it now overlaps the
+  // caller's parse of the previous chunk (diagnostic only). Safe no-op
+  // when nothing is pending.
+  void finish_raw() {
+    if (!job_pending) return;
+    inflate_span(caller_d, *job_chunk, job_dst);
+    wait_done();
+    job_pending = false;
+    t_inflate += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t_job0).count();
   }
 };
 
@@ -1425,6 +1537,69 @@ struct Decoder {
     return w;
   }
 
+  // --- persistent parse pool ------------------------------------------
+  // Threads created once per run (not per chunk); one job at a time,
+  // published by process_recs from the consumer thread. Pool thread idx
+  // parses contiguous range idx+1 with worker_pool[idx+1]; the caller
+  // parses range 0 and waits.
+  std::vector<std::thread> parse_pool;
+  std::mutex pp_mu;
+  std::condition_variable pp_cv, pp_done_cv;
+  bool pp_stop = false;
+  uint64_t pp_gen = 0;
+  int pp_running = 0;
+  const char* pp_base = nullptr;
+  const std::vector<std::pair<size_t, int32_t>>* pp_recs = nullptr;
+  std::vector<Worker*>* pp_ws = nullptr;
+  size_t pp_per = 0;
+  int pp_n = 0;
+  std::atomic<bool> pp_err{false}, pp_err_nocigar{false};
+
+  ~Decoder() {
+    {
+      std::lock_guard<std::mutex> lk(pp_mu);
+      pp_stop = true;
+    }
+    pp_cv.notify_all();
+    for (auto& t : parse_pool) t.join();
+  }
+
+  void parse_range(Worker* w, const char* base,
+                   const std::vector<std::pair<size_t, int32_t>>& recs,
+                   size_t lo, size_t hi) {
+    try {
+      for (size_t i = lo; i < hi; i++)
+        w->process_record(base + recs[i].first, recs[i].second);
+    } catch (const NoCigarError&) {
+      pp_err.store(true);
+      pp_err_nocigar.store(true);
+    } catch (...) {
+      pp_err.store(true);
+    }
+  }
+
+  void parse_pool_main(int idx) {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(pp_mu);
+        pp_cv.wait(lk, [&] { return pp_stop || pp_gen != seen; });
+        if (pp_stop) break;
+        seen = pp_gen;
+      }
+      int t = idx + 1;  // caller owns range 0
+      if (t < pp_n) {
+        size_t lo = (size_t)t * pp_per;
+        size_t hi = std::min(pp_recs->size(), lo + pp_per);
+        parse_range((*pp_ws)[t], pp_base, *pp_recs, lo, hi);
+      }
+      {
+        std::lock_guard<std::mutex> lk(pp_mu);
+        if (--pp_running == 0) pp_done_cv.notify_all();
+      }
+    }
+  }
+
   bool process_recs(const char* base,
                     const std::vector<std::pair<size_t, int32_t>>& recs) {
     // parse workers cap at the core count: the fused single-pass walk +
@@ -1454,28 +1629,35 @@ struct Decoder {
       t_hdr += w->t_hdr; t_cig += w->t_cig; t_sa += w->t_sa;
       w->t_seq = w->t_hdr = w->t_cig = w->t_sa = 0;
     } else {
+      // workers + ranges are published to the persistent pool; the
+      // caller thread parses range 0 and waits for the rest
       std::vector<Worker*> ws;
-      std::vector<std::thread> ts;
-      size_t per = (recs.size() + n_workers - 1) / n_workers;
-      std::atomic<bool> err{false};
-      std::atomic<bool> err_nocigar{false};
-      for (int t = 0; t < n_workers; t++) {
-        ws.push_back(pool_worker(t));
-        size_t lo = t * per, hi = std::min(recs.size(), (t + 1) * per);
-        Worker* w = ws.back();
-        ts.emplace_back([&, w, lo, hi]() {
-          try {
-            for (size_t i = lo; i < hi; i++)
-              w->process_record(base + recs[i].first,
-                                recs[i].second);
-          } catch (const NoCigarError&) { err = true;
-            err_nocigar = true;
-          } catch (...) { err = true; }
-        });
+      for (int t = 0; t < n_workers; t++) ws.push_back(pool_worker(t));
+      while ((int)parse_pool.size() < n_workers - 1) {
+        int idx = (int)parse_pool.size();
+        parse_pool.emplace_back([this, idx]() { parse_pool_main(idx); });
       }
-      for (auto& t : ts) t.join();
-      failed = err;
-      nocigar = err_nocigar;
+      size_t per = (recs.size() + n_workers - 1) / n_workers;
+      pp_err.store(false);
+      pp_err_nocigar.store(false);
+      {
+        std::lock_guard<std::mutex> lk(pp_mu);
+        pp_base = base;
+        pp_recs = &recs;
+        pp_ws = &ws;
+        pp_per = per;
+        pp_n = n_workers;
+        pp_running = (int)parse_pool.size();
+        pp_gen++;
+      }
+      pp_cv.notify_all();
+      parse_range(ws[0], base, recs, 0, std::min(recs.size(), per));
+      {
+        std::unique_lock<std::mutex> lk(pp_mu);
+        pp_done_cv.wait(lk, [&] { return pp_running == 0; });
+      }
+      failed = pp_err.load();
+      nocigar = pp_err_nocigar.load();
       {
         std::lock_guard<std::mutex> g(snap_mu);
         for (auto* w : ws) C.merge_from(w->C);
@@ -1511,9 +1693,11 @@ struct Decoder {
     FILE* f = fopen(path, "rb");
     if (!f) return 1;
     BgzfChunkReader rd(f, (int)P.n_threads);
-    // every early return must join the read-ahead thread BEFORE closing
-    // the FILE* it may still be fread()ing from
+    // every early return must finish any pending pool inflate (it writes
+    // into a caller-owned buffer) and join the read-ahead thread BEFORE
+    // closing the FILE* it may still be fread()ing from
     auto bail = [&](int status) {
+      rd.finish_raw();
       if (rd.rat.joinable()) rd.rat.join();
       rd.ra_active = false;
       fclose(f);
@@ -1620,8 +1804,9 @@ struct Decoder {
     uint64_t ulen = P.range_ulen > 0 ? (uint64_t)P.range_ulen
                     : (P.range_ulen < 0 ? 0 : UINT64_MAX);
     bool stopped = false;
-    bool have_next = false;
-    std::thread prefetch([&]() { have_next = rd.next_chunk_raw(B, GAP); });
+    // the inflate pool fills B while this thread parses A (start/finish
+    // replace the old per-chunk outer prefetch thread)
+    bool have_next = rd.start_next_raw(B, GAP);
     for (;;) {
       // index record payload offsets in this buffer
       std::vector<std::pair<size_t, int32_t>> recs;
@@ -1641,7 +1826,6 @@ struct Decoder {
         p += 4 + (size_t)bs;
       }
       if (!process_recs(A.data(), recs)) {
-        prefetch.join();
         return bail(fail_status);
       }
       // test-only pacing knob: lets streaming-overlap tests observe
@@ -1653,7 +1837,7 @@ struct Decoder {
       if (chunk_delay_ms > 0)
         std::this_thread::sleep_for(
             std::chrono::milliseconds(chunk_delay_ms));
-      prefetch.join();
+      rd.finish_raw();
       if (stopped) break;
       if (rd.inflate_bad.load(std::memory_order_relaxed)) return bail(5);
       if (!have_next) {
@@ -1684,8 +1868,7 @@ struct Decoder {
         std::swap(B, C2);
       }
       std::swap(A, B);
-      prefetch = std::thread(
-          [&]() { have_next = rd.next_chunk_raw(B, GAP); });
+      have_next = rd.start_next_raw(B, GAP);
     }
     t_records = std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t_rec0).count();
