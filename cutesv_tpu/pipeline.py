@@ -327,6 +327,7 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     the early kernels (resolve re-dispatches the rest)."""
     from cutesv_tpu.io import native as native_io
 
+    t_n0 = time.time()
     sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids, reference=None)
     try:
         handles, fingerprints, early_results = _streaming_poll_loop(
@@ -334,12 +335,17 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
         nd = sd.join()
     finally:
         sd.free()
+    t_n1 = time.time()
     _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
                              nd.chroms)
     early_fp = {(t, nd.chroms[c]): fp
                 for (t, c), fp in fingerprints.items()}
     store = sigstore.build_store_native(nd, cfg, early=early_fp)
     _attach_early_to_store(store, nd, handles, fingerprints, early_results)
+    # decode_s decomposition for the bench artifact: native walk
+    # (inflate+parse+poll overlap) vs python-side store build
+    store.decode_breakdown = {"native_s": round(t_n1 - t_n0, 3),
+                              "store_s": round(time.time() - t_n1, 3)}
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]
     return store, None, references, nd.n_records
@@ -1366,6 +1372,9 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
     else:
         store, candidates, references, n_records = decode_bam(cfg)
     stats["decode_s"] = time.time() - t0
+    bd = getattr(store, "decode_breakdown", None)
+    if bd:
+        stats.update(bd)
     stats["n_records"] = n_records
     stats["n_sigs"] = {t: sum(len(v) for v in store.sigs[t].values())
                        for t in sigstore.SVTYPES}
