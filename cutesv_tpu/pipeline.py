@@ -200,15 +200,16 @@ def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
     # overlap. CUTESV_STREAM_TAIL=0 forces the tail off.
     tail_env = os.environ.get("CUTESV_STREAM_TAIL")
     # the FULL tail (emission + genotype mid-decode) steals host CPU
-    # from the inflate workers; measured a net wash at 2 cores (resolve
-    # -0.3 s, decode +0.5 s) and a clear win where cores are plentiful,
-    # so it defaults on only at >= 4 cores. CUTESV_STREAM_TAIL=1/0
+    # from the inflate workers, but wins net wall even at 2 cores now
+    # that the parse side is pooled/fused (round 4: resolve 0.65->0.32 s,
+    # decode +0.17 s, best wall 5.29->5.08 s at 200 Mb), and wins
+    # clearly where cores are plentiful — so it defaults on whenever the
+    # streaming overlap itself is on (>= 2 cores). CUTESV_STREAM_TAIL=1/0
     # forces; "force" additionally runs it for the final batch (tests:
     # small fixtures decode in one poll, so nothing completes mid-run)
     tail_force = tail_env == "force" and allow_done_tail
     tail_ok = (not cfg.report_readid
-               and (tail_env in ("1", "force")
-                    or (tail_env != "0" and (os.cpu_count() or 1) >= 4)))
+               and (tail_env in ("1", "force") or tail_env != "0"))
     done = set()
     while True:
         p = sd.poll()
