@@ -206,8 +206,13 @@ def _fetch(lib, handle, field: int):
         return b"" if dtype is None else np.empty(0, dtype)
     if dtype is None:
         return ctypes.string_at(data, n.value)
-    buf = ctypes.string_at(data, n.value * np.dtype(dtype).itemsize)
-    return np.frombuffer(buf, dtype=dtype).copy()
+    # single copy straight out of the native buffer (string_at +
+    # frombuffer().copy() would copy twice; at human scale join moves
+    # ~1 GB of arrays)
+    ctype = np.ctypeslib.as_ctypes_type(np.dtype(dtype))
+    view = np.ctypeslib.as_array(ctypes.cast(data, ctypes.POINTER(ctype)),
+                                 shape=(n.value,))
+    return view.copy()
 
 
 def _err_detail(lib, handle) -> str:
@@ -399,8 +404,12 @@ class StreamingDecode:
             if ln.value == 0:
                 out[name] = np.empty(0, np.int64)
             else:
-                buf = ctypes.string_at(data, ln.value * 8)
-                out[name] = np.frombuffer(buf, np.int64).copy()
+                # single copy (see _fetch): these run inside the
+                # mid-decode poll loop, competing with the inflate pool
+                view = np.ctypeslib.as_array(
+                    ctypes.cast(data, ctypes.POINTER(ctypes.c_int64)),
+                    shape=(ln.value,))
+                out[name] = view.copy()
         assert all(len(v) == n for v in out.values())
         return out
 
