@@ -418,15 +418,19 @@ def main():
             identical = _body(vcf_native) == _body(vcf_py)
             if vcf_pool is not None:
                 identical = identical and _body(vcf_pool) == _body(vcf_py)
-    elif os.path.exists(rate_file):
+    cached_pool_rate = None
+    if not base_runs and os.path.exists(rate_file):
         cached = json.load(open(rate_file))
         base_rate = cached["rate"]
-        if "rate_pool" in cached:
-            pool_runs = [n_reads / cached["rate_pool"]]
+        # keep the cached POOL RATE for the ratio but do NOT synthesize a
+        # wall-time entry in baseline_pool_runs_s — that array reports
+        # measured runs only
+        cached_pool_rate = cached.get("rate_pool")
         baseline_provenance = "cached"
-    else:
+    elif not base_runs:
         base_rate = float("nan")
-    pool_rate = n_reads / min(pool_runs) if pool_runs else None
+    pool_rate = (n_reads / min(pool_runs) if pool_runs
+                 else cached_pool_rate)
 
     # measured decompression lower bound of THIS corpus on THIS host:
     # the decode stage cannot beat it, so the JSON carries the evidence
@@ -461,7 +465,7 @@ def main():
         "vs_baseline_1p": round(rate / base_rate, 2),
         "vs_baseline_pool": (round(rate / pool_rate, 2)
                              if pool_rate else None),
-        "baseline_pool_nprocs": os.cpu_count(),
+        "baseline_pool_nprocs": os.cpu_count() if pool_runs else None,
         "corpus_id": _corpus_id(bam),
         "native_runs_s": [round(t, 2) for t in native_runs],
         "baseline_runs_s": [round(t, 2) for t in base_runs],

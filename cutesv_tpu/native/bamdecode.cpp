@@ -921,18 +921,6 @@ struct BgzfChunkReader {
     return true;
   }
 
-  // raw variant: inflates at ``prefix`` into a reused buffer, leaving
-  // [0, prefix) untouched for the caller's leftover bytes
-  bool next_chunk_raw(RawBuf& out, size_t prefix, int max_blocks = 128) {
-    if (!advance(max_blocks)) return false;
-    out.len = 0;  // nothing to preserve on growth
-    out.ensure(prefix + cur.total);
-    inflate_blocks(cur, out.data() + prefix);
-    out.start = prefix;
-    out.len = prefix + cur.total;
-    return true;
-  }
-
   // async raw variant: advance + hand the inflate to the pool and return
   // immediately so the caller can parse the PREVIOUS chunk while this one
   // inflates. finish_raw() must run before ``out`` is read, moved, or
@@ -1670,8 +1658,16 @@ struct Decoder {
                                    // here would terminate (the caller
                                    // holds a joinable prefetch thread)
     if (!failed && !recs.empty()) {
-      // refID of the last merged record: chromosomes below it are final
-      int32_t refid = rd_i32(base + recs.back().first);
+      // refID of the last merged record: chromosomes below it are final.
+      // The unmapped tail (refid -1) sorts after every mapped record, so
+      // a batch ending in unmapped reads must scan back to the last
+      // MAPPED one — recs.back() alone would leave last_ref pointing at
+      // an earlier batch's chromosome
+      int32_t refid = -1;
+      for (auto it = recs.rbegin(); it != recs.rend(); ++it) {
+        int32_t r = rd_i32(base + it->first);
+        if (r >= 0) { refid = r; break; }
+      }
       int32_t cur = progress.load(std::memory_order_relaxed);
       if (refid > cur) progress.store(refid, std::memory_order_release);
       if (refid >= 0) last_ref.store(refid, std::memory_order_release);
@@ -1692,6 +1688,11 @@ struct Decoder {
   int run(const char* path) {
     FILE* f = fopen(path, "rb");
     if (!f) return 1;
+    // A/B are declared BEFORE the reader so that if an exception ever
+    // unwinds out of the record loop with an async inflate pending, the
+    // reader's destructor (which finishes that job) runs while the
+    // buffers it writes into are still alive
+    RawBuf A, B;
     BgzfChunkReader rd(f, (int)P.n_threads);
     // every early return must finish any pending pool inflate (it writes
     // into a caller-owned buffer) and join the read-ahead thread BEFORE
@@ -1746,7 +1747,6 @@ struct Decoder {
     // leftover gap avoid re-copying the inflated stream every iteration)
     auto t_rec0 = std::chrono::steady_clock::now();
     constexpr size_t GAP = 1 << 20;  // holds any partial trailing record
-    RawBuf A, B;
     bool ranged = P.range_start > 0;
     uint64_t uA;  // uncompressed offset of A.data()+A.start (range-local)
     if (!ranged) {

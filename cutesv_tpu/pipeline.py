@@ -208,8 +208,7 @@ def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
     # forces; "force" additionally runs it for the final batch (tests:
     # small fixtures decode in one poll, so nothing completes mid-run)
     tail_force = tail_env == "force" and allow_done_tail
-    tail_ok = (not cfg.report_readid
-               and (tail_env in ("1", "force") or tail_env != "0"))
+    tail_ok = not cfg.report_readid and tail_env != "0"
     done = set()
     while True:
         p = sd.poll()
@@ -398,15 +397,29 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
     k = jax.process_index()
     ranges = plan_shard_ranges(cfg.input, n)
     rng = ranges[k][:2]
-    sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids,
-                                   reference=None, byte_range=rng)
+    # Collective discipline: the allgather below must run EXACTLY ONCE on
+    # every host, so a local streaming failure falls back to the plain
+    # ranged decode BEFORE the exchange (same payload shape — this is
+    # also why a host whose gate disables streaming pairs fine with
+    # streaming hosts: decode_sharded performs the identical single
+    # allgather). Failures AFTER the exchange must propagate — a second
+    # allgather from a fallback would desync the pod.
     try:
-        handles, fingerprints, early_results = _streaming_poll_loop(
-            sd, cfg, tail_chrom_ok=_shard_tail_gate(sd, rng[0]),
-            allow_done_tail=False)
-        nd_local = sd.join()
-    finally:
-        sd.free()
+        sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids,
+                                       reference=None, byte_range=rng)
+        try:
+            handles, fingerprints, early_results = _streaming_poll_loop(
+                sd, cfg, tail_chrom_ok=_shard_tail_gate(sd, rng[0]),
+                allow_done_tail=False)
+            nd_local = sd.join()
+        finally:
+            sd.free()
+    except Exception:
+        log.warning("sharded streaming decode failed; ranged decode "
+                    "without overlap", exc_info=True)
+        handles, fingerprints, early_results = {}, {}, {}
+        nd_local = native_io.decode(cfg.input, cfg, bed_ids,
+                                    byte_range=rng)
     log.info("sharded decode: shard %d/%d decoded %d records (streaming)",
              k, n, nd_local.n_records)
     parts = allgather_obj(nd_local)
@@ -481,11 +494,11 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
             # kernels/tails for chromosomes completed inside the range
             # overlap the remaining decode (validated post-merge)
             if _stream_dispatch_ok(cfg, is_cram, for_distributed=True):
-                try:
-                    return _decode_sharded_streaming(cfg, bed_ids)
-                except Exception:
-                    log.warning("sharded streaming decode failed; "
-                                "decoding without overlap", exc_info=True)
+                # no try/except here: _decode_sharded_streaming handles
+                # local failures itself BEFORE its allgather; catching
+                # after the collective and re-entering decode_sharded
+                # would run a second, unpaired allgather and hang the pod
+                return _decode_sharded_streaming(cfg, bed_ids)
             from cutesv_tpu.parallel.distributed import decode_sharded
             nd = decode_sharded(cfg, bed_ids, is_cram=is_cram)
             _check_coordinate_sorted(nd.arrays["all_chr"],
@@ -934,8 +947,6 @@ def _tra_cover_prepare(per_chrom: Dict[str, tuple], store, cfg: Config):
                else np.array([], np.int64))
         names_ok = bool(len(np.unique(cat)) == total)
         store._tra_prim_unique = names_ok
-
-    info: Dict[str, Optional[dict]] = {}
 
     # cached on the store: a pipeline run calls this once, but the
     # tables (and these derived views) are also what -Ivcf replays hit

@@ -28,6 +28,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
@@ -52,9 +54,9 @@ def run_child(prefix: str, min_support: int) -> None:
     bam = prefix + ".bam"
     fa = prefix + ".fa"
     outdir = prefix + "_work"
-    os.makedirs(outdir, exist_ok=True)
-    for leftover in os.listdir(outdir):
-        os.remove(os.path.join(outdir, leftover))
+    if os.path.isdir(outdir):
+        shutil.rmtree(outdir)
+    os.makedirs(outdir)
     cfg = Config(input=bam, reference=fa,
                  output=os.path.join(outdir, "scale.vcf"), work_dir=outdir,
                  genotype=True, min_support=min_support,
@@ -98,10 +100,9 @@ def main(argv=None) -> int:
     results = []
     for i in range(args.runs):
         t0 = time.time()
-        rc = os.system(
-            "%s %s %s --child --min_support %d"
-            % (sys.executable, os.path.abspath(__file__), args.prefix,
-               args.min_support))
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), args.prefix,
+             "--child", "--min_support", str(args.min_support)]).returncode
         if rc != 0:
             print("scale_run: child failed rc=%d" % rc, file=sys.stderr)
             return 1
