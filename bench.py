@@ -472,7 +472,7 @@ def main():
         "baseline_pool_runs_s": [round(t, 2) for t in pool_runs],
         "baseline_provenance": baseline_provenance,
         "stages_s": {k: round(best_stats[k], 2)
-                     for k in ("decode_s", "native_s", "store_s",
+                     for k in ("decode_s", "native_s", "walk_s", "store_s",
                                "resolve_s", "emit_s")
                      if best_stats and k in best_stats},
         "inflate_floor_s": floor_s,

@@ -81,6 +81,8 @@ def get_lib():
     lib.bamdecode_status.argtypes = [ctypes.c_void_p]
     lib.bamdecode_n_records.restype = ctypes.c_int64
     lib.bamdecode_n_records.argtypes = [ctypes.c_void_p]
+    lib.bamdecode_walk_seconds.restype = ctypes.c_double
+    lib.bamdecode_walk_seconds.argtypes = [ctypes.c_void_p]
     lib.bamdecode_err.restype = ctypes.c_char_p
     lib.bamdecode_err.argtypes = [ctypes.c_void_p]
     lib.bamdecode_get.restype = ctypes.c_int
@@ -171,6 +173,9 @@ class NativeDecode:
     # record NOT owned by this shard (== the next shard's first)
     first_u: int = 0
     next_u: int = 0
+    # decoder-internal record-walk wall (s) — what the inflate floor
+    # bounds; 0.0 when unavailable (python decoder, merged partials)
+    walk_s: float = 0.0
 
     def ins_seq(self, i: int) -> str:
         off = self.arrays["ins_seq_off"][i]
@@ -298,7 +303,8 @@ def _extract(lib, handle, path: str) -> NativeDecode:
                         n_records=lib.bamdecode_n_records(handle),
                         arrays=arrays, ins_seq_blob=ins_seq_blob,
                         first_u=int(_fetch(lib, handle, 80)[0]),
-                        next_u=int(_fetch(lib, handle, 81)[0]))
+                        next_u=int(_fetch(lib, handle, 81)[0]),
+                        walk_s=float(lib.bamdecode_walk_seconds(handle)))
 
 
 def decode(path: str, cfg, bed_ids=None, reference=None,

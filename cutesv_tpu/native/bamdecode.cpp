@@ -2403,6 +2403,11 @@ double bamdecode_inflate_floor(const char* path, int threads) {
 int bamdecode_status(CResult* r) { return r->status; }
 int64_t bamdecode_n_records(CResult* r) { return r->n_records; }
 
+// decoder-internal record-walk wall (seconds): the BGZF record loop from
+// end-of-header to end-of-stream — the quantity the measured inflate
+// floor lower-bounds (bench artifact: stages_s.walk_s vs inflate_floor_s)
+double bamdecode_walk_seconds(CResult* r) { return r->dec->t_records; }
+
 // generic array accessor: returns pointer + element count via out params.
 // field ids documented in io/native.py (kept in lockstep).
 int bamdecode_get(CResult* r, int field, const void** data, int64_t* len) {

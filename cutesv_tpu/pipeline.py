@@ -343,9 +343,11 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     store = sigstore.build_store_native(nd, cfg, early=early_fp)
     _attach_early_to_store(store, nd, handles, fingerprints, early_results)
     # decode_s decomposition for the bench artifact: native walk
-    # (inflate+parse+poll overlap) vs python-side store build
+    # (inflate+parse+poll overlap) vs python-side store build; walk_s is
+    # the decoder-internal record-loop wall the inflate floor bounds
     store.decode_breakdown = {"native_s": round(t_n1 - t_n0, 3),
-                              "store_s": round(time.time() - t_n1, 3)}
+                              "store_s": round(time.time() - t_n1, 3),
+                              "walk_s": round(nd.walk_s, 3)}
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]
     return store, None, references, nd.n_records

@@ -69,6 +69,7 @@ def run_child(prefix: str, min_support: int) -> None:
         "wall_s": round(wall, 2),
         "decode_s": round(stats.get("decode_s", 0.0), 2),
         "native_s": round(stats.get("native_s", 0.0), 2),
+        "walk_s": round(stats.get("walk_s", 0.0), 2),
         "store_s": round(stats.get("store_s", 0.0), 2),
         "resolve_s": round(stats.get("resolve_s", 0.0), 2),
         "emit_s": round(stats.get("emit_s", 0.0), 2),
