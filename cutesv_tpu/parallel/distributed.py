@@ -66,6 +66,21 @@ def init_distributed(coordinator: str = None, num_processes: int = None,
     log.info("distributed: process %d/%d, %d global / %d local devices",
              jax.process_index(), jax.process_count(),
              len(jax.devices()), len(jax.local_devices()))
+    if num_processes is not None and jax.process_count() != num_processes:
+        # initialize() connected to the coordinator, but the selected
+        # backend ignores it (e.g. a single-chip TPU tunnel plugin).
+        # Without this check every process silently runs the WHOLE file
+        # standalone — N duplicate full runs pretending to be one
+        # distributed run. Fail loudly instead (SURVEY §5 failure
+        # detection; found by a real mis-pinned-platform run in round 4).
+        raise RuntimeError(
+            "distributed: backend reports %d process(es) but "
+            "--num_processes %d was requested — the selected JAX "
+            "platform does not support this multi-process topology "
+            "(force a capable platform, e.g. JAX_PLATFORMS=cpu with "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N, or "
+            "run on a real multi-host slice)"
+            % (jax.process_count(), num_processes))
     return True
 
 

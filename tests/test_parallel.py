@@ -283,6 +283,24 @@ def test_distributed_single_process_cli(tmp_path):
     assert _vcf_body(tmp_path / "a.vcf") == _vcf_body(tmp_path / "b.vcf")
 
 
+def test_distributed_process_count_mismatch(monkeypatch):
+    """initialize() connecting while the backend reports fewer processes
+    than requested must fail loudly — otherwise every process silently
+    runs the whole file standalone (round 4: seen for real when the
+    single-chip TPU tunnel platform was selected under --distributed)."""
+    import jax
+    import pytest
+
+    from cutesv_tpu.parallel import distributed
+
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: None)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    with pytest.raises(RuntimeError, match="reports 1 process"):
+        distributed.init_distributed("localhost:1", 2, 0)
+
+
 def test_distributed_two_process_cli(tmp_path):
     """A real 2-process jax.distributed run (CPU backend): each process
     resolves its chromosome bucket, host 0 gathers and writes the VCF —
