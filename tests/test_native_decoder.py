@@ -252,6 +252,47 @@ def test_ultralong_records_cross_chunks(tmp_path):
     assert len(got["DEL"]) == 30
 
 
+def test_single_thread_pools_match(tmp_path):
+    """CUTESV_INFLATE_THREADS=1 / CUTESV_PARSE_WORKERS=1 take the
+    pool-less inline paths (empty inflate pool -> synchronous inflate in
+    start_next_raw; single parse worker); outputs must equal the default
+    pooled decode. The knobs are process-cached statics, so the
+    single-thread decode runs in a subprocess."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    rng = random.Random(77)
+    bam = tmp_path / "st.bam"
+    _make_random_bam(str(bam), rng, n_reads=400)
+    cfg = Config(input=str(bam), min_support=3)
+    nd = native.decode(str(bam), cfg, None)
+    want = {k: sorted(map(str, v)) for k, v in _native_tuples(nd).items()}
+    script = (
+        "import json, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "sys.path.insert(0, %r)\n"
+        "from cutesv_tpu.config import Config\n"
+        "from cutesv_tpu.io import native\n"
+        "from test_native_decoder import _native_tuples\n"
+        "nd = native.decode(%r, Config(input=%r, min_support=3), None)\n"
+        "out = {k: sorted(map(str, v))\n"
+        "       for k, v in _native_tuples(nd).items()}\n"
+        "print(json.dumps([out, nd.n_records]))\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           os.path.dirname(os.path.abspath(__file__)),
+           str(bam), str(bam)))
+    env = dict(os.environ, CUTESV_INFLATE_THREADS="1",
+               CUTESV_PARSE_WORKERS="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got, got_n = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got_n == nd.n_records
+    assert got == want
+
+
 def test_name_ranks_lexicographic(tmp_path):
     rng = random.Random(77)
     bam = tmp_path / "r.bam"
