@@ -411,6 +411,8 @@ def main():
         rates = {"rate": base_rate}
         if pool_runs:
             rates["rate_pool"] = n_reads / min(pool_runs)
+            rates["nprocs"] = os.cpu_count()  # pool width the rate was
+            #                    measured at; echoed when cache is reused
         json.dump(rates, open(rate_file, "w"))
         baseline_provenance = "fresh (interleaved min-of-%d)" % len(
             base_runs)
@@ -419,6 +421,7 @@ def main():
             if vcf_pool is not None:
                 identical = identical and _body(vcf_pool) == _body(vcf_py)
     cached_pool_rate = None
+    cached_pool_nprocs = None
     if not base_runs and os.path.exists(rate_file):
         cached = json.load(open(rate_file))
         base_rate = cached["rate"]
@@ -426,6 +429,7 @@ def main():
         # wall-time entry in baseline_pool_runs_s — that array reports
         # measured runs only
         cached_pool_rate = cached.get("rate_pool")
+        cached_pool_nprocs = cached.get("nprocs")
         baseline_provenance = "cached"
     elif not base_runs:
         base_rate = float("nan")
@@ -440,9 +444,9 @@ def main():
         from cutesv_tpu.io.native import get_lib
         lib = get_lib()
         # same worker count the decode stage's inflate uses (min of the
-        # CLI default threads and hw+1), so the floor really is a lower
+        # CLI default threads and hw), so the floor really is a lower
         # bound for decode_s on any host
-        nthr = min(16, (os.cpu_count() or 1) + 1)
+        nthr = min(16, max(2, os.cpu_count() or 1))
         f1 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
         f2 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
         cands = [x for x in (f1, f2) if x > 0]
@@ -465,7 +469,8 @@ def main():
         "vs_baseline_1p": round(rate / base_rate, 2),
         "vs_baseline_pool": (round(rate / pool_rate, 2)
                              if pool_rate else None),
-        "baseline_pool_nprocs": os.cpu_count() if pool_runs else None,
+        "baseline_pool_nprocs": (os.cpu_count() if pool_runs
+                                 else cached_pool_nprocs),
         "corpus_id": _corpus_id(bam),
         "native_runs_s": [round(t, 2) for t in native_runs],
         "baseline_runs_s": [round(t, 2) for t in base_runs],
@@ -473,11 +478,26 @@ def main():
         "baseline_provenance": baseline_provenance,
         "stages_s": {k: round(best_stats[k], 2)
                      for k in ("decode_s", "native_s", "walk_s", "store_s",
+                               "inflate_core_s", "records_core_s",
+                               "overlap_work_s", "done_tail_s",
                                "resolve_s", "emit_s")
                      if best_stats and k in best_stats},
         "inflate_floor_s": floor_s,
         "outputs_identical": identical,
     }
+    # fraction-of-achievable framing (round-4 verdict): on an N-core host
+    # the native wall cannot beat inflate_floor_s + the post-decode tail,
+    # so the maximum achievable pooled ratio is bounded — publish it so
+    # the headline reads as a fraction of the host's bound, not of 10x
+    if floor_s and best_stats and "decode_s" in best_stats:
+        tail_s = max(0.0, dt_native - best_stats["decode_s"])
+        denom = pool_rate and (n_reads / pool_rate)
+        if denom:
+            result["floor_bound_ratio"] = round(denom / (floor_s + tail_s), 2)
+            if result.get("vs_baseline_pool"):
+                result["achieved_fraction_of_bound"] = round(
+                    result["vs_baseline_pool"]
+                    / result["floor_bound_ratio"], 2)
     print(json.dumps(result))
     # extra context on stderr (driver records stdout json only)
     print("native: %.2fs (%d calls)  baseline_1p: %.1f reads/s  "

@@ -150,16 +150,57 @@ def cover_counts(sv_windows: Sequence[Tuple[float, float]],
     wmax = float(np.max(e_arr - s_arr))
     small = (re_ - rs) < wmax
     n_small = int(np.count_nonzero(small))
-    if n_small * n_sv > 8_000_000:
-        return _cover_counts_fenwick(sv_windows, rs, re_)
     base = (np.searchsorted(np.sort(rs), s_arr, "right")
             - np.searchsorted(np.sort(re_), e_arr, "left"))
     if n_small:
         ss, ee = rs[small], re_[small]
-        inside = ((ss[None, :] > s_arr[:, None])
-                  & (ee[None, :] < e_arr[:, None])).sum(axis=1)
+        if n_small * n_sv > 8_000_000:
+            # too large to broadcast — but ONLY the small-read subset
+            # needs the dominance sweep, not the whole read table (the
+            # old fallback re-swept all R reads; R >> n_small on
+            # long-read data, and this loop's python cost was the
+            # largest single host-CPU item left in the bench profile)
+            inside = _inside_counts_fenwick(ss, ee, s_arr, e_arr)
+        else:
+            inside = ((ss[None, :] > s_arr[:, None])
+                      & (ee[None, :] < e_arr[:, None])).sum(axis=1)
         base = base + inside
     return base.astype(np.int64)
+
+
+def _inside_counts_fenwick(ss, ee, s_arr, e_arr) -> np.ndarray:
+    """#{j: ss[j] > s_i and ee[j] < e_i} per window i — the broadcast
+    term of cover_counts computed by an offline dominance sweep when the
+    dense (n_small x n_sv) matrix would not fit the budget. Reads enter
+    a Fenwick tree over compressed end ranks in DECREASING start order
+    while windows are visited in decreasing s."""
+    n_sv = len(s_arr)
+    n_r = len(ss)
+    out = np.zeros(n_sv, np.int64)
+    order_r = np.argsort(-ss, kind="stable")
+    ssd = ss[order_r]
+    uniq_ends = np.unique(ee)
+    er = np.searchsorted(uniq_ends, ee[order_r])
+    m = len(uniq_ends)
+    tree = [0] * (m + 1)
+    e_rank = np.searchsorted(uniq_ends, e_arr, side="left")
+    sv_order = np.argsort(-np.asarray(s_arr), kind="stable")
+    ptr = 0
+    for i in sv_order:
+        s = s_arr[i]
+        while ptr < n_r and ssd[ptr] > s:
+            k = int(er[ptr]) + 1
+            while k <= m:
+                tree[k] += 1
+                k += k & -k
+            ptr += 1
+        k = int(e_rank[i])  # ends < e_i
+        below = 0
+        while k > 0:
+            below += tree[k]
+            k -= k & -k
+        out[i] = below
+    return out
 
 
 def _cover_counts_fenwick(sv_windows, read_starts, read_ends) -> np.ndarray:

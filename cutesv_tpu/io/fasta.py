@@ -102,7 +102,13 @@ class FastaFile:
         the VCF emitter touches a handful of REF positions per call, so
         whole-chromosome decodes (O(genome) bytes) are wasted work. Falls
         back to the eager string when the contig's line layout is not
-        the uniform-width faidx shape."""
+        the uniform-width faidx shape.
+
+        The uniform-layout proof costs two O(contig) passes; its verdict
+        is a pure function of the file bytes, so it is resolved from (in
+        order): a standard ``.fai`` sidecar (trusted exactly as htslib
+        trusts faidx output), our own size+mtime-keyed verdict cache
+        written after the first validation, or the full validation pass."""
         if name not in self._regions:
             raise KeyError(name)
         s, e = self._regions[name]
@@ -110,11 +116,19 @@ class FastaFile:
         m = int(e - s)
         if m == 0:
             return self.fetch(name)
+        layout = self._layouts().get(name)
+        if layout is not None:
+            w, n_bases = layout
+            if w <= 0:
+                return self.fetch(name)
+            return _ChromView(arr, w, n_bases)
         head_nl = np.flatnonzero(arr[:65536] == 10)
         if len(head_nl) == 0:
+            self._save_layout(name, 0, 0)
             return self.fetch(name)
         w = int(head_nl[0])
         if w <= 0:
+            self._save_layout(name, 0, 0)
             return self.fetch(name)
         # uniform layout iff every full line is w bases + newline, i.e.
         # bytes at offsets k*(w+1)+w are newlines; verify with a strided
@@ -123,17 +137,20 @@ class FastaFile:
         n_full = m // (w + 1)
         exp_nl = arr[w::w + 1]
         if len(exp_nl) < n_full or not bool(np.all(exp_nl[:n_full] == 10)):
+            self._save_layout(name, 0, 0)
             return self.fetch(name)
         tail = arr[n_full * (w + 1):]
         n_tail = len(tail)
         if n_tail:
             if n_tail > w + 1:
+                self._save_layout(name, 0, 0)
                 return self.fetch(name)
             trailing_nl = int(tail[-1]) == 10
             if trailing_nl:
                 n_tail -= 1
                 tail = tail[:-1]
             if bool(np.any(tail <= 32)):
+                self._save_layout(name, 0, 0)
                 return self.fetch(name)
             n_nl = n_full + (1 if trailing_nl else 0)
         else:
@@ -142,8 +159,77 @@ class FastaFile:
         # offset formula only accounts for the newlines — one count pass
         # (no index materialization) proves they coincide
         if int(np.count_nonzero(arr <= 32)) != n_nl:
+            self._save_layout(name, 0, 0)
             return self.fetch(name)
+        self._save_layout(name, w, m - n_nl)
         return _ChromView(arr, w, m - n_nl)
+
+    # --- uniform-layout verdict sources ------------------------------------
+
+    def _layouts(self) -> Dict[str, Tuple[int, int]]:
+        """name -> (line_width, n_bases); line_width<=0 means 'eager'.
+        Merged from the .fai sidecar and our own verdict cache."""
+        if getattr(self, "_layout_map", None) is not None:
+            return self._layout_map
+        import json
+        import os
+        out: Dict[str, Tuple[int, int]] = {}
+        try:  # our cache (written by _save_layout; keyed to file identity)
+            st = os.stat(self.path)
+            d = json.load(open(self.path + ".lazyidx.json"))
+            if (d.get("size") == st.st_size
+                    and d.get("mtime") == int(st.st_mtime)):
+                for k, v in d.get("contigs", {}).items():
+                    out[k] = (int(v[0]), int(v[1]))
+        except Exception:
+            pass
+        try:  # standard faidx: NAME LENGTH OFFSET LINEBASES LINEWIDTH.
+            # LINEWIDTH == LINEBASES+1 is exactly the uniform '\n' layout
+            # the view needs; OFFSET must agree with our own header scan
+            # (it is an uncompressed-space offset for bgzf FASTA too)
+            with open(self.path + ".fai") as fh:
+                for line in fh:
+                    f = line.rstrip("\n").split("\t")
+                    if len(f) < 5:
+                        continue
+                    nm, ln, off, lb, lw = (f[0], int(f[1]), int(f[2]),
+                                           int(f[3]), int(f[4]))
+                    if nm in out or nm not in self._regions:
+                        continue
+                    if (lw == lb + 1 and lb > 0
+                            and self._regions[nm][0] == off):
+                        out[nm] = (lb, ln)
+        except Exception:
+            pass
+        self._layout_map = out
+        return out
+
+    def _save_layout(self, name: str, w: int, n_bases: int) -> None:
+        """Record a validation verdict in the sidecar cache (best-effort:
+        read-only directories simply skip the write)."""
+        self._layouts()[name] = (w, n_bases)
+        import json
+        import os
+        try:
+            st = os.stat(self.path)
+            cache_path = self.path + ".lazyidx.json"
+            d = {"size": 0, "mtime": 0, "contigs": {}}
+            try:
+                old = json.load(open(cache_path))
+                if (old.get("size") == st.st_size
+                        and old.get("mtime") == int(st.st_mtime)):
+                    d = old
+            except Exception:
+                pass
+            d["size"] = st.st_size
+            d["mtime"] = int(st.st_mtime)
+            d.setdefault("contigs", {})[name] = [int(w), int(n_bases)]
+            tmp = cache_path + ".tmp.%d" % os.getpid()
+            with open(tmp, "w") as fh:
+                json.dump(d, fh)
+            os.replace(tmp, cache_path)
+        except Exception:
+            pass
 
     def __contains__(self, name: str) -> bool:
         return name in self._regions

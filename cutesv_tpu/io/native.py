@@ -83,6 +83,11 @@ def get_lib():
     lib.bamdecode_n_records.argtypes = [ctypes.c_void_p]
     lib.bamdecode_walk_seconds.restype = ctypes.c_double
     lib.bamdecode_walk_seconds.argtypes = [ctypes.c_void_p]
+    for fn in ("bamdecode_inflate_core_seconds",
+               "bamdecode_records_core_seconds",
+               "bamdecode_read_wall_seconds"):
+        getattr(lib, fn).restype = ctypes.c_double
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.bamdecode_err.restype = ctypes.c_char_p
     lib.bamdecode_err.argtypes = [ctypes.c_void_p]
     lib.bamdecode_get.restype = ctypes.c_int
@@ -176,6 +181,12 @@ class NativeDecode:
     # decoder-internal record-walk wall (s) — what the inflate floor
     # bounds; 0.0 when unavailable (python decoder, merged partials)
     walk_s: float = 0.0
+    # busy CORE-seconds, summed over all participating threads:
+    # inflate (libdeflate spans) and record-parse loops — published in
+    # the bench artifact so the floor argument is auditable
+    inflate_core_s: float = 0.0
+    records_core_s: float = 0.0
+    read_wall_s: float = 0.0
 
     def ins_seq(self, i: int) -> str:
         off = self.arrays["ins_seq_off"][i]
@@ -304,7 +315,13 @@ def _extract(lib, handle, path: str) -> NativeDecode:
                         arrays=arrays, ins_seq_blob=ins_seq_blob,
                         first_u=int(_fetch(lib, handle, 80)[0]),
                         next_u=int(_fetch(lib, handle, 81)[0]),
-                        walk_s=float(lib.bamdecode_walk_seconds(handle)))
+                        walk_s=float(lib.bamdecode_walk_seconds(handle)),
+                        inflate_core_s=float(
+                            lib.bamdecode_inflate_core_seconds(handle)),
+                        records_core_s=float(
+                            lib.bamdecode_records_core_seconds(handle)),
+                        read_wall_s=float(
+                            lib.bamdecode_read_wall_seconds(handle)))
 
 
 def decode(path: str, cfg, bed_ids=None, reference=None,

@@ -679,10 +679,13 @@ struct BgzfChunkReader {
 
   explicit BgzfChunkReader(FILE* fh, int threads)
       : f(fh), n_threads(std::max(1, threads)) {
-    // more inflate workers than cores only adds contention (the reader
-    // thread mostly waits in fread); hw+1 measures fastest
+    // more inflate participants than cores only adds contention: with
+    // the persistent pool + async jobs the caller already helps in
+    // finish_raw, so hw participants total measures fastest (round-5
+    // A/B at 2 cores: hw -> 3.99 s wall / 6.6 inflate core-s, hw+1 ->
+    // 4.3 s / 7.0-7.3 core-s on the 200 Mb corpus)
     int hw = (int)std::thread::hardware_concurrency();
-    if (hw > 0) n_threads = std::min(n_threads, hw + 1);
+    if (hw > 0) n_threads = std::min(n_threads, std::max(2, hw));
     static const int env_it = getenv("CUTESV_INFLATE_THREADS")
         ? atoi(getenv("CUTESV_INFLATE_THREADS")) : 0;
     if (env_it > 0) n_threads = env_it;
@@ -737,8 +740,39 @@ struct BgzfChunkReader {
   bool shutdown_ = false;
   libdeflate_decompressor* caller_d = nullptr;
   std::chrono::steady_clock::time_point t_job0;
+  std::atomic<uint64_t> inflate_core_ns{0};  // busy core-ns in inflate_span
 
   void inflate_span(libdeflate_decompressor* d, const Chunk& c, char* dst) {
+    // always-on core-second accounting (one clock pair per participant
+    // per chunk — ~3 calls per 128-block chunk, negligible): the bench
+    // artifact publishes busy inflate CORE-seconds so "decode sits at
+    // the inflate floor" is auditable from the JSON, not asserted.
+    // CLOCK_THREAD_CPUTIME_ID: genuine CPU time of this thread — a
+    // descheduled participant (3 inflate threads on 2 cores) does NOT
+    // count its wait as work, unlike a steady_clock span
+    struct Acc {
+      std::atomic<uint64_t>& ns;
+      timespec t0;
+      Acc(std::atomic<uint64_t>& a) : ns(a) {
+        clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t0);
+      }
+      ~Acc() {
+        timespec t1;
+        clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t1);
+        ns.fetch_add((uint64_t)(t1.tv_sec - t0.tv_sec) * 1000000000u
+                         + (uint64_t)(t1.tv_nsec - t0.tv_nsec),
+                     std::memory_order_relaxed);
+      }
+    } acc{inflate_core_ns};
+    if (!d) {
+      // decompressor allocation failed (OOM): any item this participant
+      // claims stays uninflated, so flag the chunk for a clean consumer
+      // error instead of a null-deref; claiming nothing leaves the work
+      // (and the chunk's validity) to the other participants
+      while (job_next.fetch_add(1) < c.blocks.size())
+        inflate_bad.store(true, std::memory_order_relaxed);
+      return;
+    }
     for (;;) {
       size_t i = job_next.fetch_add(1);
       if (i >= c.blocks.size()) break;
@@ -881,6 +915,9 @@ struct BgzfChunkReader {
   // the pool, returns with the whole chunk inflated. Must not be called
   // while an async job is pending.
   void inflate_blocks(const Chunk& c, char* dst) {
+    finish_raw();  // self-enforce the precondition: a pending async job
+                   // shares job_next/job_running with this one; drain it
+                   // (no-op when nothing is pending)
     auto t1 = std::chrono::steady_clock::now();
     if (pool.empty() || c.blocks.size() < 4) {
       job_next.store(0, std::memory_order_relaxed);
@@ -1490,6 +1527,11 @@ struct Decoder {
   std::vector<int64_t> ref_lens;
   std::vector<std::string> header_chroms;
   double t_seq = 0, t_records = 0, t_hdr = 0, t_cig = 0, t_sa = 0;
+  // always-on core-second accounting for the bench artifact: busy
+  // parse core-ns (all workers) + the reader's busy inflate core-s,
+  // copied out of the run()-local reader before it is destroyed
+  std::atomic<uint64_t> records_core_ns{0};
+  double inflate_core_s = 0, read_wall_s = 0;
   // streaming: merges into C and snapshot reads share this lock; progress
   // holds the refID currently being decoded (records are coordinate-
   // sorted, so every chromosome with a smaller id has all of its
@@ -1555,6 +1597,8 @@ struct Decoder {
   void parse_range(Worker* w, const char* base,
                    const std::vector<std::pair<size_t, int32_t>>& recs,
                    size_t lo, size_t hi) {
+    timespec t0, t1;  // per-thread CPU time: contention-honest core-s
+    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t0);
     try {
       for (size_t i = lo; i < hi; i++)
         w->process_record(base + recs[i].first, recs[i].second);
@@ -1564,10 +1608,17 @@ struct Decoder {
     } catch (...) {
       pp_err.store(true);
     }
+    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &t1);
+    records_core_ns.fetch_add(
+        (uint64_t)(t1.tv_sec - t0.tv_sec) * 1000000000u
+            + (uint64_t)(t1.tv_nsec - t0.tv_nsec),
+        std::memory_order_relaxed);
   }
 
-  void parse_pool_main(int idx) {
-    uint64_t seen = 0;
+  void parse_pool_main(int idx, uint64_t seen) {
+    // ``seen`` is the pp_gen value read by the creating (consumer) thread
+    // at spawn time — a thread created after generations have already run
+    // must wait for the NEXT publication, never fire on a stale pp_ws.
     for (;;) {
       {
         std::unique_lock<std::mutex> lk(pp_mu);
@@ -1604,11 +1655,18 @@ struct Decoder {
     bool nocigar = false;
     if (n_workers <= 1 || recs.size() < 512) {
       Worker* w = pool_worker(0);
+      timespec ts0, ts1;
+      clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts0);
       try {
         for (auto& r : recs)
           w->process_record(base + r.first, r.second);
       } catch (const NoCigarError&) { failed = true; nocigar = true;
       } catch (...) { failed = true; }
+      clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts1);
+      records_core_ns.fetch_add(
+          (uint64_t)(ts1.tv_sec - ts0.tv_sec) * 1000000000u
+              + (uint64_t)(ts1.tv_nsec - ts0.tv_nsec),
+          std::memory_order_relaxed);
       {
         std::lock_guard<std::mutex> g(snap_mu);
         C.merge_from(w->C);
@@ -1623,7 +1681,9 @@ struct Decoder {
       for (int t = 0; t < n_workers; t++) ws.push_back(pool_worker(t));
       while ((int)parse_pool.size() < n_workers - 1) {
         int idx = (int)parse_pool.size();
-        parse_pool.emplace_back([this, idx]() { parse_pool_main(idx); });
+        uint64_t gen0 = pp_gen;  // only this thread increments pp_gen
+        parse_pool.emplace_back(
+            [this, idx, gen0]() { parse_pool_main(idx, gen0); });
       }
       size_t per = (recs.size() + n_workers - 1) / n_workers;
       pp_err.store(false);
@@ -1701,6 +1761,8 @@ struct Decoder {
       rd.finish_raw();
       if (rd.rat.joinable()) rd.rat.join();
       rd.ra_active = false;
+      inflate_core_s = rd.inflate_core_ns.load() * 1e-9;
+      read_wall_s = rd.t_read;
       fclose(f);
       return status;
     };
@@ -1874,6 +1936,8 @@ struct Decoder {
         std::chrono::steady_clock::now() - t_rec0).count();
     if (rd.truncated || rd.inflate_bad.load(std::memory_order_relaxed))
       return bail(5);
+    inflate_core_s = rd.inflate_core_ns.load() * 1e-9;
+    read_wall_s = rd.t_read;
     fclose(f);
     if (getenv("CUTESV_DECODE_TIMING"))
       fprintf(stderr,
@@ -1902,10 +1966,26 @@ std::vector<int64_t> name_ranks(const Collector& C) {
     return std::string_view(C.name_blob.data() + C.name_off[i],
                             C.name_off[i + 1] - C.name_off[i]);
   };
-  std::sort(idx.begin(), idx.end(),
-            [&](int64_t a, int64_t b) { return view(a) < view(b); });
+  auto lt = [&](int64_t a, int64_t b) { return view(a) < view(b); };
   std::vector<int64_t> rank(n);
-  for (int64_t r = 0; r < n; r++) rank[idx[r]] = r;
+  if (n < (1 << 16) || std::thread::hardware_concurrency() < 2) {
+    std::sort(idx.begin(), idx.end(), lt);
+    for (int64_t r = 0; r < n; r++) rank[idx[r]] = r;
+    return rank;
+  }
+  // the lexicographic sort over millions of interned names is the
+  // largest post-walk serial cost — split it across two threads and
+  // assign ranks in a two-pointer merge pass (names are UNIQUE by
+  // interning, so rank order is total and the merge needs no tie-break)
+  int64_t mid = n / 2;
+  std::thread lo([&]() { std::sort(idx.begin(), idx.begin() + mid, lt); });
+  std::sort(idx.begin() + mid, idx.end(), lt);
+  lo.join();
+  int64_t a = 0, b = mid, r = 0;
+  while (a < mid && b < n)
+    rank[lt(idx[a], idx[b]) ? idx[a++] : idx[b++]] = r++;
+  while (a < mid) rank[idx[a++]] = r++;
+  while (b < n) rank[idx[b++]] = r++;
   return rank;
 }
 
@@ -2021,10 +2101,16 @@ static CResult* bamdecode_setup(const char* path, const int64_t* params,
 
 static void bamdecode_finalize(CResult* r) {
   if (r->finalized) return;
+  auto tf0 = std::chrono::steady_clock::now();
   Decoder* d = r->dec;
   r->n_records = d->C.n_records;
+  // the two rank computations are independent — overlap them (seq_ranks
+  // is the smaller; name_ranks additionally parallelizes internally)
+  std::vector<int64_t> sr;
+  std::thread srt([&]() { sr = seq_ranks(d->C); });
   r->nrank = new std::vector<int64_t>(name_ranks(d->C));
-  r->srank = new std::vector<int64_t>(seq_ranks(d->C));
+  srt.join();
+  r->srank = new std::vector<int64_t>(std::move(sr));
   r->chrom_blob = new std::string();
   r->chrom_off = new std::vector<int64_t>{0};
   for (auto& s : d->C.chroms) {
@@ -2033,6 +2119,10 @@ static void bamdecode_finalize(CResult* r) {
   }
   r->ref_lens = new std::vector<int64_t>(d->ref_lens);
   r->n_header_refs = (int32_t)d->ref_lens.size();
+  if (getenv("CUTESV_DECODE_TIMING"))
+    fprintf(stderr, "bamdecode finalize: %.3fs\n",
+            std::chrono::duration<double>(
+                std::chrono::steady_clock::now() - tf0).count());
   r->finalized = true;
 }
 
@@ -2378,6 +2468,7 @@ double bamdecode_inflate_floor(const char* path, int threads) {
   auto t0 = std::chrono::steady_clock::now();
   auto worker = [&]() {
     libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) { bad.store(true, std::memory_order_relaxed); return; }
     std::vector<char> scratch(65536);
     for (;;) {
       size_t i = next.fetch_add(1);
@@ -2407,6 +2498,20 @@ int64_t bamdecode_n_records(CResult* r) { return r->n_records; }
 // end-of-header to end-of-stream — the quantity the measured inflate
 // floor lower-bounds (bench artifact: stages_s.walk_s vs inflate_floor_s)
 double bamdecode_walk_seconds(CResult* r) { return r->dec->t_records; }
+
+// busy core-seconds (not walls): summed over all participating threads.
+// inflate = time inside libdeflate spans; records = time inside the
+// record-parse loops. Published in the bench artifact so the inflate-
+// floor argument is auditable from the JSON.
+double bamdecode_inflate_core_seconds(CResult* r) {
+  return r->dec->inflate_core_s;
+}
+double bamdecode_records_core_seconds(CResult* r) {
+  return r->dec->records_core_ns.load() * 1e-9;
+}
+double bamdecode_read_wall_seconds(CResult* r) {
+  return r->dec->read_wall_s;
+}
 
 // generic array accessor: returns pointer + element count via out params.
 // field ids documented in io/native.py (kept in lockstep).
