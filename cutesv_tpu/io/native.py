@@ -442,16 +442,16 @@ class StreamingDecode:
         offs = np.ascontiguousarray(offs, np.int64)
         lens = np.ascontiguousarray(lens, np.int64)
         total = int(lens.sum())
-        out = ctypes.create_string_buffer(max(total, 1))
+        out = np.empty(max(total, 1), np.uint8)
         w = self._lib.bamdecode_ins_seq_spans(
             self._handle,
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(offs), out)
+            len(offs), out.ctypes.data_as(ctypes.c_char_p))
         if w != total:
             raise RuntimeError("bamdecode_ins_seq_spans(%d != %d)"
                                % (w, total))
-        return out.raw[:total]
+        return out[:total].tobytes()
 
     def join(self) -> NativeDecode:
         """Wait for the decode thread, check status, extract everything."""

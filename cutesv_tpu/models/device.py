@@ -61,6 +61,25 @@ class IndelStream:
         o = int(self._seq_off[k])
         return self._seq_blob[o:o + int(self.seq_len[k])].decode("ascii")
 
+    def seqs_of(self, ks, lens):
+        """``seq_of(k)[:l]`` over parallel lists — batched so a native
+        blob view pays ONE span call for the whole emission instead of
+        one ctypes round trip per allele."""
+        if self._rows is not None:
+            return [self._rows[int(k)][3][:l] for k, l in zip(ks, lens)]
+        offs = [int(self._seq_off[k]) for k in ks]
+        tl = [min(int(self.seq_len[k]), int(l)) for k, l in zip(ks, lens)]
+        blob = self._seq_blob
+        if hasattr(blob, "spans"):
+            data = blob.spans(offs, tl)
+            out, p = [], 0
+            for l in tl:
+                out.append(data[p:p + l].decode("ascii"))
+                p += l
+            return out
+        return [blob[o:o + l].decode("ascii")
+                for o, l in zip(offs, tl)]
+
     def tuples(self):
         """Materialize resolver-format tuple rows (host-engine path over a
         native store); read identities stay rank keys."""
@@ -393,10 +412,11 @@ def _emit_del(cid, pos, length, sidx, stream, chrom, threshold_gloab,
     all_keys = stream.keys_of(sidx)
     n_rows = len(cid)
     n_alleles = len(fr_l)
+    # sub-threshold (noise) alleles vastly outnumber kept ones on real
+    # corpora — filter in numpy so the python loop visits only emitters
+    order = order[support[order] >= minimum_support_reads]
     for a in order.tolist():
         sup = sup_l[a]
-        if sup < minimum_support_reads:
-            continue
         lo = fr_l[a]
         hi = fr_l[a + 1] if a + 1 < n_alleles else n_rows
         if fast:
@@ -450,6 +470,7 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
         remain_reads_ratio = 1
     candidates: List[list] = []
     gt_jobs: List[dict] = []
+    seq_fetch: List[tuple] = []  # (candidate idx, stream row, trunc len)
     cid = np.cumsum(np.diff(cid, prepend=cid[0]) != 0)  # densify (see _emit_del)
     first_row, support, order = _allele_slices(cid, length, threshold_gloab)
     fast = remain_reads_ratio == 1
@@ -467,10 +488,9 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
     row_seq_len = stream.seq_len[sidx] if len(sidx) else np.empty(0, np.int64)
     n_rows = len(cid)
     n_alleles = len(fr_l)
+    order = order[support[order] >= minimum_support_reads]
     for a in order.tolist():
         sup = sup_l[a]
-        if sup < minimum_support_reads:
-            continue
         lo = fr_l[a]
         hi = fr_l[a + 1] if a + 1 < n_alleles else n_rows
         if fast:
@@ -487,7 +507,7 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
             continue
         k = lo + int(ok[0])
         breakpoint = int(pos[k])
-        ideal_seq = stream.seq_of(int(sidx[k]))[:isl]
+        seq_fetch.append((len(candidates), int(sidx[k]), isl))
         names = ",".join(all_names[lo:hi]) if need_names else ""
         if action:
             gt_jobs.append(dict(window=(max(breakpoint - 1000, 0),
@@ -496,12 +516,19 @@ def _emit_ins(cid, pos, length, sidx, stream, chrom, threshold_gloab,
             candidates.append([chrom, "INS", str(breakpoint),
                                str(isl), str(sup), cipos,
                                cilen, None, None, None, None, None,
-                               names, ideal_seq])
+                               names, None])
         else:
             candidates.append([chrom, "INS", str(breakpoint),
                                str(isl), str(sup), cipos,
                                cilen, ".", "./.", ".,.,.", ".", ".",
-                               names, ideal_seq])
+                               names, None])
+    # ALT sequences in one batched blob read (one native span call per
+    # chromosome, not one per allele)
+    if seq_fetch:
+        seqs = stream.seqs_of([r for _, r, _ in seq_fetch],
+                              [l for _, _, l in seq_fetch])
+        for (ci, _, _), s in zip(seq_fetch, seqs):
+            candidates[ci][13] = s
     return candidates, gt_jobs
 
 

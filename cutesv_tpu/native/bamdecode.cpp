@@ -2179,6 +2179,21 @@ CResult* bamdecode_start(const char* path, const char* ref_path,
     r->status = run_guarded(*d, p.c_str(),
                             has_ref ? rp.c_str() : nullptr, is_cram);
     d->progress.store(INT32_MAX, std::memory_order_release);
+    // finalize (rank sorts) on THIS thread: it overlaps the caller's
+    // DONE-batch python work instead of serializing inside join().
+    // Safe: the collector is immutable once run() returns (snapshots
+    // only read it), and join() joins this thread before touching the
+    // finalized results
+    if (r->status == 0) {
+      try {
+        bamdecode_finalize(r);
+      } catch (const std::exception& e) {
+        d->err_msg = e.what();
+        r->status = 4;
+      } catch (...) {
+        r->status = 4;
+      }
+    }
   });
   return r;
 }

@@ -112,6 +112,10 @@ class _NativeBlobView:
     def __getitem__(self, sl):
         return self._sd.ins_seq_spans([sl.start], [sl.stop - sl.start])
 
+    def spans(self, offs, lens):
+        """Batched span read (one lock acquisition + ctypes call)."""
+        return self._sd.ins_seq_spans(offs, lens)
+
 
 def _stream_tail_emit(sd, cfg: Config, svtype: str, c: int, cols,
                       nk_comp, census_cache):
