@@ -314,6 +314,71 @@ def run_pool_once(bam, fa, outdir):
     return dt, stats, out
 
 
+def ont_lane(outdir):
+    """Secondary ONT-density lane (round-4 verdict item 2): the messy
+    stress corpus (ONT-like noise density, lognormal read lengths,
+    coverage waves, chimeras, clip storms — tools/simulate.py
+    simulate_messy) through the same interleaved native-vs-pooled
+    protocol. The north-star metric is ONT-shaped (BASELINE.json:
+    'HG002 ONT reads/s per chip'); this lane reports the ratio on an
+    ONT-shaped corpus next to the stable HiFi-like headline.
+
+    Returns the artifact sub-dict, or None when skipped
+    (BENCH_ONT=0)."""
+    if os.environ.get("BENCH_ONT", "1") == "0":
+        return None
+    genome_mb = int(os.environ.get("BENCH_ONT_MB", "200"))
+    prefix = os.path.join(CACHE, "messy_%dmb_v1" % genome_mb)
+    bam, fa, meta = prefix + ".bam", prefix + ".fa", prefix + ".meta.json"
+    if not (os.path.exists(bam) and os.path.exists(fa)
+            and os.path.exists(meta)):
+        from cutesv_tpu.tools.simulate import simulate_messy
+        info = simulate_messy(prefix, float(genome_mb), n_chroms=2, seed=7)
+        json.dump({"n_reads": info["n_reads"]}, open(meta, "w"))
+    n_reads = json.load(open(meta))["n_reads"]
+    from cutesv_tpu.tools import baseline_pool
+    baseline_pool.build_chrom_index(bam)  # cached; untimed like .bai
+    rate_file = prefix + ".poolrate.json"
+    budget = int(os.environ.get("BENCH_ONT_TIMEOUT", "240"))
+    native_runs, pool_runs = [], []
+    vcf_native = vcf_pool = None
+    run_once(bam, fa, "device", "native", outdir)  # warm (jit/attach)
+    spent0 = time.time()
+    for rep in range(2):
+        dt_n, _, vcf_native = run_once(bam, fa, "device", "native", outdir)
+        native_runs.append(dt_n)
+        if time.time() - spent0 < budget:
+            dt_p, _, vcf_pool = run_pool_once(bam, fa, outdir)
+            pool_runs.append(dt_p)
+    if pool_runs:
+        pool_rate = n_reads / min(pool_runs)
+        json.dump({"rate_pool": pool_rate, "nprocs": os.cpu_count()},
+                  open(rate_file, "w"))
+    elif os.path.exists(rate_file):
+        pool_rate = json.load(open(rate_file)).get("rate_pool")
+    else:
+        pool_rate = None
+
+    def _body(path):
+        return open(path).read().split("#CHROM")[-1]
+
+    identical = (_body(vcf_native) == _body(vcf_pool)
+                 if vcf_pool else None)
+    rate = n_reads / min(native_runs)
+    return {
+        "metric": "messy %dMb ONT-density end-to-end calling reads/s"
+                  % genome_mb,
+        "value": round(rate, 1),
+        "unit": "reads/s",
+        "vs_baseline_pool": (round(rate / pool_rate, 2)
+                             if pool_rate else None),
+        "corpus_id": _corpus_id(bam),
+        "native_runs_s": [round(t, 2) for t in native_runs],
+        "baseline_pool_runs_s": [round(t, 2) for t in pool_runs],
+        "outputs_identical": identical,
+    }
+
+
 def _corpus_id(bam):
     """Cheap content id for the bench corpus: size + blake2 of the first
     and last MiB (full-file hashing would dominate small bench runs)."""
@@ -498,6 +563,15 @@ def main():
                 result["achieved_fraction_of_bound"] = round(
                     result["vs_baseline_pool"]
                     / result["floor_bound_ratio"], 2)
+    # ONT-density secondary lane (separate corpus, separate ratio; the
+    # headline above stays keyed to the stable at2 corpus)
+    try:
+        ont = ont_lane(outdir)
+    except Exception as e:
+        ont = {"error": repr(e)}
+    if ont is not None:
+        result["ont"] = ont
+
     print(json.dumps(result))
     # extra context on stderr (driver records stdout json only)
     print("native: %.2fs (%d calls)  baseline_1p: %.1f reads/s  "
