@@ -379,6 +379,47 @@ def ont_lane(outdir):
     }
 
 
+def cram_lane(outdir, bam, fa, n_reads, bam_wall_s):
+    """CRAM-path lane (round-4 verdict item 4 of 'what's weak'): the
+    ~4,700 lines of CRAM decode had zero performance numbers. Re-encode
+    the bench corpus as reference-based CRAM 3.0 and a 3.1 twin with the
+    in-repo writer (one-time, cached next to the BAM), run the native
+    end-to-end pipeline on each, and report walls against the BAM lane
+    measured in the same session. Reference capability matched:
+    transparent CRAM input via pysam (cuteSV:1013)."""
+    if os.environ.get("BENCH_CRAM", "1") == "0":
+        return None
+    out = {"vs_bam_wall_s": round(bam_wall_s, 2)}
+    for ver, tagv in (((3, 0), "30"), ((3, 1), "31")):
+        cram = bam[:-4] + ".v%s.cram" % tagv
+        if not os.path.exists(cram):
+            from cutesv_tpu.io.bam import BamReader
+            from cutesv_tpu.io.cram import CramWriter
+            from cutesv_tpu.io.fasta import FastaFile
+            ref_seqs = {c: FastaFile(fa).fetch(c)
+                        for c in FastaFile(fa).references}
+            t0 = time.time()
+            with BamReader(bam) as r:
+                with CramWriter(cram, r.references, version=ver,
+                                max_slice=10000, ref_seqs=ref_seqs) as w:
+                    for rec in r:
+                        w.write(rec)
+            print("bench: encoded %s in %.1fs" % (cram, time.time() - t0),
+                  file=sys.stderr)
+        walls = []
+        stats = None
+        for rep in range(2):
+            dt, stats, _ = run_once(cram, fa, "device", "native", outdir)
+            walls.append(dt)
+        key = "cram%s" % tagv
+        out[key + "_wall_s"] = round(min(walls), 2)
+        out[key + "_vs_bam"] = round(min(walls) / bam_wall_s, 2)
+        if stats and "decode_s" in stats:
+            out[key + "_decode_s"] = round(stats["decode_s"], 2)
+        out[key + "_reads_per_s"] = round(n_reads / min(walls), 1)
+    return out
+
+
 def _corpus_id(bam):
     """Cheap content id for the bench corpus: size + blake2 of the first
     and last MiB (full-file hashing would dominate small bench runs)."""
@@ -571,6 +612,15 @@ def main():
         ont = {"error": repr(e)}
     if ont is not None:
         result["ont"] = ont
+
+    # CRAM-path lane: same corpus re-encoded as CRAM 3.0/3.1, walls
+    # against the BAM lane's best native wall from this session
+    try:
+        cram = cram_lane(outdir, bam, fa, n_reads, dt_native)
+    except Exception as e:
+        cram = {"error": repr(e)}
+    if cram is not None:
+        result["cram"] = cram
 
     print(json.dumps(result))
     # extra context on stderr (driver records stdout json only)

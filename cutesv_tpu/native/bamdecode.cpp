@@ -35,6 +35,7 @@
 #include <unordered_map>
 #include <vector>
 #include <chrono>
+#include <deque>
 #include <functional>
 #include <set>
 
