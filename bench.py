@@ -396,8 +396,8 @@ def cram_lane(outdir, bam, fa, n_reads, bam_wall_s):
             from cutesv_tpu.io.bam import BamReader
             from cutesv_tpu.io.cram import CramWriter
             from cutesv_tpu.io.fasta import FastaFile
-            ref_seqs = {c: FastaFile(fa).fetch(c)
-                        for c in FastaFile(fa).references}
+            ff = FastaFile(fa)
+            ref_seqs = {c: ff.fetch(c) for c in ff.references}
             t0 = time.time()
             with BamReader(bam) as r:
                 with CramWriter(cram, r.references, version=ver,

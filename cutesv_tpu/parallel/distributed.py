@@ -390,12 +390,14 @@ def allgather_obj(obj):
     pickle length; lengths ride as two int32 halves (jnp.asarray would
     silently truncate int64 without jax_enable_x64)."""
     import pickle
+    import time as _time
 
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import multihost_utils
 
+    t0 = _time.time()
     blob = pickle.dumps(obj)
     n = np.array([len(blob) >> 31, len(blob) & 0x7FFFFFFF], np.int32)
     halves = np.asarray(
@@ -408,8 +410,11 @@ def allgather_obj(obj):
     gathered = np.asarray(
         multihost_utils.process_allgather(jnp.asarray(padded)))
     gathered = gathered.reshape(jax.process_count(), cap)
-    return [pickle.loads(gathered[k, :int(lens[k])].tobytes())
-            for k in range(jax.process_count())]
+    out = [pickle.loads(gathered[k, :int(lens[k])].tobytes())
+           for k in range(jax.process_count())]
+    log.info("allgather: local %.1f MB, gathered %.1f MB total in %.2fs",
+             len(blob) / 1e6, float(lens.sum()) / 1e6, _time.time() - t0)
+    return out
 
 
 def decode_sharded(cfg, bed_ids, is_cram: bool = False):

@@ -427,6 +427,7 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
     # streaming hosts: decode_sharded performs the identical single
     # allgather). Failures AFTER the exchange must propagate — a second
     # allgather from a fallback would desync the pod.
+    t_dec0 = time.time()
     try:
         sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids,
                                        reference=None, byte_range=rng)
@@ -444,8 +445,9 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
         handles, fingerprints, early_results = {}, {}, {}
         nd_local = native_io.decode(cfg.input, cfg, bed_ids,
                                     byte_range=rng)
-    log.info("sharded decode: shard %d/%d decoded %d records (streaming)",
-             k, n, nd_local.n_records)
+    log.info("sharded decode: shard %d/%d decoded %d records in %.2fs "
+             "(streaming)", k, n, nd_local.n_records,
+             time.time() - t_dec0)
     parts = allgather_obj(nd_local)
     check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
     nd = merge_partial_decodes(parts)

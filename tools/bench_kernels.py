@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Real-chip kernel-efficiency benchmark (round-4 verdict item 4).
+
+Measures the three device kernels the pipeline dispatches — the DEL/INS
+cluster-structure kernel, the DUP/INV pair-cluster kernel, and the
+genotype cover kernel — at realistic volume (>= 1 M signature rows,
+>= 1 M census rows), and states each against a same-hardware roofline
+measured in the same session:
+
+  * streaming roofline: achieved bytes/s of a jitted elementwise
+    copy-add at the kernel's working-set size (the HBM-bound ceiling
+    for memory-bound work)
+  * sort roofline: achieved rows/s of a bare device lexsort-2 at the
+    same row count (the cluster kernels are sort-dominated, so the
+    honest ceiling is "how fast can this chip sort these rows at all")
+  * compare roofline: achieved compares/s of the bare tile
+    compare+reduce that IS the cover kernel's inner loop
+
+Prints one JSON line; run on the real chip (default backend) or CPU
+(JAX_PLATFORMS=cpu) for smoke tests. Results are recorded in
+docs/KERNELS.md.
+
+Reference being characterized: the reference has no device kernels —
+its equivalents are the per-chromosome python loops of
+cuteSV_resolveINDEL/DUP/INV.py and the overlap_cover sweep
+(cuteSV_genotype.py:95-159).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(os.environ.get("KBENCH_REPS", "5"))
+N_ROWS = int(os.environ.get("KBENCH_ROWS", str(1 << 20)))
+N_READS = int(os.environ.get("KBENCH_READS", str(1 << 20)))
+N_SV = int(os.environ.get("KBENCH_SV", str(1 << 15)))
+
+
+def _best(fn, *args):
+    """Per-call seconds of fn(*args): REPS dispatches timed under ONE
+    trailing barrier (per-call block_until_ready over the remote-chip
+    tunnel measured faster than the tunnel RTT, i.e. it was timing
+    dispatch, not compute; a batched window amortizes the sync and the
+    overlap inflates throughput by at most the queue depth), taken as
+    the best of 3 windows."""
+    import jax
+
+    jax.block_until_ready(fn(*args))  # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(REPS)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / REPS)
+    return best
+
+
+def bench_stream_roofline(nbytes):
+    """Elementwise copy-add at ``nbytes`` working set -> bytes/s moved
+    (read + write)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+    x = jnp.asarray(np.arange(n, dtype=np.int32))
+    f = jax.jit(lambda a: a + 1)
+    dt = _best(f, x)
+    return 2.0 * n * 4 / dt
+
+
+def bench_sort_roofline(n):
+    """Bare 2-key device lexsort at n rows -> rows/s."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    k1 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    k2 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    f = jax.jit(lambda a, b: jnp.lexsort((b, a)))
+    dt = _best(f, k1, k2)
+    return n / dt
+
+
+def make_indel_stream(n, seed=0):
+    rng = np.random.default_rng(seed)
+    n_loci = max(1, n // 40)
+    loci = np.sort(rng.integers(0, 200_000_000, size=n_loci))
+    pos = np.sort(loci[rng.integers(0, n_loci, size=n)]
+                  + rng.integers(-60, 60, size=n)).astype(np.int32)
+    length = rng.integers(30, 5000, size=n).astype(np.int32)
+    rid = rng.integers(0, n // 4, size=n).astype(np.int32)
+    return pos, length, rid
+
+
+def bench_indel_cluster(n):
+    import jax.numpy as jnp
+
+    from cutesv_tpu.ops.indel_cluster import indel_cluster_structure
+
+    pos, length, rid = make_indel_stream(n)
+    a = (jnp.asarray(pos), jnp.asarray(length), jnp.asarray(rid),
+         jnp.int32(n - 64), jnp.int32(200), jnp.int32(10))
+
+    def f(pos, length, rid, nv, bias, rc):
+        return indel_cluster_structure(pos, length, rid, nv, bias, rc, n)
+
+    dt = _best(f, *a)
+    return {"rows": n, "s": round(dt, 4), "rows_per_s": round(n / dt),
+            "bytes_per_s": round(3 * 4 * n / dt)}
+
+
+def bench_pair_cluster(n):
+    import jax.numpy as jnp
+
+    from cutesv_tpu.ops.pair_cluster import pair_cluster_structure
+
+    pos, length, rid = make_indel_stream(n, seed=1)
+    k2 = pos + length
+    a = (jnp.asarray(pos), jnp.asarray(k2),
+         jnp.zeros(n, jnp.int32), jnp.asarray(rid),
+         jnp.int32(n - 64), jnp.int32(200), jnp.int32(10))
+
+    def f(k1, k2, aux, rid, nv, bias, rc):
+        return pair_cluster_structure(k1, k2, aux, rid, nv, bias, rc, n,
+                                      False)
+
+    dt = _best(f, *a)
+    return {"rows": n, "s": round(dt, 4), "rows_per_s": round(n / dt),
+            "bytes_per_s": round(4 * 4 * n / dt)}
+
+
+def bench_cover(n_sv, n_reads):
+    """End-to-end cover_counts_device (incl. host padding + upload) plus
+    the bare device compare ceiling at the same tile shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutesv_tpu.ops import sweep
+
+    rng = np.random.default_rng(2)
+    starts = np.sort(rng.integers(0, 200_000_000, n_reads))
+    ends = starts + rng.integers(5_000, 25_000, n_reads)
+    s = np.sort(rng.integers(0, 200_000_000, n_sv))
+    wins = list(zip(s.astype(float), (s + 2000).astype(float)))
+
+    sweep.cover_counts_device(wins, starts, ends)  # warm
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        sweep.cover_counts_device(wins, starts, ends)
+        best = min(best, time.perf_counter() - t0)
+    sp = -(-n_sv // sweep._SV_CHUNK) * sweep._SV_CHUNK
+    rp = -(-n_reads // sweep._READ_CHUNK) * sweep._READ_CHUNK
+    compares = float(sp) * rp
+
+    # bare compare+reduce ceiling at the kernel's own tile shape
+    st_t = jnp.asarray(
+        np.tile(starts[:sweep._READ_CHUNK].astype(np.int32)
+                if n_reads >= sweep._READ_CHUNK else
+                np.resize(starts.astype(np.int32), sweep._READ_CHUNK),
+                1).reshape(-1, sweep._READ_TILE))
+    en_t = jnp.asarray(np.resize(ends.astype(np.int32),
+                                 sweep._READ_CHUNK
+                                 ).reshape(-1, sweep._READ_TILE))
+    sv_s = jnp.asarray(np.resize((2 * s).astype(np.int32),
+                                 sweep._SV_CHUNK))
+    sv_e = jnp.asarray(np.resize((2 * s + 4000).astype(np.int32),
+                                 sweep._SV_CHUNK))
+    dt_bare = _best(sweep._cover_scan, sv_s, sv_e, st_t, en_t)
+    bare_cps = sweep._SV_CHUNK * float(sweep._READ_CHUNK) / dt_bare
+    return {"n_sv": n_sv, "n_reads": n_reads, "s": round(best, 4),
+            "compares_per_s": round(compares / best),
+            "bare_tile_compares_per_s": round(bare_cps),
+            "efficiency_vs_bare_tile": round(compares / best / bare_cps,
+                                             3)}
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    out = {"backend": backend,
+           "device": str(jax.devices()[0]),
+           "n_rows": N_ROWS}
+    t0 = time.time()
+    out["stream_roofline_bytes_per_s"] = round(
+        bench_stream_roofline(128 << 20))
+    out["sort_roofline_rows_per_s"] = round(bench_sort_roofline(N_ROWS))
+    ic = bench_indel_cluster(N_ROWS)
+    pc = bench_pair_cluster(N_ROWS)
+    cv = bench_cover(N_SV, N_READS)
+    out["indel_cluster"] = ic
+    out["pair_cluster"] = pc
+    out["cover"] = cv
+    # the cluster kernels are sort-dominated (three lexsorts + segment
+    # reductions); state them against the bare-sort ceiling
+    out["indel_cluster"]["vs_sort_roofline"] = round(
+        ic["rows_per_s"] / out["sort_roofline_rows_per_s"], 3)
+    out["pair_cluster"]["vs_sort_roofline"] = round(
+        pc["rows_per_s"] / out["sort_roofline_rows_per_s"], 3)
+    out["total_s"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
