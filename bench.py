@@ -343,13 +343,29 @@ def ont_lane(outdir):
     native_runs, pool_runs = [], []
     vcf_native = vcf_pool = None
     run_once(bam, fa, "device", "native", outdir)  # warm (jit/attach)
+    # the budget bounds the pooled-baseline RUNS too (same SIGALRM
+    # pattern as main(): without it a pathologically slow host could
+    # stall this secondary lane unboundedly)
+    import signal
+
+    def _bail(sig, frame):
+        raise TimeoutError()
+
+    signal.signal(signal.SIGALRM, _bail)
     spent0 = time.time()
     for rep in range(2):
         dt_n, _, vcf_native = run_once(bam, fa, "device", "native", outdir)
         native_runs.append(dt_n)
-        if time.time() - spent0 < budget:
-            dt_p, _, vcf_pool = run_pool_once(bam, fa, outdir)
-            pool_runs.append(dt_p)
+        remaining = budget - (time.time() - spent0)
+        if remaining > 0:
+            signal.alarm(max(30, int(remaining)))
+            try:
+                dt_p, _, vcf_pool = run_pool_once(bam, fa, outdir)
+                pool_runs.append(dt_p)
+            except TimeoutError:
+                break
+            finally:
+                signal.alarm(0)
     if pool_runs:
         pool_rate = n_reads / min(pool_runs)
         json.dump({"rate_pool": pool_rate, "nprocs": os.cpu_count()},
@@ -407,15 +423,17 @@ def cram_lane(outdir, bam, fa, n_reads, bam_wall_s):
             print("bench: encoded %s in %.1fs" % (cram, time.time() - t0),
                   file=sys.stderr)
         walls = []
-        stats = None
+        best_stats = None
         for rep in range(2):
             dt, stats, _ = run_once(cram, fa, "device", "native", outdir)
+            if not walls or dt < min(walls):
+                best_stats = stats  # decode_s pairs with the min wall
             walls.append(dt)
         key = "cram%s" % tagv
         out[key + "_wall_s"] = round(min(walls), 2)
         out[key + "_vs_bam"] = round(min(walls) / bam_wall_s, 2)
-        if stats and "decode_s" in stats:
-            out[key + "_decode_s"] = round(stats["decode_s"], 2)
+        if best_stats and "decode_s" in best_stats:
+            out[key + "_decode_s"] = round(best_stats["decode_s"], 2)
         out[key + "_reads_per_s"] = round(n_reads / min(walls), 1)
     return out
 
@@ -550,9 +568,11 @@ def main():
         from cutesv_tpu.io.native import get_lib
         lib = get_lib()
         # same worker count the decode stage's inflate uses (min of the
-        # CLI default threads and hw), so the floor really is a lower
-        # bound for decode_s on any host
-        nthr = min(16, max(2, os.cpu_count() or 1))
+        # CLI default threads and hw, or the explicit override), so the
+        # floor really is a lower bound for decode_s on any host
+        env_it = int(os.environ.get("CUTESV_INFLATE_THREADS", "0"))
+        nthr = env_it if env_it > 0 else min(
+            16, max(2, os.cpu_count() or 1))
         f1 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
         f2 = float(lib.bamdecode_inflate_floor(bam.encode(), nthr))
         cands = [x for x in (f1, f2) if x > 0]

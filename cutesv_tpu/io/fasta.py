@@ -178,7 +178,7 @@ class FastaFile:
             st = os.stat(self.path)
             d = json.load(open(self.path + ".lazyidx.json"))
             if (d.get("size") == st.st_size
-                    and d.get("mtime") == int(st.st_mtime)):
+                    and d.get("mtime_ns") == st.st_mtime_ns):
                 for k, v in d.get("contigs", {}).items():
                     out[k] = (int(v[0]), int(v[1]))
         except Exception:
@@ -213,16 +213,16 @@ class FastaFile:
         try:
             st = os.stat(self.path)
             cache_path = self.path + ".lazyidx.json"
-            d = {"size": 0, "mtime": 0, "contigs": {}}
+            d = {"size": 0, "mtime_ns": 0, "contigs": {}}
             try:
                 old = json.load(open(cache_path))
                 if (old.get("size") == st.st_size
-                        and old.get("mtime") == int(st.st_mtime)):
+                        and old.get("mtime_ns") == st.st_mtime_ns):
                     d = old
             except Exception:
                 pass
             d["size"] = st.st_size
-            d["mtime"] = int(st.st_mtime)
+            d["mtime_ns"] = st.st_mtime_ns
             d.setdefault("contigs", {})[name] = [int(w), int(n_bases)]
             tmp = cache_path + ".tmp.%d" % os.getpid()
             with open(tmp, "w") as fh:

@@ -84,8 +84,7 @@ def get_lib():
     lib.bamdecode_walk_seconds.restype = ctypes.c_double
     lib.bamdecode_walk_seconds.argtypes = [ctypes.c_void_p]
     for fn in ("bamdecode_inflate_core_seconds",
-               "bamdecode_records_core_seconds",
-               "bamdecode_read_wall_seconds"):
+               "bamdecode_records_core_seconds"):
         getattr(lib, fn).restype = ctypes.c_double
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.bamdecode_err.restype = ctypes.c_char_p
@@ -186,7 +185,6 @@ class NativeDecode:
     # the bench artifact so the floor argument is auditable
     inflate_core_s: float = 0.0
     records_core_s: float = 0.0
-    read_wall_s: float = 0.0
 
     def ins_seq(self, i: int) -> str:
         off = self.arrays["ins_seq_off"][i]
@@ -319,9 +317,7 @@ def _extract(lib, handle, path: str) -> NativeDecode:
                         inflate_core_s=float(
                             lib.bamdecode_inflate_core_seconds(handle)),
                         records_core_s=float(
-                            lib.bamdecode_records_core_seconds(handle)),
-                        read_wall_s=float(
-                            lib.bamdecode_read_wall_seconds(handle)))
+                            lib.bamdecode_records_core_seconds(handle)))
 
 
 def decode(path: str, cfg, bed_ids=None, reference=None,

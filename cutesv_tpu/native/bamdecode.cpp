@@ -766,12 +766,11 @@ struct BgzfChunkReader {
       }
     } acc{inflate_core_ns};
     if (!d) {
-      // decompressor allocation failed (OOM): any item this participant
-      // claims stays uninflated, so flag the chunk for a clean consumer
-      // error instead of a null-deref; claiming nothing leaves the work
-      // (and the chunk's validity) to the other participants
-      while (job_next.fetch_add(1) < c.blocks.size())
-        inflate_bad.store(true, std::memory_order_relaxed);
+      // decompressor allocation failed (OOM): claim nothing — the other
+      // participants finish the chunk and the decode degrades to fewer
+      // workers. The publish/consume sites verify job_next covered every
+      // block after the join; only if EVERY participant was null does
+      // the chunk flag bad there.
       return;
     }
     for (;;) {
@@ -915,6 +914,14 @@ struct BgzfChunkReader {
   // synchronous inflate (header phase, CRAM FASTA load): caller helps
   // the pool, returns with the whole chunk inflated. Must not be called
   // while an async job is pending.
+  // every participant may have failed decompressor allocation (each
+  // claims nothing then) — a chunk is only complete when job_next
+  // covered every block
+  void check_span_complete(const Chunk& c) {
+    if (job_next.load(std::memory_order_relaxed) < c.blocks.size())
+      inflate_bad.store(true, std::memory_order_relaxed);
+  }
+
   void inflate_blocks(const Chunk& c, char* dst) {
     finish_raw();  // self-enforce the precondition: a pending async job
                    // shares job_next/job_running with this one; drain it
@@ -928,6 +935,7 @@ struct BgzfChunkReader {
       inflate_span(caller_d, c, dst);
       wait_done();
     }
+    check_span_complete(c);
     t_inflate += std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t1).count();
   }
@@ -974,6 +982,7 @@ struct BgzfChunkReader {
     if (pool.empty()) {
       job_next.store(0, std::memory_order_relaxed);
       inflate_span(caller_d, cur, out.data() + prefix);
+      check_span_complete(cur);
       t_inflate += std::chrono::duration<double>(
           std::chrono::steady_clock::now() - t_job0).count();
     } else {
@@ -991,6 +1000,7 @@ struct BgzfChunkReader {
     if (!job_pending) return;
     inflate_span(caller_d, *job_chunk, job_dst);
     wait_done();
+    check_span_complete(*job_chunk);
     job_pending = false;
     t_inflate += std::chrono::duration<double>(
         std::chrono::steady_clock::now() - t_job0).count();
@@ -1532,7 +1542,7 @@ struct Decoder {
   // parse core-ns (all workers) + the reader's busy inflate core-s,
   // copied out of the run()-local reader before it is destroyed
   std::atomic<uint64_t> records_core_ns{0};
-  double inflate_core_s = 0, read_wall_s = 0;
+  double inflate_core_s = 0;
   // streaming: merges into C and snapshot reads share this lock; progress
   // holds the refID currently being decoded (records are coordinate-
   // sorted, so every chromosome with a smaller id has all of its
@@ -1763,7 +1773,6 @@ struct Decoder {
       if (rd.rat.joinable()) rd.rat.join();
       rd.ra_active = false;
       inflate_core_s = rd.inflate_core_ns.load() * 1e-9;
-      read_wall_s = rd.t_read;
       fclose(f);
       return status;
     };
@@ -1938,7 +1947,6 @@ struct Decoder {
     if (rd.truncated || rd.inflate_bad.load(std::memory_order_relaxed))
       return bail(5);
     inflate_core_s = rd.inflate_core_ns.load() * 1e-9;
-    read_wall_s = rd.t_read;
     fclose(f);
     if (getenv("CUTESV_DECODE_TIMING"))
       fprintf(stderr,
@@ -2102,15 +2110,35 @@ static CResult* bamdecode_setup(const char* path, const int64_t* params,
 
 static void bamdecode_finalize(CResult* r) {
   if (r->finalized) return;
+  r->finalized = true;  // set FIRST: a failed attempt must not re-run
+                        // (callers turn a throw into status 4; results
+                        // are only extracted when status == 0)
   auto tf0 = std::chrono::steady_clock::now();
   Decoder* d = r->dec;
   r->n_records = d->C.n_records;
   // the two rank computations are independent — overlap them (seq_ranks
-  // is the smaller; name_ranks additionally parallelizes internally)
-  std::vector<int64_t> sr;
-  std::thread srt([&]() { sr = seq_ranks(d->C); });
-  r->nrank = new std::vector<int64_t>(name_ranks(d->C));
+  // is the smaller; name_ranks additionally parallelizes internally).
+  // Exceptions on either side are captured so the helper thread is
+  // always joined before any rethrow (a joinable thread destroyed
+  // during unwind would std::terminate the host process).
+  std::vector<int64_t> sr, nr;
+  std::exception_ptr seq_err, name_err;
+  std::thread srt([&]() {
+    try {
+      sr = seq_ranks(d->C);
+    } catch (...) {
+      seq_err = std::current_exception();
+    }
+  });
+  try {
+    nr = name_ranks(d->C);
+  } catch (...) {
+    name_err = std::current_exception();
+  }
   srt.join();
+  if (name_err) std::rethrow_exception(name_err);
+  if (seq_err) std::rethrow_exception(seq_err);
+  r->nrank = new std::vector<int64_t>(std::move(nr));
   r->srank = new std::vector<int64_t>(std::move(sr));
   r->chrom_blob = new std::string();
   r->chrom_off = new std::vector<int64_t>{0};
@@ -2160,7 +2188,19 @@ CResult* bamdecode_run(const char* path, const char* ref_path,
   Decoder* d = r->dec;
   r->status = run_guarded(*d, path, ref_path, is_cram);
   d->progress.store(INT32_MAX, std::memory_order_release);
-  bamdecode_finalize(r);
+  // finalize only successful runs (results are never extracted on a
+  // nonzero status), and never let its throw cross the extern "C"
+  // boundary
+  if (r->status == 0) {
+    try {
+      bamdecode_finalize(r);
+    } catch (const std::exception& e) {
+      d->err_msg = e.what();
+      r->status = 4;
+    } catch (...) {
+      r->status = 4;
+    }
+  }
   return r;
 }
 
@@ -2227,7 +2267,18 @@ int bamdecode_join(CResult* r) {
     delete r->th;
     r->th = nullptr;
   }
-  bamdecode_finalize(r);
+  // normally a no-op (the decode thread finalizes successful runs);
+  // guards the throw like bamdecode_run and skips failed runs
+  if (r->status == 0 && !r->finalized) {
+    try {
+      bamdecode_finalize(r);
+    } catch (const std::exception& e) {
+      r->dec->err_msg = e.what();
+      r->status = 4;
+    } catch (...) {
+      r->status = 4;
+    }
+  }
   return r->status;
 }
 
@@ -2524,9 +2575,6 @@ double bamdecode_inflate_core_seconds(CResult* r) {
 }
 double bamdecode_records_core_seconds(CResult* r) {
   return r->dec->records_core_ns.load() * 1e-9;
-}
-double bamdecode_read_wall_seconds(CResult* r) {
-  return r->dec->read_wall_s;
 }
 
 // generic array accessor: returns pointer + element count via out params.
