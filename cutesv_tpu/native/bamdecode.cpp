@@ -188,6 +188,21 @@ struct Collector {
 
   int64_t n_records = 0;
 
+  // per-stream chrom id -> [first,last] row index, maintained at merge
+  // so snapshots scan one chromosome's span instead of the whole stream
+  // (the input is coordinate-sorted, so spans are tight modulo late
+  // SA-tag rows); only the merged-into global collector populates these
+  std::unordered_map<int32_t, std::pair<size_t, size_t>> rng[6];
+
+  void note_range(int which, const std::vector<int32_t>& chr,
+                  size_t from) {
+    auto& m = rng[which];
+    for (size_t i = from; i < chr.size(); i++) {
+      auto ins = m.emplace(chr[i], std::make_pair(i, i));
+      if (!ins.second) ins.first->second.second = i;
+    }
+  }
+
   void nh_grow() {
     size_t cap = nh_slot.empty() ? 4096 : nh_slot.size() * 2;
     nh_slot.assign(cap, 0);
@@ -249,6 +264,9 @@ struct Collector {
     auto cat = [&](auto& d, const auto& s) {
       d.v.insert(d.v.end(), s.v.begin(), s.v.end());
     };
+    size_t f_del = del_chr.v.size(), f_ins = ins_chr.v.size();
+    size_t f_dup = dup_chr.v.size(), f_inv = inv_chr.v.size();
+    size_t f_tra = tra_chr1.v.size(), f_cen = cen_chr.v.size();
     cat_c(del_chr, o.del_chr); cat(del_pos, o.del_pos);
     cat(del_len, o.del_len); cat_n(del_name, o.del_name);
     int64_t soff = (int64_t)ins_seq_blob.size();
@@ -267,6 +285,12 @@ struct Collector {
     cat_c(cen_chr, o.cen_chr); cat(cen_start, o.cen_start);
     cat(cen_end, o.cen_end); cat(cen_prim, o.cen_prim);
     cat_n(cen_name, o.cen_name);
+    note_range(0, del_chr.v, f_del);
+    note_range(1, ins_chr.v, f_ins);
+    note_range(2, dup_chr.v, f_dup);
+    note_range(3, inv_chr.v, f_inv);
+    note_range(4, tra_chr1.v, f_tra);
+    note_range(5, cen_chr.v, f_cen);
     cat_c(all_chr, o.all_chr); cat(all_start, o.all_start);
     cat(all_end, o.all_end); cat(all_prim, o.all_prim);
     cat_n(all_name, o.all_name);
@@ -295,6 +319,7 @@ struct Collector {
     clr(cen_prim);
     clr(all_chr); clr(all_start); clr(all_end); clr(all_name);
     clr(all_prim);
+    for (auto& m : rng) m.clear();
     n_records = 0;
   }
 
@@ -2296,25 +2321,36 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
   {
     std::lock_guard<std::mutex> g(d->snap_mu);
     Collector& C = d->C;
+    // scan only the chromosome's [first,last] row span (maintained at
+    // merge) — the whole-stream scans were O(n_chroms * total rows)
+    // across a run, a real stall under the merge lock at 24-contig
+    // human scale
+    auto span = [&](int which,
+                    const std::vector<int32_t>& chr) {
+      auto it = C.rng[which].find(chrom);
+      if (it == C.rng[which].end())
+        return std::make_pair((size_t)0, (size_t)0);
+      return std::make_pair(it->second.first, it->second.second + 1);
+    };
     if (type == 0) {
-      size_t n = C.del_chr.v.size();
-      for (size_t i = 0; i < n; i++) {
+      auto [lo, hi] = span(0, C.del_chr.v);
+      for (size_t i = lo; i < hi; i++) {
         if (C.del_chr.v[i] != chrom) continue;
         s.pos.push_back(C.del_pos.v[i]);
         s.len.push_back(C.del_len.v[i]);
         s.nameid.push_back(C.del_name.v[i]);
       }
     } else if (type == 2) {  // DUP: (p1, p2, name)
-      size_t n = C.dup_chr.v.size();
-      for (size_t i = 0; i < n; i++) {
+      auto [lo, hi] = span(2, C.dup_chr.v);
+      for (size_t i = lo; i < hi; i++) {
         if (C.dup_chr.v[i] != chrom) continue;
         s.pos.push_back(C.dup_p1.v[i]);
         s.len.push_back(C.dup_p2.v[i]);
         s.nameid.push_back(C.dup_name.v[i]);
       }
     } else if (type == 3) {  // INV: (b1, b2, strand, name)
-      size_t n = C.inv_chr.v.size();
-      for (size_t i = 0; i < n; i++) {
+      auto [lo, hi] = span(3, C.inv_chr.v);
+      for (size_t i = lo; i < hi; i++) {
         if (C.inv_chr.v[i] != chrom) continue;
         s.pos.push_back(C.inv_b1.v[i]);
         s.len.push_back(C.inv_b2.v[i]);
@@ -2322,8 +2358,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.nameid.push_back(C.inv_name.v[i]);
       }
     } else if (type == 4) {  // TRA (keyed by chr1): (p1, chr2, p2, type)
-      size_t n = C.tra_chr1.v.size();
-      for (size_t i = 0; i < n; i++) {
+      auto [lo, hi] = span(4, C.tra_chr1.v);
+      for (size_t i = lo; i < hi; i++) {
         if (C.tra_chr1.v[i] != chrom) continue;
         s.pos.push_back(C.tra_p1.v[i]);
         s.len.push_back(C.tra_p2.v[i]);
@@ -2332,8 +2368,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.nameid.push_back(C.tra_name.v[i]);
       }
     } else if (type == 5) {  // census: (start, end, is_primary, name_id)
-      size_t n = C.cen_chr.v.size();
-      for (size_t i = 0; i < n; i++) {
+      auto [lo, hi] = span(5, C.cen_chr.v);
+      for (size_t i = lo; i < hi; i++) {
         if (C.cen_chr.v[i] != chrom) continue;
         s.pos.push_back(C.cen_start.v[i]);
         s.len.push_back(C.cen_end.v[i]);
@@ -2342,8 +2378,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       }
       return (int64_t)s.pos.size();  // no local ranks needed
     } else {
-      size_t n = C.ins_chr.v.size();
-      for (size_t i = 0; i < n; i++) {
+      auto [lo, hi] = span(1, C.ins_chr.v);
+      for (size_t i = lo; i < hi; i++) {
         if (C.ins_chr.v[i] != chrom) continue;
         s.pos.push_back(C.ins_posx2.v[i]);
         s.len.push_back(C.ins_len.v[i]);

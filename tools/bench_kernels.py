@@ -5,7 +5,7 @@ Measures the three device kernels the pipeline dispatches — the DEL/INS
 cluster-structure kernel, the DUP/INV pair-cluster kernel, and the
 genotype cover kernel — at realistic volume (>= 1 M signature rows,
 >= 1 M census rows), and states each against a same-hardware roofline
-measured in the same session:
+measured in the same session with the same methodology:
 
   * streaming roofline: achieved bytes/s of a jitted elementwise
     copy-add at the kernel's working-set size (the HBM-bound ceiling
@@ -16,9 +16,17 @@ measured in the same session:
   * compare roofline: achieved compares/s of the bare tile
     compare+reduce that IS the cover kernel's inner loop
 
-Prints one JSON line; run on the real chip (default backend) or CPU
-(JAX_PLATFORMS=cpu) for smoke tests. Results are recorded in
-docs/KERNELS.md.
+Measurement discipline for the remote-tunnel chip: per-call
+block_until_ready measured FASTER than the tunnel round trip (it was
+timing dispatch, and identical repeated dispatches can be served
+without re-execution), so every rep uses a DIFFERENT input (one
+element varied) and completion is forced by fetching a small
+data-dependent reduction of every rep's full output to the host. The
+readback RTTs are included, making every number conservative rather
+than inflated.
+
+Prints one JSON line; run on the real chip (default backend). Results
+are recorded in docs/KERNELS.md.
 
 Reference being characterized: the reference has no device kernels —
 its equivalents are the per-chromosome python loops of
@@ -34,28 +42,27 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPS = int(os.environ.get("KBENCH_REPS", "5"))
+REPS = int(os.environ.get("KBENCH_REPS", "8"))
 N_ROWS = int(os.environ.get("KBENCH_ROWS", str(1 << 20)))
 N_READS = int(os.environ.get("KBENCH_READS", str(1 << 20)))
 N_SV = int(os.environ.get("KBENCH_SV", str(1 << 15)))
 
 
-def _best(fn, *args):
-    """Per-call seconds of fn(*args): REPS dispatches timed under ONE
-    trailing barrier (per-call block_until_ready over the remote-chip
-    tunnel measured faster than the tunnel RTT, i.e. it was timing
-    dispatch, not compute; a batched window amortizes the sync and the
-    overlap inflates throughput by at most the queue depth), taken as
-    the best of 3 windows."""
+def _timed(step, n_reps=None):
+    """Per-call seconds of ``step(i) -> small device array`` where the
+    return value depends on the rep's FULL computation. Warm on i=0,
+    then time n_reps distinct calls with one host readback each (the
+    readback is the completion proof); best of 3 windows."""
     import jax
 
-    jax.block_until_ready(fn(*args))  # warm/compile
+    n_reps = n_reps or REPS
+    jax.device_get(step(0))  # warm/compile
     best = float("inf")
-    for _ in range(3):
+    for w in range(3):
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(REPS)]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / REPS)
+        for i in range(n_reps):
+            jax.device_get(step(1 + w * n_reps + i))
+        best = min(best, (time.perf_counter() - t0) / n_reps)
     return best
 
 
@@ -67,8 +74,12 @@ def bench_stream_roofline(nbytes):
 
     n = nbytes // 4
     x = jnp.asarray(np.arange(n, dtype=np.int32))
-    f = jax.jit(lambda a: a + 1)
-    dt = _best(f, x)
+    f = jax.jit(lambda a, k: (a + k).sum(dtype=jnp.int32))
+
+    def step(i):
+        return f(x, jnp.int32(i))
+
+    dt = _timed(step)
     return 2.0 * n * 4 / dt
 
 
@@ -80,8 +91,13 @@ def bench_sort_roofline(n):
     rng = np.random.default_rng(0)
     k1 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
     k2 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
-    f = jax.jit(lambda a, b: jnp.lexsort((b, a)))
-    dt = _best(f, k1, k2)
+
+    f = jax.jit(lambda a, b, k: jnp.lexsort((b, a ^ k))[::n // 7].sum())
+
+    def step(i):
+        return f(k1, k2, jnp.int32(i))
+
+    dt = _timed(step)
     return n / dt
 
 
@@ -97,38 +113,56 @@ def make_indel_stream(n, seed=0):
 
 
 def bench_indel_cluster(n):
+    import jax
     import jax.numpy as jnp
 
     from cutesv_tpu.ops.indel_cluster import indel_cluster_structure
 
     pos, length, rid = make_indel_stream(n)
-    a = (jnp.asarray(pos), jnp.asarray(length), jnp.asarray(rid),
-         jnp.int32(n - 64), jnp.int32(200), jnp.int32(10))
+    jpos, jlen, jrid = (jnp.asarray(pos), jnp.asarray(length),
+                        jnp.asarray(rid))
 
-    def f(pos, length, rid, nv, bias, rc):
-        return indel_cluster_structure(pos, length, rid, nv, bias, rc, n)
+    @jax.jit
+    def step_fn(pos, length, rid, k):
+        out = indel_cluster_structure(pos + k, length, rid,
+                                      jnp.int32(n - 64), jnp.int32(200),
+                                      jnp.int32(10), n)
+        return sum(jnp.asarray(v).sum(dtype=jnp.int64)
+                   for v in out.values()
+                   if hasattr(v, "sum"))
 
-    dt = _best(f, *a)
+    def step(i):
+        return step_fn(jpos, jlen, jrid, jnp.int32(i % 7))
+
+    dt = _timed(step)
     return {"rows": n, "s": round(dt, 4), "rows_per_s": round(n / dt),
             "bytes_per_s": round(3 * 4 * n / dt)}
 
 
 def bench_pair_cluster(n):
+    import jax
     import jax.numpy as jnp
 
     from cutesv_tpu.ops.pair_cluster import pair_cluster_structure
 
     pos, length, rid = make_indel_stream(n, seed=1)
-    k2 = pos + length
-    a = (jnp.asarray(pos), jnp.asarray(k2),
-         jnp.zeros(n, jnp.int32), jnp.asarray(rid),
-         jnp.int32(n - 64), jnp.int32(200), jnp.int32(10))
+    k1, k2 = jnp.asarray(pos), jnp.asarray(pos + length)
+    aux = jnp.zeros(n, jnp.int32)
+    jrid = jnp.asarray(rid)
 
-    def f(k1, k2, aux, rid, nv, bias, rc):
-        return pair_cluster_structure(k1, k2, aux, rid, nv, bias, rc, n,
-                                      False)
+    @jax.jit
+    def step_fn(k1, k2, aux, rid, k):
+        out = pair_cluster_structure(k1 + k, k2 + k, aux, rid,
+                                     jnp.int32(n - 64), jnp.int32(200),
+                                     jnp.int32(10), n, False)
+        return sum(jnp.asarray(v).sum(dtype=jnp.int64)
+                   for v in out.values()
+                   if hasattr(v, "sum"))
 
-    dt = _best(f, *a)
+    def step(i):
+        return step_fn(k1, k2, aux, jrid, jnp.int32(i % 7))
+
+    dt = _timed(step)
     return {"rows": n, "s": round(dt, 4), "rows_per_s": round(n / dt),
             "bytes_per_s": round(4 * 4 * n / dt)}
 
@@ -136,7 +170,6 @@ def bench_pair_cluster(n):
 def bench_cover(n_sv, n_reads):
     """End-to-end cover_counts_device (incl. host padding + upload) plus
     the bare device compare ceiling at the same tile shape."""
-    import jax
     import jax.numpy as jnp
 
     from cutesv_tpu.ops import sweep
@@ -145,24 +178,26 @@ def bench_cover(n_sv, n_reads):
     starts = np.sort(rng.integers(0, 200_000_000, n_reads))
     ends = starts + rng.integers(5_000, 25_000, n_reads)
     s = np.sort(rng.integers(0, 200_000_000, n_sv))
-    wins = list(zip(s.astype(float), (s + 2000).astype(float)))
 
-    sweep.cover_counts_device(wins, starts, ends)  # warm
+    def e2e(i):
+        wins = list(zip((s + i).astype(float), (s + i + 2000).astype(float)))
+        return sweep.cover_counts_device(wins, starts, ends)
+
+    e2e(0)  # warm
     best = float("inf")
-    for _ in range(REPS):
+    for w in range(2):
         t0 = time.perf_counter()
-        sweep.cover_counts_device(wins, starts, ends)
+        e2e(1 + w)
         best = min(best, time.perf_counter() - t0)
     sp = -(-n_sv // sweep._SV_CHUNK) * sweep._SV_CHUNK
     rp = -(-n_reads // sweep._READ_CHUNK) * sweep._READ_CHUNK
     compares = float(sp) * rp
 
-    # bare compare+reduce ceiling at the kernel's own tile shape
-    st_t = jnp.asarray(
-        np.tile(starts[:sweep._READ_CHUNK].astype(np.int32)
-                if n_reads >= sweep._READ_CHUNK else
-                np.resize(starts.astype(np.int32), sweep._READ_CHUNK),
-                1).reshape(-1, sweep._READ_TILE))
+    # bare compare+reduce ceiling at the kernel's own tile shape, same
+    # varied-input + readback discipline
+    st_t = jnp.asarray(np.resize(starts.astype(np.int32),
+                                 sweep._READ_CHUNK
+                                 ).reshape(-1, sweep._READ_TILE))
     en_t = jnp.asarray(np.resize(ends.astype(np.int32),
                                  sweep._READ_CHUNK
                                  ).reshape(-1, sweep._READ_TILE))
@@ -170,7 +205,11 @@ def bench_cover(n_sv, n_reads):
                                  sweep._SV_CHUNK))
     sv_e = jnp.asarray(np.resize((2 * s + 4000).astype(np.int32),
                                  sweep._SV_CHUNK))
-    dt_bare = _best(sweep._cover_scan, sv_s, sv_e, st_t, en_t)
+
+    def bare_step(i):
+        return sweep._cover_scan(sv_s + i, sv_e + i, st_t, en_t).sum()
+
+    dt_bare = _timed(bare_step)
     bare_cps = sweep._SV_CHUNK * float(sweep._READ_CHUNK) / dt_bare
     return {"n_sv": n_sv, "n_reads": n_reads, "s": round(best, 4),
             "compares_per_s": round(compares / best),
@@ -185,7 +224,9 @@ def main():
     backend = jax.default_backend()
     out = {"backend": backend,
            "device": str(jax.devices()[0]),
-           "n_rows": N_ROWS}
+           "n_rows": N_ROWS,
+           "methodology": "varied inputs + data-dependent readback per "
+                          "rep (includes tunnel RTT; conservative)"}
     t0 = time.time()
     out["stream_roofline_bytes_per_s"] = round(
         bench_stream_roofline(128 << 20))
