@@ -46,6 +46,7 @@ REPS = int(os.environ.get("KBENCH_REPS", "8"))
 N_ROWS = int(os.environ.get("KBENCH_ROWS", str(1 << 20)))
 N_READS = int(os.environ.get("KBENCH_READS", str(1 << 20)))
 N_SV = int(os.environ.get("KBENCH_SV", str(1 << 15)))
+RTT_S = 0.0  # measured in main(); subtracted from small measurements
 
 
 def _timed(step, n_reps=None):
@@ -66,38 +67,74 @@ def _timed(step, n_reps=None):
     return best
 
 
-def bench_stream_roofline(nbytes):
-    """Elementwise copy-add at ``nbytes`` working set -> bytes/s moved
-    (read + write)."""
+def bench_rtt():
+    """Round-trip floor of the dispatch+readback pattern itself (a
+    trivial computation on 8 elements): subtracted from the small
+    measurements so they report device time, not tunnel latency."""
     import jax
     import jax.numpy as jnp
 
-    n = nbytes // 4
-    x = jnp.asarray(np.arange(n, dtype=np.int32))
-    f = jax.jit(lambda a, k: (a + k).sum(dtype=jnp.int32))
+    x = jnp.arange(8, dtype=jnp.int32)
+    f = jax.jit(lambda a, k: (a + k).sum())
 
     def step(i):
         return f(x, jnp.int32(i))
 
-    dt = _timed(step)
-    return 2.0 * n * 4 / dt
+    return _timed(step)
 
 
-def bench_sort_roofline(n):
-    """Bare 2-key device lexsort at n rows -> rows/s."""
+def bench_stream_roofline(nbytes, rtt):
+    """HBM streaming ceiling: 16 DEPENDENT transposes of an int32
+    matrix inside one jit (dependent non-fusible memory passes — an
+    elementwise chain would fuse into a single pass) -> bytes/s moved
+    (read + write per pass)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
+
+    side = int(np.sqrt(nbytes // 4))
+    x = jnp.asarray(np.arange(side * side, dtype=np.int32)
+                    .reshape(side, side))
+    K = 16
+
+    @jax.jit
+    def f(a, k):
+        def body(i, m):
+            return m.T + (k + i)
+        return lax.fori_loop(0, K, body, a).sum(dtype=jnp.int32)
+
+    def step(i):
+        return f(x, jnp.int32(i))
+
+    dt = max(_timed(step) - rtt, 1e-9)
+    return 2.0 * side * side * 4 * K / dt
+
+
+def bench_sort_roofline(n, rtt):
+    """Bare 2-key device lexsort at n rows: 4 DEPENDENT sorts chained
+    inside one jit (sorts cannot fuse) -> rows/s per sort."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
 
     rng = np.random.default_rng(0)
     k1 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
     k2 = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    K = 4
 
-    f = jax.jit(lambda a, b, k: jnp.lexsort((b, a ^ k))[::n // 7].sum())
+    @jax.jit
+    def f(a, b, k):
+        def body(i, ab):
+            a, b = ab
+            perm = jnp.lexsort((b, a ^ (k + i)))
+            return a[perm], b[perm]
+        a, b = lax.fori_loop(0, K, body, (a, b))
+        return a[:: max(1, n // 7)].sum()
 
     def step(i):
         return f(k1, k2, jnp.int32(i))
 
-    dt = _timed(step)
+    dt = max(_timed(step) - rtt, 1e-9) / K
     return n / dt
 
 
@@ -134,7 +171,7 @@ def bench_indel_cluster(n):
     def step(i):
         return step_fn(jpos, jlen, jrid, jnp.int32(i % 7))
 
-    dt = _timed(step)
+    dt = max(_timed(step) - RTT_S, 1e-9)
     return {"rows": n, "s": round(dt, 4), "rows_per_s": round(n / dt),
             "bytes_per_s": round(3 * 4 * n / dt)}
 
@@ -162,7 +199,7 @@ def bench_pair_cluster(n):
     def step(i):
         return step_fn(k1, k2, aux, jrid, jnp.int32(i % 7))
 
-    dt = _timed(step)
+    dt = max(_timed(step) - RTT_S, 1e-9)
     return {"rows": n, "s": round(dt, 4), "rows_per_s": round(n / dt),
             "bytes_per_s": round(4 * 4 * n / dt)}
 
@@ -209,7 +246,7 @@ def bench_cover(n_sv, n_reads):
     def bare_step(i):
         return sweep._cover_scan(sv_s + i, sv_e + i, st_t, en_t).sum()
 
-    dt_bare = _timed(bare_step)
+    dt_bare = max(_timed(bare_step) - RTT_S, 1e-9)
     bare_cps = sweep._SV_CHUNK * float(sweep._READ_CHUNK) / dt_bare
     return {"n_sv": n_sv, "n_reads": n_reads, "s": round(best, 4),
             "compares_per_s": round(compares / best),
@@ -228,9 +265,13 @@ def main():
            "methodology": "varied inputs + data-dependent readback per "
                           "rep (includes tunnel RTT; conservative)"}
     t0 = time.time()
+    global RTT_S
+    RTT_S = bench_rtt()
+    out["rtt_s"] = round(RTT_S, 4)
     out["stream_roofline_bytes_per_s"] = round(
-        bench_stream_roofline(128 << 20))
-    out["sort_roofline_rows_per_s"] = round(bench_sort_roofline(N_ROWS))
+        bench_stream_roofline(128 << 20, RTT_S))
+    out["sort_roofline_rows_per_s"] = round(
+        bench_sort_roofline(N_ROWS, RTT_S))
     ic = bench_indel_cluster(N_ROWS)
     pc = bench_pair_cluster(N_ROWS)
     cv = bench_cover(N_SV, N_READS)
