@@ -98,6 +98,46 @@ def chrom_bucket(chrom: str, num_processes: int) -> int:
     return sum(chrom.encode()) % max(1, num_processes)
 
 
+def part_census_counts(parts) -> list:
+    """Per-part {chrom_name: census rows} — computed from the allgathered
+    partial decodes, so identical on every host."""
+    import numpy as np
+
+    out = []
+    for p in parts:
+        ids, counts = np.unique(p.arrays["cen_chr"], return_counts=True)
+        out.append({p.chroms[int(c)]: int(n)
+                    for c, n in zip(ids, counts)})
+    return out
+
+
+def assign_chroms_by_decode_range(part_counts, store,
+                                  num_processes: int) -> dict:
+    """Range-affine chromosome -> host assignment: a chromosome resolves
+    on the host whose decode range produced most of its census rows, so
+    the mid-decode full tails each host ran land in its OWN resolve
+    bucket (round 5: the 3.1 Gb 2-process run spent ~50 s re-resolving
+    chromosomes whose tails the OTHER host had already run and thrown
+    away). The decode ranges split compressed bytes ~equally, so
+    affinity is also ~load-balanced; chromosomes with no census rows
+    anywhere fall back to the LPT plan. Deterministic: derived from the
+    allgathered parts + the merged store, identical on every host."""
+    import numpy as np
+
+    assign = {}
+    chroms = set()
+    for pc in part_counts:
+        chroms.update(pc)
+    for chrom in chroms:
+        counts = [pc.get(chrom, 0) for pc in part_counts]
+        if max(counts) > 0:
+            # ties break to the lowest part index (deterministic)
+            assign[chrom] = int(np.argmax(counts)) % max(1, num_processes)
+    for c, b in assign_chroms_lpt(store, num_processes).items():
+        assign.setdefault(c, b)
+    return assign
+
+
 def assign_chroms_lpt(store, num_processes: int) -> dict:
     """Size-aware chromosome -> host assignment: greedy
     longest-processing-time over per-chromosome work weights (census
@@ -445,4 +485,7 @@ def decode_sharded(cfg, bed_ids, is_cram: bool = False):
     parts = allgather_obj(nd)
     check_shard_boundaries(ranges,
                            [(p.first_u, p.next_u) for p in parts])
-    return merge_partial_decodes(parts)
+    pcc = part_census_counts(parts)
+    nd = merge_partial_decodes(parts)
+    nd.part_census_counts = pcc
+    return nd

@@ -450,6 +450,8 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
              time.time() - t_dec0)
     parts = allgather_obj(nd_local)
     check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
+    from cutesv_tpu.parallel.distributed import part_census_counts
+    pcc = part_census_counts(parts)
     nd = merge_partial_decodes(parts)
     _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
                              nd.chroms)
@@ -465,6 +467,7 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
         early_fp[(t, nd.chroms[c])] = fp
     store = sigstore.build_store_native(nd, cfg, early=early_fp)
     _attach_early_to_store(store, nd, handles, fingerprints, early_results)
+    store.part_census_counts = pcc
     references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                   for i in range(len(nd.ref_lengths))]
     return store, None, references, nd.n_records
@@ -530,6 +533,8 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
             _check_coordinate_sorted(nd.arrays["all_chr"],
                                      nd.arrays["all_start"], nd.chroms)
             store = sigstore.build_store_native(nd, cfg)
+            store.part_census_counts = getattr(
+                nd, "part_census_counts", None)
             references = [(nd.chroms[i], int(nd.ref_lengths[i]))
                           for i in range(len(nd.ref_lengths))]
             return store, None, references, nd.n_records
@@ -1438,8 +1443,18 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
         # host, no communication needed.
         import jax
 
-        from cutesv_tpu.parallel.distributed import assign_chroms_lpt
-        assign = assign_chroms_lpt(store, jax.process_count())
+        from cutesv_tpu.parallel.distributed import (
+            assign_chroms_by_decode_range, assign_chroms_lpt)
+        pcc = getattr(store, "part_census_counts", None)
+        if pcc:
+            # range-affine: resolve each chromosome on the host whose
+            # decode range produced it, so the mid-decode full tails
+            # land in their own host's bucket (ranges split compressed
+            # bytes ~equally, so this is also ~load-balanced)
+            assign = assign_chroms_by_decode_range(
+                pcc, store, jax.process_count())
+        else:
+            assign = assign_chroms_lpt(store, jax.process_count())
         store = _filter_store_chroms(
             store, lambda c: assign.get(c, 0) == jax.process_index())
     t1 = time.time()
