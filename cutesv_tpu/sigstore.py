@@ -128,6 +128,32 @@ def _to_resolver_row(svtype: str, r: tuple) -> tuple:
     return (r[0], int(r[1]), r[2], int(r[3]), r[4])
 
 
+def _lexsort_packed(keys) -> np.ndarray:
+    """``np.lexsort(keys)`` with adjacent non-negative int keys packed
+    into single int64 columns when both fit 31 bits — each packed pair
+    is one fewer stable argsort pass (lexsort keys are least-significant
+    first, so ``keys[i+1]`` is the more significant of a pair). Exact:
+    packing two keys a (low) and b (high) as (b << 31) | a orders by
+    (b, a) precisely when 0 <= a,b < 2**31."""
+    out = []
+    i = 0
+    keys = [np.asarray(k) for k in keys]
+    while i < len(keys):
+        k = keys[i]
+        if i + 1 < len(keys) and len(k):
+            k2 = keys[i + 1]
+            if (k.dtype.kind in "iu" and k2.dtype.kind in "iu"
+                    and int(k.min()) >= 0 and int(k.max()) < (1 << 31)
+                    and int(k2.min()) >= 0 and int(k2.max()) < (1 << 31)):
+                out.append((k2.astype(np.int64) << np.int64(31))
+                           | k.astype(np.int64))
+                i += 2
+                continue
+        out.append(k)
+        i += 1
+    return np.lexsort(tuple(out))
+
+
 def _dedup_mask(*keys) -> np.ndarray:
     """True for rows differing from the previous row in any key."""
     n = len(keys[0])
@@ -160,7 +186,7 @@ def prepare_snapshot(snap: dict, is_ins: bool):
     n_raw = len(snap["pos"])
     if is_ins:
         px2, ln, sq = snap["pos"], snap["length"], snap["seq_lrank"]
-        order = np.lexsort((sq, lrank, ln, px2 >> 1))
+        order = _lexsort_packed((sq, lrank, ln, px2 >> 1))
         px2, ln, lrank, sq = (px2[order], ln[order], lrank[order],
                               sq[order])
         nid = snap["name_id"][order]
@@ -177,7 +203,7 @@ def prepare_snapshot(snap: dict, is_ins: bool):
                      seq_len=slen, n_raw=n_raw),
                 dict(pos=(px2 >> 1)[live], length=ln[live], rid=lrank[live]))
     pos, ln = snap["pos"], snap["length"]
-    order = np.lexsort((lrank, ln, pos))
+    order = _lexsort_packed((lrank, ln, pos))
     pos, ln, lrank = pos[order], ln[order], lrank[order]
     nid = snap["name_id"][order]
     keep = _dedup_mask(pos, ln, lrank)
@@ -198,13 +224,13 @@ def prepare_snapshot_pair(svtype: str, snap: dict):
     k1, k2, lrank = snap["pos"], snap["length"], snap["name_lrank"]
     if svtype == "INV":
         st = snap["strand"]
-        order = np.lexsort((lrank, k2, k1, st))
+        order = _lexsort_packed((lrank, k2, k1, st))
         st, k1, k2, lr = st[order], k1[order], k2[order], lrank[order]
         keep = _dedup_mask(st, k1, k2, lr)
         st, k1, k2, lr = st[keep], k1[keep], k2[keep], lr[keep]
         aux = st.astype(np.int64)
     else:
-        order = np.lexsort((lrank, k2, k1))
+        order = _lexsort_packed((lrank, k2, k1))
         k1, k2, lr = k1[order], k2[order], lrank[order]
         keep = _dedup_mask(k1, k2, lr)
         k1, k2, lr = k1[keep], k2[keep], lr[keep]
@@ -307,7 +333,7 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
                                        A["del_len"], A["del_name"])
     rid = rank[d_name]
     ck = chrom_rank[d_chr]
-    order = np.lexsort((rid, d_len, d_pos, ck))
+    order = _lexsort_packed((rid, d_len, d_pos, ck))
     ck, pos, ln, rid = ck[order], d_pos[order], d_len[order], rid[order]
     keep = _dedup_mask(ck, pos, ln, rid)
     ck, pos, ln, rid = ck[keep], pos[keep], ln[keep], rid[keep]
@@ -339,7 +365,7 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
     rid = rank[i_name]
     ck = chrom_rank[i_chr]
     ipos = i_px2 >> 1
-    order = np.lexsort((i_sq, rid, i_len, ipos, ck))
+    order = _lexsort_packed((i_sq, rid, i_len, ipos, ck))
     ck, px2, ln, rid, sq = (ck[order], i_px2[order], i_len[order],
                             rid[order], i_sq[order])
     soff, slen = i_soff[order], i_slen[order]
@@ -365,7 +391,7 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
     early_cols("DUP", A["dup_chr"])
     rid = rank[A["dup_name"]]
     ck = chrom_rank[A["dup_chr"]]
-    order = np.lexsort((rid, A["dup_p2"], A["dup_p1"], ck))
+    order = _lexsort_packed((rid, A["dup_p2"], A["dup_p1"], ck))
     ck, p1, p2, rid = (ck[order], A["dup_p1"][order], A["dup_p2"][order],
                        rid[order])
     keep = _dedup_mask(ck, p1, p2, rid)
@@ -380,7 +406,7 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
     rid = rank[A["inv_name"]]
     ck = chrom_rank[A["inv_chr"]]
     st = A["inv_strand"].astype(np.int64)
-    order = np.lexsort((rid, A["inv_b2"], A["inv_b1"], st, ck))
+    order = _lexsort_packed((rid, A["inv_b2"], A["inv_b1"], st, ck))
     ck, st, b1, b2, rid = (ck[order], st[order], A["inv_b1"][order],
                            A["inv_b2"][order], rid[order])
     keep = _dedup_mask(ck, st, b1, b2, rid)
@@ -396,7 +422,7 @@ def build_store_native(nd, cfg, early=None) -> SigStore:
     ck1 = chrom_rank[A["tra_chr1"]]
     ck2 = chrom_rank[A["tra_chr2"]]
     ty = A["tra_type"].astype(np.int64)
-    order = np.lexsort((rid, A["tra_p2"], A["tra_p1"], ty, ck2, ck1))
+    order = _lexsort_packed((rid, A["tra_p2"], A["tra_p1"], ty, ck2, ck1))
     ck1, ck2, ty, p1, p2, rid = (ck1[order], ck2[order], ty[order],
                                  A["tra_p1"][order], A["tra_p2"][order],
                                  rid[order])

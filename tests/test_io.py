@@ -318,3 +318,24 @@ def test_inside_counts_fenwick_parity():
         got = cover_counts(wins, starts, ends)
         want = _cover_counts_fenwick(wins, starts, ends)
         assert np.array_equal(got, want), trial
+
+
+def test_lexsort_packed_equivalence():
+    """_lexsort_packed must equal np.lexsort exactly, including the
+    fallback when keys exceed 31 bits or go negative."""
+    import numpy as np
+
+    from cutesv_tpu.sigstore import _lexsort_packed
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(1, 3000))
+        nk = int(rng.integers(1, 6))
+        keys = []
+        for _ in range(nk):
+            hi = int(rng.choice([100, 1 << 20, (1 << 31) - 1, 1 << 40]))
+            lo = int(rng.choice([0, 0, 0, -50]))
+            keys.append(rng.integers(lo, hi, n))
+        got = _lexsort_packed(tuple(keys))
+        want = np.lexsort(tuple(keys))
+        assert np.array_equal(got, want), (trial, nk)
