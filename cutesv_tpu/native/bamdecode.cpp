@@ -2325,15 +2325,14 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
     // merge) — the whole-stream scans were O(n_chroms * total rows)
     // across a run, a real stall under the merge lock at 24-contig
     // human scale
-    auto span = [&](int which,
-                    const std::vector<int32_t>& chr) {
+    auto span = [&](int which) {
       auto it = C.rng[which].find(chrom);
       if (it == C.rng[which].end())
         return std::make_pair((size_t)0, (size_t)0);
       return std::make_pair(it->second.first, it->second.second + 1);
     };
     if (type == 0) {
-      auto [lo, hi] = span(0, C.del_chr.v);
+      auto [lo, hi] = span(0);
       for (size_t i = lo; i < hi; i++) {
         if (C.del_chr.v[i] != chrom) continue;
         s.pos.push_back(C.del_pos.v[i]);
@@ -2341,7 +2340,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.nameid.push_back(C.del_name.v[i]);
       }
     } else if (type == 2) {  // DUP: (p1, p2, name)
-      auto [lo, hi] = span(2, C.dup_chr.v);
+      auto [lo, hi] = span(2);
       for (size_t i = lo; i < hi; i++) {
         if (C.dup_chr.v[i] != chrom) continue;
         s.pos.push_back(C.dup_p1.v[i]);
@@ -2349,7 +2348,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.nameid.push_back(C.dup_name.v[i]);
       }
     } else if (type == 3) {  // INV: (b1, b2, strand, name)
-      auto [lo, hi] = span(3, C.inv_chr.v);
+      auto [lo, hi] = span(3);
       for (size_t i = lo; i < hi; i++) {
         if (C.inv_chr.v[i] != chrom) continue;
         s.pos.push_back(C.inv_b1.v[i]);
@@ -2358,7 +2357,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.nameid.push_back(C.inv_name.v[i]);
       }
     } else if (type == 4) {  // TRA (keyed by chr1): (p1, chr2, p2, type)
-      auto [lo, hi] = span(4, C.tra_chr1.v);
+      auto [lo, hi] = span(4);
       for (size_t i = lo; i < hi; i++) {
         if (C.tra_chr1.v[i] != chrom) continue;
         s.pos.push_back(C.tra_p1.v[i]);
@@ -2368,7 +2367,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         s.nameid.push_back(C.tra_name.v[i]);
       }
     } else if (type == 5) {  // census: (start, end, is_primary, name_id)
-      auto [lo, hi] = span(5, C.cen_chr.v);
+      auto [lo, hi] = span(5);
       for (size_t i = lo; i < hi; i++) {
         if (C.cen_chr.v[i] != chrom) continue;
         s.pos.push_back(C.cen_start.v[i]);
@@ -2378,7 +2377,7 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       }
       return (int64_t)s.pos.size();  // no local ranks needed
     } else {
-      auto [lo, hi] = span(1, C.ins_chr.v);
+      auto [lo, hi] = span(1);
       for (size_t i = lo; i < hi; i++) {
         if (C.ins_chr.v[i] != chrom) continue;
         s.pos.push_back(C.ins_posx2.v[i]);

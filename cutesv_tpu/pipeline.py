@@ -414,6 +414,7 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
     from cutesv_tpu.parallel.distributed import (allgather_obj,
                                                  check_shard_boundaries,
                                                  merge_partial_decodes,
+                                                 part_census_counts,
                                                  plan_shard_ranges)
 
     n = jax.process_count()
@@ -450,7 +451,6 @@ def _decode_sharded_streaming(cfg: Config, bed_ids):
              time.time() - t_dec0)
     parts = allgather_obj(nd_local)
     check_shard_boundaries(ranges, [(p.first_u, p.next_u) for p in parts])
-    from cutesv_tpu.parallel.distributed import part_census_counts
     pcc = part_census_counts(parts)
     nd = merge_partial_decodes(parts)
     _check_coordinate_sorted(nd.arrays["all_chr"], nd.arrays["all_start"],
@@ -1446,7 +1446,9 @@ def run_pipeline(cfg: Config, argv: Optional[List[str]] = None) -> dict:
         from cutesv_tpu.parallel.distributed import (
             assign_chroms_by_decode_range, assign_chroms_lpt)
         pcc = getattr(store, "part_census_counts", None)
-        if pcc:
+        # part counts must match the CURRENT topology (a --resume with a
+        # different --num_processes would otherwise idle the new hosts)
+        if pcc and len(pcc) == jax.process_count():
             # range-affine: resolve each chromosome on the host whose
             # decode range produced it, so the mid-decode full tails
             # land in their own host's bucket (ranges split compressed

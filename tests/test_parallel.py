@@ -571,3 +571,37 @@ def test_distributed_streaming_tails_two_process_cli(tmp_path):
     if tails == 0:
         tails, outs = run_pair(1, 250)
     assert tails >= 1, outs[0].decode()[-1500:]
+
+
+def test_assign_chroms_by_decode_range():
+    """Range-affine assignment (round 5): a chromosome resolves on the
+    part that produced most of its census rows (argmax, ties to the
+    lowest part), row-less chromosomes fall back to the LPT plan, and
+    the plan is deterministic across 'hosts'."""
+    import numpy as np
+
+    from cutesv_tpu import sigstore
+    from cutesv_tpu.parallel.distributed import (
+        assign_chroms_by_decode_range, assign_chroms_lpt)
+
+    store = sigstore.SigStore(chrom_lengths={})
+    for c, n in (("chr1", 100), ("chr2", 80), ("chr3", 60), ("chr4", 5)):
+        store.census[c] = {"start": np.zeros(n, np.int64)}
+    store.sigs = {"DEL": {"chrX": [1, 2, 3]}}  # sig-only chromosome
+    part_counts = [
+        {"chr1": 100, "chr2": 10},           # part 0
+        {"chr2": 70, "chr3": 60, "chr4": 5},  # part 1
+    ]
+    assign = assign_chroms_by_decode_range(part_counts, store, 2)
+    assert assign["chr1"] == 0
+    assert assign["chr2"] == 1      # majority of its rows in part 1
+    assert assign["chr3"] == 1
+    assert assign["chr4"] == 1
+    # chrX has no census rows anywhere -> LPT fallback decides it
+    assert assign["chrX"] == assign_chroms_lpt(store, 2)["chrX"]
+    # deterministic across hosts
+    assert assign == assign_chroms_by_decode_range(part_counts, store, 2)
+    # tie breaks to the lowest part index
+    tie = assign_chroms_by_decode_range(
+        [{"c": 5}, {"c": 5}], sigstore.SigStore(chrom_lengths={}), 2)
+    assert tie["c"] == 0
