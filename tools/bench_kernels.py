@@ -243,10 +243,27 @@ def bench_cover(n_sv, n_reads):
     sv_e = jnp.asarray(np.resize((2 * s + 4000).astype(np.int32),
                                  sweep._SV_CHUNK))
 
-    def bare_step(i):
-        return sweep._cover_scan(sv_s + i, sv_e + i, st_t, en_t).sum()
+    # chain K dependent tile scans inside one jit so the per-iteration
+    # cost is far above the RTT-subtraction noise floor (a single scan
+    # is ~RTT-sized, making the subtracted residual unstable)
+    import jax
+    from jax import lax
 
-    dt_bare = max(_timed(bare_step) - RTT_S, 1e-9)
+    K = 8
+
+    @jax.jit
+    def bare_k(sv_s, sv_e, st_t, en_t, k):
+        def body(i, tot):
+            return tot + sweep._cover_scan(sv_s + k + i, sv_e + k + i,
+                                           st_t, en_t)
+        return lax.fori_loop(
+            0, K, body,
+            jnp.zeros(sv_s.shape[0], jnp.int32)).sum()
+
+    def bare_step(i):
+        return bare_k(sv_s, sv_e, st_t, en_t, jnp.int32(i))
+
+    dt_bare = max(_timed(bare_step) - RTT_S, 1e-9) / K
     bare_cps = sweep._SV_CHUNK * float(sweep._READ_CHUNK) / dt_bare
     return {"n_sv": n_sv, "n_reads": n_reads, "s": round(best, 4),
             "compares_per_s": round(compares / best),
