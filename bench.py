@@ -343,29 +343,17 @@ def ont_lane(outdir):
     native_runs, pool_runs = [], []
     vcf_native = vcf_pool = None
     run_once(bam, fa, "device", "native", outdir)  # warm (jit/attach)
-    # the budget bounds the pooled-baseline RUNS too (same SIGALRM
-    # pattern as main(): without it a pathologically slow host could
-    # stall this secondary lane unboundedly)
-    import signal
-
-    def _bail(sig, frame):
-        raise TimeoutError()
-
-    signal.signal(signal.SIGALRM, _bail)
+    # BENCH_ONT_TIMEOUT gates whether further pooled-baseline reps
+    # START; the hard stop for a stalled run is the caller's whole-lane
+    # SIGALRM budget (a nested alarm here would cancel the outer one —
+    # alarms don't stack)
     spent0 = time.time()
     for rep in range(2):
         dt_n, _, vcf_native = run_once(bam, fa, "device", "native", outdir)
         native_runs.append(dt_n)
-        remaining = budget - (time.time() - spent0)
-        if remaining > 0:
-            signal.alarm(max(30, int(remaining)))
-            try:
-                dt_p, _, vcf_pool = run_pool_once(bam, fa, outdir)
-                pool_runs.append(dt_p)
-            except TimeoutError:
-                break
-            finally:
-                signal.alarm(0)
+        if time.time() - spent0 < budget:
+            dt_p, _, vcf_pool = run_pool_once(bam, fa, outdir)
+            pool_runs.append(dt_p)
     if pool_runs:
         pool_rate = n_reads / min(pool_runs)
         json.dump({"rate_pool": pool_rate, "nprocs": os.cpu_count()},
@@ -624,21 +612,32 @@ def main():
                 result["achieved_fraction_of_bound"] = round(
                     result["vs_baseline_pool"]
                     / result["floor_bound_ratio"], 2)
-    # ONT-density secondary lane (separate corpus, separate ratio; the
-    # headline above stays keyed to the stable at2 corpus)
-    try:
-        ont = ont_lane(outdir)
-    except Exception as e:
-        ont = {"error": repr(e)}
+    # secondary lanes, each under a hard SIGALRM budget: the driver only
+    # records the final JSON line, so a lane that hangs (cold corpus
+    # cache, pathological host) must abort rather than starve the
+    # headline of its artifact
+    def _lane(fn, budget):
+        signal.alarm(budget)
+        try:
+            return fn()
+        except TimeoutError:
+            return {"error": "lane budget (%ds) exceeded" % budget}
+        except Exception as e:
+            return {"error": repr(e)}
+        finally:
+            signal.alarm(0)
+
+    # ONT-density lane (separate corpus, separate ratio; the headline
+    # above stays keyed to the stable at2 corpus)
+    ont = _lane(lambda: ont_lane(outdir),
+                int(os.environ.get("BENCH_ONT_LANE_BUDGET", "420")))
     if ont is not None:
         result["ont"] = ont
 
     # CRAM-path lane: same corpus re-encoded as CRAM 3.0/3.1, walls
     # against the BAM lane's best native wall from this session
-    try:
-        cram = cram_lane(outdir, bam, fa, n_reads, dt_native)
-    except Exception as e:
-        cram = {"error": repr(e)}
+    cram = _lane(lambda: cram_lane(outdir, bam, fa, n_reads, dt_native),
+                 int(os.environ.get("BENCH_CRAM_LANE_BUDGET", "420")))
     if cram is not None:
         result["cram"] = cram
 
