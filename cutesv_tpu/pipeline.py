@@ -95,7 +95,13 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool,
     # about not taking the whole-file StreamingDecode path). Force
     # calling (-Ivcf) never consumes early kernels or tails, so its
     # decode runs plain — no mid-decode work to throw away.
-    return (not is_cram and cfg.engine in ("device", "auto")
+    # CRAM overlaps too since round 5 (the CRAM front-end feeds the
+    # same process_recs, so per-chromosome progress/snapshots work
+    # unchanged) — but only the plain path: the RANGED streaming decode
+    # plans BGZF block ranges, which is BAM-specific.
+    if for_distributed and is_cram:
+        return False
+    return (cfg.engine in ("device", "auto")
             and (for_distributed or not cfg.distributed)
             and not getattr(cfg, "Ivcf", None))
 
@@ -328,7 +334,7 @@ def _attach_early_to_store(store, nd, handles, fingerprints,
                 n_early))
 
 
-def _decode_bam_native_streaming(cfg: Config, bed_ids):
+def _decode_bam_native_streaming(cfg: Config, bed_ids, is_cram=False):
     """Decode on a native thread; as each chromosome completes, snapshot
     its DEL/INS rows, sort/dedup them with the store's exact keys (local
     name/seq ranks are order-isomorphic to the final global ranks
@@ -340,7 +346,9 @@ def _decode_bam_native_streaming(cfg: Config, bed_ids):
     from cutesv_tpu.io import native as native_io
 
     t_n0 = time.time()
-    sd = native_io.StreamingDecode(cfg.input, cfg, bed_ids, reference=None)
+    sd = native_io.StreamingDecode(
+        cfg.input, cfg, bed_ids,
+        reference=cfg.reference if is_cram else None)
     try:
         handles, fingerprints, early_results, poll_timing = \
             _streaming_poll_loop(sd, cfg)
@@ -506,7 +514,8 @@ def _decode_bam_native(cfg: Config, is_cram: bool = False):
                    np.array(be, np.int64))
     if _stream_dispatch_ok(cfg, is_cram):
         try:
-            return _decode_bam_native_streaming(cfg, bed_ids)
+            return _decode_bam_native_streaming(cfg, bed_ids,
+                                                is_cram=is_cram)
         except Exception:
             # a device/JAX failure during early dispatch is a streaming
             # problem, not a decoder problem: fall back to the plain
