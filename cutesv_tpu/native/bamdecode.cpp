@@ -2318,6 +2318,12 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
   s.pos.clear(); s.len.clear(); s.nameid.clear();
   s.lrank.clear(); s.seqlen.clear(); s.sqrank.clear(); s.seqoff.clear();
   std::vector<std::pair<int64_t, int64_t>> seq_spans;  // (off, len)
+  // The walk thread takes snap_mu for every parse batch's merge, so time
+  // spent here under the lock stalls decode directly. Phase 1 copies the
+  // row columns (reserved, memcpy-speed); the rank SORTS run outside the
+  // lock over bytes phase 2 copies out (both blobs are append-only with
+  // immutable content — only the buffer base can move on realloc, which
+  // is exactly what the byte copies make safe).
   {
     std::lock_guard<std::mutex> g(d->snap_mu);
     Collector& C = d->C;
@@ -2333,6 +2339,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
     };
     if (type == 0) {
       auto [lo, hi] = span(0);
+      s.pos.reserve(hi - lo); s.len.reserve(hi - lo);
+      s.nameid.reserve(hi - lo);
       for (size_t i = lo; i < hi; i++) {
         if (C.del_chr.v[i] != chrom) continue;
         s.pos.push_back(C.del_pos.v[i]);
@@ -2341,6 +2349,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       }
     } else if (type == 2) {  // DUP: (p1, p2, name)
       auto [lo, hi] = span(2);
+      s.pos.reserve(hi - lo); s.len.reserve(hi - lo);
+      s.nameid.reserve(hi - lo);
       for (size_t i = lo; i < hi; i++) {
         if (C.dup_chr.v[i] != chrom) continue;
         s.pos.push_back(C.dup_p1.v[i]);
@@ -2349,6 +2359,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       }
     } else if (type == 3) {  // INV: (b1, b2, strand, name)
       auto [lo, hi] = span(3);
+      s.pos.reserve(hi - lo); s.len.reserve(hi - lo);
+      s.seqlen.reserve(hi - lo); s.nameid.reserve(hi - lo);
       for (size_t i = lo; i < hi; i++) {
         if (C.inv_chr.v[i] != chrom) continue;
         s.pos.push_back(C.inv_b1.v[i]);
@@ -2358,6 +2370,9 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       }
     } else if (type == 4) {  // TRA (keyed by chr1): (p1, chr2, p2, type)
       auto [lo, hi] = span(4);
+      s.pos.reserve(hi - lo); s.len.reserve(hi - lo);
+      s.seqlen.reserve(hi - lo); s.seqoff.reserve(hi - lo);
+      s.nameid.reserve(hi - lo);
       for (size_t i = lo; i < hi; i++) {
         if (C.tra_chr1.v[i] != chrom) continue;
         s.pos.push_back(C.tra_p1.v[i]);
@@ -2368,6 +2383,8 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       }
     } else if (type == 5) {  // census: (start, end, is_primary, name_id)
       auto [lo, hi] = span(5);
+      s.pos.reserve(hi - lo); s.len.reserve(hi - lo);
+      s.seqlen.reserve(hi - lo); s.nameid.reserve(hi - lo);
       for (size_t i = lo; i < hi; i++) {
         if (C.cen_chr.v[i] != chrom) continue;
         s.pos.push_back(C.cen_start.v[i]);
@@ -2378,6 +2395,10 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
       return (int64_t)s.pos.size();  // no local ranks needed
     } else {
       auto [lo, hi] = span(1);
+      s.pos.reserve(hi - lo); s.len.reserve(hi - lo);
+      s.seqlen.reserve(hi - lo); s.seqoff.reserve(hi - lo);
+      s.nameid.reserve(hi - lo);
+      seq_spans.reserve(hi - lo);
       for (size_t i = lo; i < hi; i++) {
         if (C.ins_chr.v[i] != chrom) continue;
         s.pos.push_back(C.ins_posx2.v[i]);
@@ -2388,47 +2409,79 @@ int64_t bamdecode_snapshot(CResult* r, int type, int32_t chrom) {
         seq_spans.push_back({C.ins_seq_off.v[i], C.ins_seq_len.v[i]});
       }
     }
-    // local name ranks: sort the snapshot's distinct name ids by string
-    // (the interned blob only appends, but read it under the lock anyway)
-    std::vector<int64_t> ids(s.nameid);
-    std::sort(ids.begin(), ids.end());
-    ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
-    std::vector<int64_t> order(ids);
-    auto nview = [&](int64_t id) {
-      return std::string_view(C.name_blob.data() + C.name_off[id],
-                              C.name_off[id + 1] - C.name_off[id]);
-    };
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-      return nview(a) < nview(b);
-    });
-    std::unordered_map<int64_t, int64_t> rank_of;
-    rank_of.reserve(order.size() * 2);
-    for (size_t k = 0; k < order.size(); k++) rank_of[order[k]] = (int64_t)k;
-    s.lrank.resize(s.nameid.size());
-    for (size_t i = 0; i < s.nameid.size(); i++)
-      s.lrank[i] = rank_of[s.nameid[i]];
+  }
+  // distinct name ids (outside the lock: the row sort is the most
+  // expensive part of the old under-lock critical section)
+  std::vector<int64_t> ids(s.nameid);
+  std::sort(ids.begin(), ids.end());
+  ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+  // phase 2: copy the bytes the sorts will compare (short lock)
+  std::string names_local, seqs_local;
+  std::vector<int64_t> noff(1, 0), soff_local(1, 0);
+  {
+    std::lock_guard<std::mutex> g(d->snap_mu);
+    Collector& C = d->C;
+    int64_t ntotal = 0;
+    for (int64_t id : ids) ntotal += C.name_off[id + 1] - C.name_off[id];
+    names_local.reserve((size_t)ntotal);
+    noff.reserve(ids.size() + 1);
+    for (int64_t id : ids) {
+      names_local.append(C.name_blob.data() + C.name_off[id],
+                         (size_t)(C.name_off[id + 1] - C.name_off[id]));
+      noff.push_back((int64_t)names_local.size());
+    }
     if (type == 1) {
-      // local sequence-content ranks (equal content -> equal rank)
-      size_t m = seq_spans.size();
-      std::vector<int64_t> idx(m);
-      for (size_t i = 0; i < m; i++) idx[i] = (int64_t)i;
-      auto sview = [&](int64_t i) {
-        return std::string_view(C.ins_seq_blob.data() + seq_spans[i].first,
-                                seq_spans[i].second);
-      };
-      std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
-        auto va = sview(a), vb = sview(b);
-        if (va != vb) return va < vb;
-        return a < b;
-      });
-      s.sqrank.resize(m);
-      int64_t rr = -1;
-      std::string_view prev;
-      for (size_t k = 0; k < m; k++) {
-        auto v = sview(idx[k]);
-        if (k == 0 || v != prev) { rr++; prev = v; }
-        s.sqrank[idx[k]] = rr;
+      int64_t stotal = 0;
+      for (auto& sp : seq_spans) stotal += sp.second;
+      seqs_local.reserve((size_t)stotal);
+      soff_local.reserve(seq_spans.size() + 1);
+      for (auto& sp : seq_spans) {
+        seqs_local.append(C.ins_seq_blob.data() + sp.first,
+                          (size_t)sp.second);
+        soff_local.push_back((int64_t)seqs_local.size());
       }
+    }
+  }
+  // local name ranks: sort the snapshot's distinct names by string;
+  // interning guarantees distinct ids have distinct bytes (no ties)
+  std::vector<int64_t> order(ids.size());
+  for (size_t k = 0; k < order.size(); k++) order[k] = (int64_t)k;
+  auto nview = [&](int64_t k) {
+    return std::string_view(names_local.data() + noff[k],
+                            (size_t)(noff[k + 1] - noff[k]));
+  };
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return nview(a) < nview(b);
+  });
+  std::vector<int64_t> rank(ids.size());
+  for (size_t k = 0; k < order.size(); k++) rank[order[k]] = (int64_t)k;
+  s.lrank.resize(s.nameid.size());
+  for (size_t i = 0; i < s.nameid.size(); i++) {
+    size_t k = (size_t)(std::lower_bound(ids.begin(), ids.end(),
+                                         s.nameid[i]) - ids.begin());
+    s.lrank[i] = rank[k];
+  }
+  if (type == 1) {
+    // local sequence-content ranks (equal content -> equal rank)
+    size_t m = seq_spans.size();
+    std::vector<int64_t> idx(m);
+    for (size_t i = 0; i < m; i++) idx[i] = (int64_t)i;
+    auto sview = [&](int64_t i) {
+      return std::string_view(seqs_local.data() + soff_local[i],
+                              (size_t)(soff_local[i + 1] - soff_local[i]));
+    };
+    std::sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+      auto va = sview(a), vb = sview(b);
+      if (va != vb) return va < vb;
+      return a < b;
+    });
+    s.sqrank.resize(m);
+    int64_t rr = -1;
+    std::string_view prev;
+    for (size_t k = 0; k < m; k++) {
+      auto v = sview(idx[k]);
+      if (k == 0 || v != prev) { rr++; prev = v; }
+      s.sqrank[idx[k]] = rr;
     }
   }
   return (int64_t)s.pos.size();
