@@ -403,11 +403,20 @@ def cram_lane(outdir, bam, fa, n_reads, bam_wall_s):
             ff = FastaFile(fa)
             ref_seqs = {c: ff.fetch(c) for c in ff.references}
             t0 = time.time()
-            with BamReader(bam) as r:
-                with CramWriter(cram, r.references, version=ver,
-                                max_slice=10000, ref_seqs=ref_seqs) as w:
-                    for rec in r:
-                        w.write(rec)
+            # encode to a tmp path and publish atomically: the lane runs
+            # under a SIGALRM budget, and a truncated .cram left at the
+            # cached path would poison every later bench run
+            tmp = cram + ".tmp"
+            try:
+                with BamReader(bam) as r:
+                    with CramWriter(tmp, r.references, version=ver,
+                                    max_slice=10000, ref_seqs=ref_seqs) as w:
+                        for rec in r:
+                            w.write(rec)
+                os.replace(tmp, cram)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             print("bench: encoded %s in %.1fs" % (cram, time.time() - t0),
                   file=sys.stderr)
         walls = []
