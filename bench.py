@@ -406,7 +406,9 @@ def cram_lane(outdir, bam, fa, n_reads, bam_wall_s):
             # encode to a tmp path and publish atomically: the lane runs
             # under a SIGALRM budget, and a truncated .cram left at the
             # cached path would poison every later bench run
-            tmp = cram + ".tmp"
+            tmp = "%s.tmp.%d" % (cram, os.getpid())  # pid-suffixed: two
+            # concurrent bench runs must not truncate each other's
+            # in-flight encode (each publishes atomically; last wins whole)
             try:
                 with BamReader(bam) as r:
                     with CramWriter(tmp, r.references, version=ver,

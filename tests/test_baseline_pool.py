@@ -2,6 +2,8 @@
 must reproduce the single-process python pipeline byte-for-byte: it is
 bench.py's ``vs_baseline_pool`` denominator, standing in for the
 reference's multiprocessing.Pool architecture (cuteSV:1058-1236)."""
+import re
+
 from cutesv_tpu.config import Config
 from cutesv_tpu.pipeline import run_pipeline
 from cutesv_tpu.tools import baseline_pool
@@ -9,9 +11,12 @@ from tests.test_e2e_alltypes import _build
 
 
 def _strip_volatile(text: str) -> str:
-    # fileDate has second resolution; runs seconds apart must still match
-    return "\n".join(l for l in text.splitlines()
-                     if not l.startswith(("##fileDate", "##CommandLine")))
+    # fileDate has second resolution; runs seconds apart must still match.
+    # ONLY that line is dropped — everything else (incl. CommandLine,
+    # blank lines and the trailing newline) stays byte-exact, preserving
+    # the module's byte-for-byte contract
+    return re.sub(r"^##fileDate[^\n]*\n", "", text, count=1,
+                  flags=re.MULTILINE)
 
 
 def _cfg(bam, fa, out, wd):
