@@ -218,7 +218,18 @@ def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
     # forces; "force" additionally runs it for the final batch (tests:
     # small fixtures decode in one poll, so nothing completes mid-run)
     tail_force = tail_env == "force" and allow_done_tail
-    tail_ok = not cfg.report_readid and tail_env != "0"
+    # adaptive default (round-5 A/B): at 2 cores with few contigs the
+    # mid-decode emission steals more from the inflate workers than the
+    # shortened post-decode tail returns (200 Mb/4-chrom: 4.48-4.58 s
+    # with tails vs 4.35-4.49 s without, 3 interleaved pairs), while at
+    # many contigs the serial post-decode tail dominates and the overlap
+    # wins (1 Gb/24-contig ablation: 16.0 s vs 16.5 s, docs/SCALING.md).
+    # >=4 cores: the tail is effectively free (round-3 measurement).
+    # (n_refs is header-derived and only valid once poll() >= 0, so the
+    # contig-count half resolves lazily on the first poll below)
+    tail_ok = None
+    tail_pref = not cfg.report_readid and tail_env != "0"
+    tail_forced_on = tail_env in ("1", "force")
     done = set()
     # python work done INSIDE the decode window, split into the part
     # concurrent with the native walk (it steals host CPU from the
@@ -229,6 +240,10 @@ def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
         t_body0 = _time.time()
         p = sd.poll()
         finished = p == sd.DONE
+        if tail_ok is None and (finished or p >= 0):
+            tail_ok = tail_pref and (
+                tail_forced_on or (os.cpu_count() or 2) >= 4
+                or sd.n_refs() >= 8)
         if finished:
             # the run finished: every remaining chromosome's rows are
             # final, so snapshot them too — their prepared columns
