@@ -123,6 +123,17 @@ class _NativeBlobView:
         return self._sd.ins_seq_spans(offs, lens)
 
 
+def _stream_tail_default(n_cores: int, n_refs: int) -> bool:
+    """Whether the FULL mid-decode tail (emission + genotype) defaults
+    on. Round-5 A/B: at 2 cores with few contigs the tail steals more
+    from the inflate workers than the shortened post-decode tail
+    returns (200 Mb/4-chrom: 4.48-4.58 s with vs 4.35-4.49 s without);
+    at many contigs the serial post-decode tail dominates and the
+    overlap wins (1 Gb/24-contig: 16.0 s vs 16.5 s, docs/SCALING.md);
+    at >= 4 cores the tail is effectively free (round-3 measurement)."""
+    return n_cores >= 4 or n_refs >= 8
+
+
 def _stream_tail_emit(sd, cfg: Config, svtype: str, c: int, cols,
                       nk_comp, census_cache):
     """Mid-decode per-chromosome tail for DEL/INS: fetch the cluster
@@ -209,24 +220,12 @@ def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
     # names nowhere; --report_readid does, so it keeps the kernel-only
     # overlap. CUTESV_STREAM_TAIL=0 forces the tail off.
     tail_env = os.environ.get("CUTESV_STREAM_TAIL")
-    # the FULL tail (emission + genotype mid-decode) steals host CPU
-    # from the inflate workers, but wins net wall even at 2 cores now
-    # that the parse side is pooled/fused (round 4: resolve 0.65->0.32 s,
-    # decode +0.17 s, best wall 5.29->5.08 s at 200 Mb), and wins
-    # clearly where cores are plentiful — so it defaults on whenever the
-    # streaming overlap itself is on (>= 2 cores). CUTESV_STREAM_TAIL=1/0
-    # forces; "force" additionally runs it for the final batch (tests:
-    # small fixtures decode in one poll, so nothing completes mid-run)
+    # CUTESV_STREAM_TAIL=1/0 forces the FULL tail on/off; "force"
+    # additionally runs it for the final batch (tests: small fixtures
+    # decode in one poll, so nothing completes mid-run). Default is
+    # _stream_tail_default (n_refs is header-derived and only valid
+    # once poll() >= 0, so the default resolves lazily below).
     tail_force = tail_env == "force" and allow_done_tail
-    # adaptive default (round-5 A/B): at 2 cores with few contigs the
-    # mid-decode emission steals more from the inflate workers than the
-    # shortened post-decode tail returns (200 Mb/4-chrom: 4.48-4.58 s
-    # with tails vs 4.35-4.49 s without, 3 interleaved pairs), while at
-    # many contigs the serial post-decode tail dominates and the overlap
-    # wins (1 Gb/24-contig ablation: 16.0 s vs 16.5 s, docs/SCALING.md).
-    # >=4 cores: the tail is effectively free (round-3 measurement).
-    # (n_refs is header-derived and only valid once poll() >= 0, so the
-    # contig-count half resolves lazily on the first poll below)
     tail_ok = None
     tail_pref = not cfg.report_readid and tail_env != "0"
     tail_forced_on = tail_env in ("1", "force")
@@ -242,8 +241,8 @@ def _streaming_poll_loop(sd, cfg: Config, tail_chrom_ok=None,
         finished = p == sd.DONE
         if tail_ok is None and (finished or p >= 0):
             tail_ok = tail_pref and (
-                tail_forced_on or (os.cpu_count() or 2) >= 4
-                or sd.n_refs() >= 8)
+                tail_forced_on
+                or _stream_tail_default(os.cpu_count() or 2, sd.n_refs()))
         if finished:
             # the run finished: every remaining chromosome's rows are
             # final, so snapshot them too — their prepared columns

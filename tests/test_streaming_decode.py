@@ -309,3 +309,17 @@ def test_pair_snapshot_early_resolve_identical(tmp_path):
     assert with_early == without
     assert any(with_early.values())
     sd.free()
+
+
+def test_stream_tail_default_predicate():
+    """Round-5 adaptive default: the FULL mid-decode tail is on where it
+    measured faster (>=4 cores, or >=8 contigs where the serial
+    post-decode tail dominates) and off at few-core/few-contig shapes
+    where it steals more from the inflate workers than it returns."""
+    from cutesv_tpu.pipeline import _stream_tail_default
+    assert not _stream_tail_default(2, 4)     # bench shape: off
+    assert _stream_tail_default(2, 24)        # human layout: on
+    assert _stream_tail_default(2, 8)
+    assert _stream_tail_default(4, 1)         # wide host: on
+    assert _stream_tail_default(16, 4)
+    assert not _stream_tail_default(3, 7)
