@@ -69,6 +69,17 @@ def decode_bam(cfg: Config):
     return _decode_bam_python(cfg)
 
 
+def _n_cores() -> int:
+    """Cores actually usable by this process: cgroup/taskset affinity
+    (len(sched_getaffinity)) where available, os.cpu_count otherwise —
+    a container pinned to 2 CPUs on a 64-core host must take the
+    2-core tuning paths, not the wide-host ones."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 def _stream_dispatch_ok(cfg: Config, is_cram: bool,
                         for_distributed: bool = False) -> bool:
     """Streaming decode->dispatch overlap for plain single-process
@@ -85,7 +96,7 @@ def _stream_dispatch_ok(cfg: Config, is_cram: bool,
     if forced is not None:
         if forced != "1":
             return False
-    elif (os.cpu_count() or 1) < 2:
+    elif _n_cores() < 2:
         return False
     # n_shards > 1 is fine: early per-chromosome kernels are exact
     # single-device results the sharded resolver reuses as singleton
